@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The engine targets multi-executor clusters reading ~100 TB; locally we run
+``local[N]`` single-JVM. The conf below is chosen so the *same* settings are
+correct in both worlds:
+
+- AQE on (runtime coalescing + skew-join splitting) — at cluster scale the
+  static shuffle-partition count is always wrong for some stage.
+- Arrow execution on, with a bounded records-per-batch so pandas UDF peak
+  memory is independent of partition size.
+- Shuffle partitions default to 2×cores locally; on a real cluster leave the
+  AQE coalescing to shrink from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osm_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is supplied — mirroring the driver's harness.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # 2x parallelism: enough splits for AQE to coalesce, few enough to
+        # keep task-launch overhead negligible on local mode.
+        n = cpus if master.startswith("local") else 200
+        shuffle_partitions = max(2 * n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
