@@ -15,8 +15,50 @@ correct in both worlds:
 from __future__ import annotations
 
 import os
+import shutil
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> None:
+    """Make the package importable by spawned Python workers.
+
+    Workers are separate processes forked by the JVM: they see the driver's
+    environment, not its ``sys.path``. Must run before the JVM starts.
+    """
+    current = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_REPO_ROOT}{os.pathsep}{current}" if current else _REPO_ROOT
+        )
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to workers of an externally-created session.
+
+    When the session was built by someone else (the correctness driver, a
+    notebook), the JVM env is already fixed, so we distribute a zip via
+    ``addPyFile`` — the same mechanism ``spark-submit --py-files`` uses on a
+    real cluster.
+    """
+    marker = "osm_spark_pyfile_added"
+    if spark.conf.get(f"spark.{marker}", None) == "true":
+        return
+    zip_path = os.path.join("/tmp", "osm_spark_pkg.zip")
+    tmp_path = zip_path + ".tmp"
+    pkg_dir = os.path.join(_REPO_ROOT, "osm_spark")
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    shutil.move(tmp_path, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set(f"spark.{marker}", "true")
 
 
 def get_spark(
@@ -30,6 +72,7 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is supplied — mirroring the driver's harness.
     """
+    _export_pythonpath()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
