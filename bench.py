@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries cover the engine's flagship surface: pages synthesis + coordinate
+extraction + cell encode + PIP join (the north_rule metric is pages/sec
+through this pipeline), kNN, density tiles + contours, plus the heaviest
+relational operators. Each query is forced with a noop sink so we measure
+compute, not collect/serialize.
+
+``--scaling`` runs the flagship job at two parallelism levels (local[8] vs
+local[32] in fresh subprocesses) on identical input and reports throughput
+at both plus efficiency — the sandbox evidence for the ≥0.8 N→4N scaling
+rule (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Pages multiplier: sf0.1 has 5k documents; x200 → 1M synthetic pages.
+PAGES_MULT = int(os.environ.get("SPARK_GRAFT_PAGES_MULT", "200"))
+
+
+def force(df) -> int:
+    """Execute fully (noop sink); return row count via the same job."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def build_queries(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from osm_spark.geo.contours import contours, density_raster, tile_density
+    from osm_spark.geo.knn import knn_join
+    from osm_spark.pipeline.geometry import build_way_cells, synth_nodes, synth_polygons
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import extract_points, pip_join
+
+    pages = synth_pages(spark, SF_DIR, PAGES_MULT)
+    polygons = synth_polygons(spark)
+
+    def q_pip(spark):
+        pts = extract_points(pages)
+        return pip_join(pts, polygons)
+
+    def q_knn(spark):
+        pts = extract_points(pages)
+        return knn_join(pts, synth_nodes(spark), k=3)
+
+    def q_tiles(spark):
+        pts = extract_points(pages)
+        return tile_density(pts, 12)
+
+    def q_contours(spark):
+        pts = extract_points(pages)
+        return contours(density_raster(pts, 10), threshold=2.0)
+
+    qs = {
+        "pip_join": q_pip,
+        "knn_join": q_knn,
+        "tile_density": q_tiles,
+        "contours": q_contours,
+        "pricing_summary": lambda s: entrymod.q_pricing_summary(s, SF_DIR),
+        "broadcast_lookup_join": lambda s: entrymod.q_broadcast_lookup_join(s, SF_DIR),
+        "latest_order_per_customer": lambda s: entrymod.q_latest_order_per_customer(s, SF_DIR),
+        "exact_dedup": lambda s: entrymod.q_exact_dedup(s, SF_DIR),
+    }
+    return pages, qs
+
+
+def run_bench() -> dict:
+    from osm_spark.session import get_spark
+
+    spark = get_spark(app_name="osm_spark_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages, qs = build_queries(spark)
+    n_pages = pages.count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        force(fn(spark))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+        "pages_rows": n_pages,
+        "pip_pages_per_sec": round(n_pages / timings["pip_join"], 1),
+    }
+    spark.stop()
+    return result
+
+
+def run_flagship_once(cpus: int) -> dict:
+    """Subprocess body for --scaling: flagship pipeline at one parallelism."""
+    from osm_spark.session import get_spark
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import extract_points, pip_join
+
+    spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synth_pages(spark, SF_DIR, PAGES_MULT)
+    n = pages.count()
+    polygons = synth_polygons(spark)
+    t0 = time.monotonic()
+    force(pip_join(extract_points(pages), polygons))
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "pages": n, "wall_sec": round(wall, 3),
+            "pages_per_sec": round(n / wall, 1)}
+
+
+def run_scaling() -> dict:
+    out = {}
+    for cpus in (8, 32):
+        r = subprocess.run(
+            [sys.executable, __file__, "--one-scale", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+    t8 = out["local[8]"]["pages_per_sec"]
+    t32 = out["local[32]"]["pages_per_sec"]
+    out["scaling_efficiency"] = round((t32 / t8) / (32 / 8), 3)
+    return out
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-scale":
+        print(json.dumps(run_flagship_once(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,174 @@
+"""Cell-prejoined point-in-polygon join — the engine's flagship operator.
+
+Plan shape (SURVEY.md §2.10, informed by Raster Intervals SIGMOD'23's
+filter-then-refine decomposition):
+
+1. **extract**: pages.text → (lat, lon) via the pinned regex Arrow UDF,
+   encode to hex cell (res 9) + S2 (level 13). One ArrowEvalPython pass.
+2. **prejoin**: equi join ``points.h3_9 == way_cells.cell``. The polygon
+   covering is the *small* side — broadcast when under threshold, else a
+   shuffle hash join with **explicit per-cell salting** for hot cells
+   (north_rule requires explicit skew handling: AQE splits oversized
+   shuffle blocks, but only salting spreads a single hot *key*).
+3. **refine**: exact ray-cast PIP in a vectorized mapInPandas over the
+   candidate pairs (grouped by way within each Arrow batch).
+
+At the 10^12-row design point the pages side never shuffles in the
+broadcast path — the only wide exchange is the final aggregation, and
+filter/projection pushdown reaches the parquet/Iceberg scan because steps
+1-2 are plain Column expressions over one scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.geo.extract import extract_coords
+from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_udf, points_in_polygon_np
+from osm_spark.geo.s2 import s2_cell_udf
+
+# Above this many covering cells we stop broadcasting and use the salted
+# shuffle path (each cell row is ~16 bytes + way vertices joined later).
+BROADCAST_MAX_CELLS = 2_000_000
+
+# A cell is "hot" when it holds more than this many points; its key is
+# split into ceil(n/target) salt buckets.
+HOT_CELL_TARGET = 50_000
+
+
+def extract_points(
+    pages: DataFrame, res: int = DEFAULT_RES, s2_level: int = 13
+) -> DataFrame:
+    """pages → page_points(url, lat, lon, h3_9, s2_13); rows without a
+    coordinate are dropped (they can never join)."""
+    coords = extract_coords("text")
+    pts = (
+        pages.select("url", coords.alias("c"))
+        .select("url", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon"))
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    )
+    return pts.select(
+        "url",
+        "lat",
+        "lon",
+        hex_cell_udf(res)("lat", "lon").alias("h3_9"),
+        s2_cell_udf(s2_level)("lat", "lon").alias("s2_13"),
+    )
+
+
+def _refine_pip(candidates: DataFrame) -> DataFrame:
+    """Exact PIP over candidate (point, polygon) pairs.
+
+    Input columns: url, lat, lon, way_id, vlat, vlon. Vectorized per way
+    group inside each Arrow batch — no per-row Python.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf["lat"].to_numpy(np.float64)
+            lon = pdf["lon"].to_numpy(np.float64)
+            for way_id, idx in pdf.groupby("way_id", sort=False).indices.items():
+                vlat = np.asarray(pdf["vlat"].iloc[idx[0]], dtype=np.float64)
+                vlon = np.asarray(pdf["vlon"].iloc[idx[0]], dtype=np.float64)
+                keep[idx] = points_in_polygon_np(lon[idx], lat[idx], vlon, vlat)
+            out = pdf.loc[keep, ["url", "way_id"]]
+            if len(out):
+                yield out
+
+    return candidates.mapInPandas(gen, "url string, way_id long")
+
+
+def pip_join_broadcast(
+    points: DataFrame, polygons: DataFrame, way_cells: DataFrame
+) -> DataFrame:
+    """Broadcast prejoin path: points never shuffle.
+
+    Join covering cells (broadcast), then attach polygon vertices
+    (broadcast), then exact refine. Output (url, way_id), distinct pairs.
+    """
+    cand = points.join(
+        F.broadcast(way_cells), points["h3_9"] == way_cells["cell"], "inner"
+    ).select("url", "lat", "lon", "way_id")
+    cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
+    return _refine_pip(cand)
+
+
+def salt_plan(points: DataFrame, target: int = HOT_CELL_TARGET) -> DataFrame:
+    """Per-cell salt factors from the data's own histogram.
+
+    north_rule: skew handling must be explicit and data-driven ("salt
+    factor must come from data, not constants" — SURVEY.md §7). Returns
+    (cell, k) for hot cells only; everything else implicitly k=1.
+    """
+    return (
+        points.groupBy("h3_9")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > target)
+        .select(
+            F.col("h3_9").alias("cell"),
+            F.ceil(F.col("n") / target).cast("int").alias("k"),
+        )
+    )
+
+
+def pip_join_salted(
+    points: DataFrame,
+    polygons: DataFrame,
+    way_cells: DataFrame,
+    salts: DataFrame,
+) -> DataFrame:
+    """Shuffle prejoin path with explicit hot-cell salting.
+
+    Points in a hot cell scatter across k salt buckets; the covering rows
+    for that cell replicate into all k buckets (small side pays the
+    replication). Join key becomes (cell, salt).
+    """
+    pts = points.join(F.broadcast(salts), points["h3_9"] == salts["cell"], "left")
+    pts = pts.select(
+        "url",
+        "lat",
+        "lon",
+        "h3_9",
+        F.when(
+            F.col("k").isNotNull(), F.pmod(F.xxhash64("url"), F.col("k"))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+    wc = way_cells.join(F.broadcast(salts), "cell", "left")
+    wc = wc.select(
+        "way_id",
+        "cell",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("k") - 1, F.lit(0)))
+        ).alias("salt"),
+    )
+    cand = pts.join(
+        wc, (pts["h3_9"] == wc["cell"]) & (pts["salt"] == wc["salt"]), "inner"
+    ).select("url", "lat", "lon", "way_id")
+    cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
+    return _refine_pip(cand)
+
+
+def pip_join(
+    points: DataFrame, polygons: DataFrame, way_cells: DataFrame | None = None
+) -> DataFrame:
+    """Auto-strategy PIP join: broadcast when the covering is small, else
+    salted shuffle. Returns (url, way_id) exact-match pairs."""
+    from osm_spark.pipeline.geometry import build_way_cells
+
+    if way_cells is None:
+        way_cells = build_way_cells(polygons)
+    n_cells = way_cells.count()
+    if n_cells <= BROADCAST_MAX_CELLS:
+        return pip_join_broadcast(points, polygons, way_cells)
+    return pip_join_salted(points, polygons, way_cells, salt_plan(points))

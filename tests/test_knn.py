@@ -1,0 +1,49 @@
+"""kNN join vs exhaustive numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_spark.geo.knn import haversine_m_py, knn_join
+from osm_spark.pipeline.geometry import synth_nodes, synth_nodes_pdf
+from osm_spark.pipeline.pages import synth_pages
+from osm_spark.pipeline.spatial_join import extract_points
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_small_dir):
+    return extract_points(synth_pages(spark, sf_small_dir)).cache()
+
+
+def oracle_knn(points_rows, nodes_pdf, k):
+    nlat = nodes_pdf["lat"].to_numpy()
+    nlon = nodes_pdf["lon"].to_numpy()
+    nid = nodes_pdf["id"].to_numpy()
+    exp = {}
+    for r in points_rows:
+        d = haversine_m_py(r.lat, r.lon, nlat, nlon)
+        order = np.lexsort((nid, d))[:k]
+        exp[r.url] = [int(nid[i]) for i in order]
+    return exp
+
+
+def test_knn_exact_vs_oracle(spark, points):
+    nodes = synth_nodes(spark)
+    k = 3
+    got_rows = knn_join(points, nodes, k=k).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.url, r.rank)):
+        got.setdefault(r.url, []).append(r.node_id)
+    exp = oracle_knn(points.collect(), synth_nodes_pdf(), k)
+    assert set(got) == set(exp)
+    mismatches = {u: (got[u], exp[u]) for u in exp if got[u] != exp[u]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_knn_k1(spark, points):
+    nodes = synth_nodes(spark)
+    got = knn_join(points.limit(50), nodes, k=1).collect()
+    urls = [r.url for r in got]
+    assert len(urls) == len(set(urls)) == 50
+    assert all(r.rank == 1 for r in got)
