@@ -227,6 +227,293 @@ def q_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("c_custkey", F.round(d / 1000.0, 3).alias("dist_km"))
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal /
+# streaming) — osm_spark.text, osm_spark.vector, osm_spark.multimodal,
+# osm_spark.streaming.
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) → 4 LSH bands → candidate pairs (shingle→band→bucket-join)."""
+    from osm_spark.text.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(d, 32), 4))
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates refined by exact token-set Jaccard ≥ 0.8."""
+    from osm_spark.text.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(d, 32), 4))
+    return jaccard_pairs(d, pairs, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (pure-SQL formulation)."""
+    from osm_spark.text.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (vectorized Arrow UDF) + quadrant-pigeonhole pairs
+    (rows-only: the UDF path; exactness pytest-golden-verified)."""
+    from osm_spark.text.dedup import simhash64, simhash_near_dups
+
+    return simhash_near_dups(simhash64(_t(spark, sf_dir, "documents")), max_hamming=12)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID, doc counts per predicted language."""
+    from osm_spark.text.analysis import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(language_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document web-text quality features + composite score."""
+    from osm_spark.text.analysis import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts aggregated per language."""
+    from osm_spark.text.analysis import token_count_subword
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", token_count_subword("text").alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sub").cast("long").alias("total_subword_tokens"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint per document."""
+    from osm_spark.text.analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors (ANN exactness baseline)."""
+    from osm_spark.vector.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(q, e, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 (deterministic planes)."""
+    from osm_spark.vector.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(q, e, k=10, num_planes=6)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs, cosine ≥ 0.3."""
+    from osm_spark.vector.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode: binary payload → typed features via mapInPandas
+    (the deterministic fake decode keeps this oracle-checkable)."""
+    from osm_spark.multimodal.media import decode_media, synth_media
+
+    return decode_media(synth_media(spark, sf_dir))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index."""
+    from osm_spark.multimodal.media import decode_media, frame_sample, synth_media
+
+    return frame_sample(decode_media(synth_media(spark, sf_dir)), every_n=24)
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming availableNow backfill of watermarked tumbling
+    1 h windows (result ≡ batch plan, so SQL-oracle-checkable)."""
+    from osm_spark.streaming.windowed import run_windowed_counts_batchlike
+
+    return run_windowed_counts_batchlike(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30 min), batch formulation of the
+    stateful streaming operator."""
+    from osm_spark.streaming.windowed import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).withColumn(
+        "session_seq", F.col("session_seq").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional reference-parity relational operators (SURVEY.md §2).
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup revenue by region/nation (grouping-sets surface, §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_union_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 union + broadcast lookup (meeting.rb:287-315 shape)."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    u = s.select(F.col("s_nationkey").alias("nk"), F.lit("supplier").alias("kind")).unionByName(
+        c.select(F.col("c_nationkey").alias("nk"), F.lit("customer").alias("kind"))
+    )
+    return (
+        u.join(F.broadcast(n), u["nk"] == n["n_nationkey"])
+        .groupBy("n_name", "kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 composite-key map join (badges.rb:80-97 identifier+'_'+completed)."""
+    from osm_spark.functions.parsing import identifier
+
+    o = _t(spark, sf_dir, "orders")
+    key = identifier("o_orderstatus", "o_orderpriority")
+    dim = o.groupBy(key.alias("k")).agg(F.min("o_orderkey").alias("first_key"))
+    return (
+        o.select(key.alias("k"))
+        .join(F.broadcast(dim), "k")
+        .groupBy("k", "first_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_dual_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 dual-format date parse with epoch→NULL (lib/osm.rb:123-130):
+    dates round-trip through both API string formats."""
+    from osm_spark.functions.parsing import parse_date
+
+    o = _t(spark, sf_dir, "orders")
+    s = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+    ).otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    return (
+        o.select(parse_date(s).alias("d"))
+        .groupBy(F.year("d").alias("yr"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_money_tbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/P1 money-string decode with '-1'→TBC sentinel (event.rb:59,95)."""
+    from osm_spark.functions.parsing import cost_tbc, money_decimal
+
+    o = _t(spark, sf_dir, "orders")
+    cost_str = F.when(F.col("o_orderkey") % 97 == 0, F.lit("-1")).otherwise(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        money_decimal(cost_str).alias("cost"),
+        cost_tbc(cost_str).alias("tbc"),
+    )
+
+
+def q_level_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 level fold: highest level whose threshold ≤ value
+    (badge.rb:654-672 staged-count semantics) over literal thresholds."""
+    o = _t(spark, sf_dir, "orders")
+    thresholds = F.array(*[F.lit(t) for t in [0, 1000, 5000, 10000, 50000, 100000, 200000, 300000]])
+    level = F.size(F.filter(thresholds, lambda t: t <= F.col("o_totalprice")))
+    return o.select(level.alias("level")).groupBy("level").agg(F.count("*").alias("n"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (§2.4 'absent in ref' row — engine provides)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+def q_map_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 tag-map key-regex split (flexi_record.rb:98-100,
+    event.rb:420-423): keep keys matching ^f_\\d+$, explode to rows."""
+    e = _t(spark, sf_dir, "events")
+    tags = F.create_map(
+        F.lit("f_1"), F.col("user_id").cast("string"),
+        F.lit("name"), F.col("event_type"),
+        F.lit("f_2"), (F.col("event_id") % 100).cast("string"),
+        F.lit("p9"), F.col("props"),
+    )
+    fields = F.map_filter(tags, lambda k, v: k.rlike(r"^f_\d+$"))
+    return e.select("event_id", F.explode(fields).alias("key", "value"))
+
+
+def q_modules_gained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 two-level met-count with HAVING (badge.rb:585-609):
+    requirement_met over the props tag, grouped per (user, module)."""
+    from osm_spark.functions import requirement_met
+
+    e = _t(spark, sf_dir, "events")
+    met = requirement_met(F.get_json_object(F.col("props"), "$.k"))
+    return (
+        e.select("user_id", "event_type", met.alias("met"))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.when(F.col("met"), 1).otherwise(0)).cast("long").alias("gained"))
+        .filter(F.col("gained") >= 5)
+    )
+
+
 # --- rows-only (non-SQL-expressible) spatial operators ---
 
 
@@ -277,6 +564,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "tile_assignment": q_tile_assignment,
         "haversine_distance": q_haversine_distance,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_jaccard": q_near_dup_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "language_id": q_language_id,
+        "quality_features": q_quality_features,
+        "subword_token_stats": q_subword_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "stream_window_counts": q_stream_window_counts,
+        "sessionize": q_sessionize,
+        "grouping_rollup": q_grouping_rollup,
+        "union_lookup_join": q_union_lookup_join,
+        "composite_key_join": q_composite_key_join,
+        "dual_format_dates": q_dual_format_dates,
+        "money_tbc": q_money_tbc,
+        "level_fold": q_level_fold,
+        "distinct_agg": q_distinct_agg,
+        "map_key_split": q_map_key_split,
+        "modules_gained": q_modules_gained,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
         "contours": q_contours,
@@ -354,7 +665,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
                    ROUND(SUM(CAST(LENGTH(text) AS DOUBLE))
                          / SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS chars_per_token
             FROM documents GROUP BY lang
@@ -385,5 +696,341 @@ def oracle_sql() -> dict[str, str]:
                        * pow(sin(radians(-0.1278 - ((c_custkey * 40503 % 3600001) / 10000.0 - 180.0)) / 2.0), 2)
                    )) / 1000.0, 3) AS dist_km
             FROM customer
+        """,
+        "minhash_lsh_pairs": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+                FROM documents
+            ), seeded AS (
+                SELECT doc_id, seed, tok
+                FROM tok CROSS JOIN (SELECT unnest(range(32)) AS seed) s
+            ), sig AS (
+                SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ), band AS (
+                SELECT doc_id, seed % 4 AS band,
+                       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+                FROM sig GROUP BY doc_id, seed % 4
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a JOIN band b ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id
+        """,
+        "near_dup_jaccard": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+                FROM documents
+            ), seeded AS (
+                SELECT doc_id, seed, tok
+                FROM tok CROSS JOIN (SELECT unnest(range(32)) AS seed) s
+            ), sig AS (
+                SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ), band AS (
+                SELECT doc_id, seed % 4 AS band,
+                       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+                FROM sig GROUP BY doc_id, seed % 4
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b ON a.band = b.band AND a.band_hash = b.band_hash
+                WHERE a.doc_id < b.doc_id
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                FROM pairs p
+                JOIN tok ta ON ta.doc_id = p.doc_a
+                JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+                GROUP BY p.doc_a, p.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT i.doc_a, i.doc_b,
+                       round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.doc_a
+                JOIN sizes sb ON sb.doc_id = i.doc_b
+            ) WHERE jaccard >= 0.8
+        """,
+        "simhash": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+                FROM documents
+            ), hv AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS hv
+                FROM tok
+            ), votes AS (
+                SELECT doc_id, bit,
+                       sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM hv CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+                GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "language_id": """
+            WITH w AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    len(list_filter(ws, t -> t IN ('der','die','das','und','nicht','ist','ein'))) AS de,
+                    len(list_filter(ws, t -> t IN ('the','a','of','and','to','is','in'))) AS en,
+                    len(list_filter(ws, t -> t IN ('el','la','los','de','que','es','un'))) AS es,
+                    len(list_filter(ws, t -> t IN ('le','la','les','et','est','une','dans'))) AS fr,
+                    len(list_filter(ws, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS zh
+                FROM w
+            ), p AS (
+                SELECT CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+                            WHEN en >= greatest(es, fr, zh) THEN 'en'
+                            WHEN es >= greatest(fr, zh) THEN 'es'
+                            WHEN fr >= zh THEN 'fr'
+                            ELSE 'zh' END AS predicted_lang
+                FROM s
+            )
+            SELECT predicted_lang, count(*) AS n_docs FROM p GROUP BY predicted_lang
+        """,
+        "quality_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
+                   round((length(text) - len(string_split(lower(text), ' ')) + 1)
+                         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS mean_word_len,
+                   round(len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','is','in')))
+                         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS stopword_ratio,
+                   round(len(list_distinct(string_split(lower(text), ' ')))
+                         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS uniq_token_ratio,
+                   round(
+                       least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.25
+                     + (len(list_filter(string_split(lower(text), ' '),
+                            t -> t IN ('the','a','of','and','to','is','in')))
+                        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.25
+                     + (len(list_distinct(string_split(lower(text), ' ')))
+                        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.25
+                     + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)) * 0.125
+                     + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)) * 0.125, 6) AS quality_score
+            FROM documents
+        """,
+        "subword_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+                       AS total_subword_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(
+                           list_sum(list_transform(range(64),
+                               i -> q.qv[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))
+                           / (sqrt(list_sum(list_transform(range(64),
+                                  i -> q.qv[i+1]::DOUBLE * q.qv[i+1]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(64),
+                                  i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)))), 6)
+                           AS cos_sim
+                FROM embeddings c CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        """,
+        "ann_lsh_topk": """
+            WITH planes AS (
+                SELECT p, list_transform(range(64),
+                       i -> ((p * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0) AS plane
+                FROM (SELECT unnest(range(6)) AS p)
+            ), bv AS (
+                SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                i -> e.embedding[i+1]::DOUBLE * p.plane[i+1])) > 0
+                                THEN (1 << p.p) ELSE 0 END) AS INT) AS bucket
+                FROM embeddings e CROSS JOIN planes p
+                GROUP BY e.vec_id, e.embedding
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv, bucket FROM bv WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(
+                           list_sum(list_transform(range(64),
+                               i -> q.qv[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))
+                           / (sqrt(list_sum(list_transform(range(64),
+                                  i -> q.qv[i+1]::DOUBLE * q.qv[i+1]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(64),
+                                  i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)))), 6)
+                           AS cos_sim
+                FROM bv c JOIN q ON c.bucket = q.bucket
+            )
+            SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        """,
+        "embedding_near_dups": """
+            WITH planes AS (
+                SELECT p, list_transform(range(64),
+                       i -> ((p * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0) AS plane
+                FROM (SELECT unnest(range(4)) AS p)
+            ), bv AS (
+                SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                i -> e.embedding[i+1]::DOUBLE * p.plane[i+1])) > 0
+                                THEN (1 << p.p) ELSE 0 END) AS INT) AS bucket
+                FROM embeddings e CROSS JOIN planes p
+                GROUP BY e.vec_id, e.embedding
+            )
+            SELECT vec_a, vec_b, cos_sim FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(
+                           list_sum(list_transform(range(64),
+                               i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+                           / (sqrt(list_sum(list_transform(range(64),
+                                  i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(64),
+                                  i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))), 6)
+                           AS cos_sim
+                FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.3
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(16 + octet_length(encode(text)) % 1024 AS INT) AS width,
+                   CAST(16 + (octet_length(encode(text)) * 31
+                        + ascii(substring(text, 1, 1))) % 1024 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                        ELSE 1 + octet_length(encode(text)) % 240 END AS INT) AS n_frames,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(0, 1 + octet_length(encode(text)) % 240, 24)) AS INT)
+                       AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "stream_window_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH m AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM m
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "grouping_rollup": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "union_lookup_join": """
+            SELECT n_name, kind, count(*) AS n FROM (
+                SELECT s_nationkey AS nk, 'supplier' AS kind FROM supplier
+                UNION ALL
+                SELECT c_nationkey AS nk, 'customer' AS kind FROM customer
+            ) u JOIN nation ON nk = n_nationkey
+            GROUP BY n_name, kind
+        """,
+        "composite_key_join": """
+            WITH dim AS (
+                SELECT o_orderstatus || '_' || o_orderpriority AS k,
+                       min(o_orderkey) AS first_key
+                FROM orders GROUP BY 1
+            )
+            SELECT k, first_key, count(*) AS n
+            FROM orders JOIN dim ON o_orderstatus || '_' || o_orderpriority = k
+            GROUP BY k, first_key
+        """,
+        "dual_format_dates": """
+            WITH s AS (
+                SELECT CASE WHEN o_orderkey % 2 = 0
+                            THEN strftime(o_orderdate, '%Y-%m-%d')
+                            ELSE strftime(o_orderdate, '%d/%m/%Y') END AS ds
+                FROM orders
+            ), p AS (
+                SELECT CASE WHEN contains(ds, '-')
+                            THEN CAST(try_strptime(ds, '%Y-%m-%d') AS DATE)
+                            ELSE CAST(try_strptime(ds, '%d/%m/%Y') AS DATE) END AS d
+                FROM s
+            )
+            SELECT CAST(year(CASE WHEN d = DATE '1970-01-01' THEN NULL ELSE d END) AS INT) AS yr,
+                   count(*) AS n
+            FROM p GROUP BY 1
+        """,
+        "money_tbc": """
+            WITH s AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0 THEN '-1'
+                            ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                       END AS cost_str
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN regexp_full_match(cost_str, '\\d+\\.\\d{2}')
+                        THEN CAST(cost_str AS DECIMAL(12,2)) END AS cost,
+                   cost_str IN ('-1', 'TBC') AS tbc
+            FROM s
+        """,
+        "level_fold": """
+            SELECT CAST(len(list_filter([0, 1000, 5000, 10000, 50000, 100000, 200000, 300000],
+                       t -> t <= o_totalprice)) AS INT) AS level,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "distinct_agg": """
+            SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "map_key_split": """
+            SELECT event_id, 'f_1' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+            UNION ALL
+            SELECT event_id, 'f_2' AS key, CAST(event_id % 100 AS VARCHAR) AS value FROM events
+        """,
+        "modules_gained": """
+            SELECT user_id, event_type, gained FROM (
+                SELECT user_id, event_type,
+                       CAST(sum(CASE WHEN NOT (v IS NULL OR trim(v) = '' OR v = '0'
+                                     OR lower(substring(v, 1, 1)) = 'x')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS gained
+                FROM (SELECT user_id, event_type,
+                             json_extract_string(props, '$.k') AS v FROM events)
+                GROUP BY user_id, event_type
+            ) WHERE gained >= 5
         """,
     }

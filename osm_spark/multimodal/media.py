@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, Arrow
+batch shapes — is real and tested. The codec itself is stubbed: this
+container ships no image/audio libraries, so ``decode_media`` computes a
+deterministic fake "decode" from the bytes (documented below), and the
+place where Pillow/ffmpeg would slot in is a single clearly-marked
+function (``_decode_real``) that raises ``NotImplementedError``.
+
+Scale design: media bytes dominate row size, so every stage projects the
+binary column away as early as possible (decode emits features only);
+``spark.sql.files.maxPartitionBytes`` governs scan granularity and the
+pipeline never shuffles the binary payload — features join back to
+metadata by key if needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, bytes binary, "
+    "meta struct<mime:string, declared_w:int, declared_h:int, duration_ms:long>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_frames int, checksum string"
+)
+
+
+def synth_media(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+    """Deterministic media table derived from the documents fixture: each
+    document's text bytes stand in for an encoded payload (no external
+    data, per BASELINE.json input rules)."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if mult > 1:
+        docs = docs.crossJoin(
+            spark.range(mult).select(F.col("id").alias("rep"))
+        ).withColumn("doc_id", F.col("doc_id") * mult + F.col("rep"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+        F.struct(
+            F.concat(F.lit("x-fake/"), kind).alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("declared_w"),
+            (F.col("n_chars") % 1080).cast("int").alias("declared_h"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_real(kind: str, payload: bytes) -> tuple[int, int, int]:
+    """Real codec hook (Pillow / soundfile / pyav). Not available in this
+    container — the deterministic fake below exercises the identical
+    Spark plumbing."""
+    raise NotImplementedError(
+        "media codecs are not installed; decode_media uses the "
+        "deterministic fake decode"
+    )
+
+
+def _fake_decode(n_bytes: np.ndarray, first_byte: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic stand-in: dimensions derived from payload size/head.
+
+    width  = 16 + n_bytes mod 1024
+    height = 16 + (n_bytes * 31 + first_byte) mod 1024
+    frames = 1 + n_bytes mod 240
+    (Chosen to be reproducible in ANSI SQL for the correctness oracle.)
+    """
+    w = 16 + n_bytes % 1024
+    h = 16 + (n_bytes * 31 + first_byte) % 1024
+    fr = 1 + n_bytes % 240
+    return w.astype(np.int32), h.astype(np.int32), fr.astype(np.int32)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """binary payload → typed features via one Arrow ``mapInPandas`` pass.
+
+    Emits features only (drops ``bytes``) so nothing downstream shuffles
+    the payload. Vectorized per batch; no per-row Python beyond pandas'
+    own bytes accessors."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payload = pdf["bytes"]
+            n_bytes = payload.map(len).to_numpy(np.int64)
+            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
+            w, h, fr = _fake_decode(n_bytes, first)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "width": w,
+                    "height": h,
+                    "n_frames": np.where(pdf["kind"] == "image", 1, fr).astype(np.int32),
+                    "checksum": payload.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample(features: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled
+    frame index (explode of a sequence — pure Column; a real pipeline
+    would feed these (media_id, frame_idx) pairs to a decode UDF)."""
+    v = features.filter(F.col("kind") == "video")
+    return v.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )

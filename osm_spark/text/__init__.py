@@ -1,0 +1,38 @@
+"""Text-processing layer: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), language-ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is pure Column expressions (JVM-side, whole-stage
+codegen); the only pandas UDF is the 64-bit SimHash fast path.
+"""
+
+from osm_spark.text.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_bands,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    simhash16,
+    simhash64,
+    word_ngrams,
+)
+from osm_spark.text.analysis import (
+    language_id,
+    quality_features,
+    token_count_subword,
+    fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_bands",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash16",
+    "simhash64",
+    "word_ngrams",
+    "language_id",
+    "quality_features",
+    "token_count_subword",
+    "fingerprint",
+]

@@ -1,0 +1,314 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+Reference parity: the reference dedupes nothing itself, but its tag-map +
+derived-flag machinery (SURVEY.md §2.4, lib/osm/badge.rb:574-720) is the
+same shape — per-row set construction then grouped aggregation. Here the
+"set" is the token/shingle set of a document.
+
+Scale design (the 100 TB story):
+
+- **exact_dedup** — one hash-shuffle on a 16-byte md5 of the text, never
+  on the text itself; map-side partial aggregation applies.
+- **MinHash+LSH** — signatures are a single explode + groupBy(doc, seed)
+  (shuffle keyed by doc_id, combiner does the per-partition min), bands
+  are a second narrow agg, and candidate generation is an equi self-join
+  on (band, band_hash) — the classic shingle→minhash→band→bucket-join
+  plan. No O(n²) stage ever materializes; only same-bucket pairs do.
+- **SimHash** — 64-bit vectorized numpy fast path (one Arrow pass), plus
+  a 16-bit pure-SQL formulation used for the DuckDB correctness oracle.
+- Everything is Column-only except simhash64, so filters/pruning push
+  into the scan and whole-stage codegen covers the pipeline.
+
+All hash material is md5 (identical across Spark, DuckDB, Python), so
+every operator is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Distinct lowercase whitespace tokens (the document's token set)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(F.split(F.lower(c), " "))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, space-joined.
+
+    ``sequence(1, size-n+1)`` indexed ``slice`` keeps this a pure Column
+    expression (no explode until the caller wants one).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(c), " ")
+    # sequence(1, 0) would run *descending* in Spark — guard short docs.
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: keeper = min id per identical text.
+
+    Groups on ``md5(text)`` so the shuffle rows carry 32 bytes instead of
+    the full document; md5 collisions are ignorable at 10^12 docs
+    (2^-64-ish) and the oracle uses the same key.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .select("text_hash", "keeper_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: Column | None = None,
+) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per (doc, hash function).
+
+    h_seed(doc) = min over shingles of md5(seed || ':' || shingle); the
+    lexicographic min of the hex digest is a valid min-wise hash and is
+    engine-portable. The groupBy combiner computes per-partition mins, so
+    the shuffle after the explode carries ≤ num_hashes rows per doc.
+    """
+    sh = shingle if shingle is not None else tokens(text_col)
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("tok"))
+    seeded = exploded.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("tok")))).alias("minhash")
+    )
+
+
+def lsh_bands(signatures: DataFrame, num_bands: int = 8) -> DataFrame:
+    """(doc_id, band, band_hash): hash of the ordered minhashes per band.
+
+    band = seed mod num_bands keeps bands balanced for any num_hashes;
+    the in-band order is made deterministic by sorting (seed, minhash)
+    structs before concatenation (collect_list order is not).
+    """
+    return (
+        signatures.withColumn("band", F.pmod(F.col("seed"), F.lit(num_bands)))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 band bucket.
+
+    Equi self-join on (band, band_hash): Spark hashes both sides on the
+    bucket key, so only same-bucket rows meet — the LSH promise. At scale
+    a hot bucket (thousands of near-identical docs) quadratically
+    explodes its own partition only; AQE skew-split handles that, and the
+    distinct collapses multi-band matches map-side.
+    """
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle: Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard refine over candidate pairs.
+
+    |A∩B| via token-equi join restricted to candidate pairs, |A∪B| =
+    |A|+|B|−|A∩B|. The candidate set bounds the join, so cost is
+    O(candidate pairs × avg doc length), not O(n²).
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle if shingle is not None else tokens(text_col)).alias("tok"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash as a pure-SQL plan (the oracle-checkable variant).
+
+    Per token: hv = int(first 4 hex chars of md5(token)); per bit b:
+    vote +1 if bit set else −1; simhash bit b = (sum > 0). Expressed as
+    explode(tokens) × explode(bits 0..15) → two aggregations. The first
+    shuffle is keyed by doc_id and combiner-reduced, so width is 16 longs
+    per doc regardless of document length.
+    """
+    hexv = (
+        lambda h, j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - 1
+    )
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    tok = tok.select(
+        "doc_id",
+        (
+            hexv(h, 0) * 4096 + hexv(h, 1) * 256 + hexv(h, 2) * 16 + hexv(h, 3)
+        ).alias("hv"),
+    )
+    votes = (
+        tok.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("1 << bit")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash, vectorized numpy inside mapInPandas (fast path).
+
+    One Arrow pass; per batch, token hashes are computed once per unique
+    token (md5 → first 8 bytes) and votes accumulate via a numpy
+    bincount over (doc, bit) — no per-row Python. Golden-tested against
+    a pure-Python oracle (tests/test_dedup.py).
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = pdf[text_col].str.lower().str.split(" ").map(lambda t: sorted(set(t)))
+            flat = [t for row in toks for t in row]
+            uniq = sorted(set(flat))
+            hv = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in uniq
+                ],
+                dtype=np.uint64,
+            )
+            lut = {t: i for i, t in enumerate(uniq)}
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            ) * 2 - 1  # (uniq, 64) in {-1, +1}
+            out = np.empty(len(pdf), dtype=np.uint64)
+            for r, row in enumerate(toks):
+                idx = np.fromiter((lut[t] for t in row), dtype=np.int64, count=len(row))
+                votes = bits[idx].sum(axis=0)
+                out[r] = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "simhash": out.astype(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, simhash long")
+
+
+def simhash_near_dups(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k over 64-bit simhashes.
+
+    Scale path: block on the 4 16-bit quadrants (pigeonhole — any pair
+    within Hamming 3 agrees on ≥1 quadrant), equi-join per quadrant,
+    verify with bit_count(xor). Avoids the O(n²) cross join.
+    """
+    quads = simhashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).withColumn("qval", F.expr("(simhash >> (q * 16)) & 65535"))
+    a = quads.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qval"
+    )
+    b = quads.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qval"
+    )
+    return (
+        a.join(b, ["q", "qval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,18 @@
+"""Embedding similarity layer: brute-force cosine top-k, hyperplane-LSH
+bucketing, LSH-accelerated ANN, and embedding-cosine near-dup."""
+
+from osm_spark.vector.similarity import (
+    cosine,
+    cosine_topk,
+    hyperplane_buckets,
+    ann_lsh_topk,
+    embedding_near_dups,
+)
+
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "hyperplane_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+]

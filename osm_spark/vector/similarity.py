@@ -1,0 +1,205 @@
+"""Similarity search over an ``embeddings(vec_id, embedding array<float>)``
+table — brute-force cosine as the exactness baseline, sign-random-
+projection (hyperplane) LSH as the scale path.
+
+Scale design:
+
+- **cosine_topk** is the correctness baseline: queries × corpus with the
+  query side broadcast (queries are always the small side), dot product
+  as a higher-order ``zip_with``/``aggregate`` Column chain — JVM-side,
+  no Python. Cost is O(|Q|·|corpus|·d) spread across partitions; at
+  100 TB it is the oracle for sampled audits, not the serving path.
+- **hyperplane_buckets / ann_lsh_topk** is the serving path: P
+  deterministic pseudo-random hyperplanes → P sign bits → bucket id;
+  candidate generation is an equi join on the bucket id (hash shuffle on
+  a short int key), exact cosine refines inside buckets only. Expected
+  candidate count per query is |corpus| / 2^P for isotropic data —
+  choose P from the corpus histogram the same way the PIP join's salt
+  factor is chosen (SURVEY.md §7, data-driven constants).
+- **embedding_near_dups** blocks on the same buckets, so near-dup
+  detection never materializes O(n²) pairs.
+
+Hyperplane components are arithmetic (no RNG state): plane(p, i) =
+((p·73856093 + i·19349663) mod 2001 − 1000)/1000 — reproducible in any
+engine, which is what makes the DuckDB oracle possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PLANE_A = 73856093
+PLANE_B = 19349663
+PLANE_MOD = 2001
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns (pure Column)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × corpus, window top-k.
+
+    Ties break on corpus id ascending after rounding to 6 dp, so ranks
+    are engine-portable (two engines' last-bit float drift cannot flip
+    the order)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def plane_component(p: Column | int, i: Column) -> Column:
+    """Deterministic hyperplane component in [-1, 1] (engine-portable)."""
+    pc = F.lit(p) if isinstance(p, int) else p
+    return (
+        F.pmod(pc * PLANE_A + i * PLANE_B, F.lit(PLANE_MOD)) - (PLANE_MOD - 1) / 2
+    ) / float((PLANE_MOD - 1) / 2)
+
+
+def _bucket(vec: Column, num_planes: int, dim: int) -> Column:
+    """LSH bucket id: sum over planes of sign-bit · 2^p."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, idx, lambda x, i: x.cast("double") * plane_component(p, i)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    b = F.lit(0)
+    for p in range(num_planes):
+        b = b + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) via sign random projection (pure Column plan)."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi join on LSH bucket, exact cosine inside.
+
+    Recall < 1 by construction (single-probe); production raises recall
+    with multi-probe (flip one bit per probe) — same plan, more buckets
+    per query. Deterministic end to end."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        _bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-blocked self-join + cosine ≥ t.
+
+    Only same-bucket pairs are scored, so the pair count stays near-linear
+    for well-spread corpora; a hot bucket is AQE-skew-split."""
+    b = hyperplane_buckets(vectors, num_planes, dim, id_col, vec_col).join(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "vec_id",
+    )
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,78 @@
+"""Multimodal plumbing: schema, determinism, batch shape, frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from osm_spark.multimodal.media import (
+    FEATURE_SCHEMA,
+    decode_media,
+    frame_sample,
+    synth_media,
+    _decode_real,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_small_dir):
+    return synth_media(spark, sf_small_dir).cache()
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "bytes", "meta"]
+    assert media.schema["bytes"].dataType.typeName() == "binary"
+    meta = media.schema["meta"].dataType
+    assert [f.name for f in meta.fields] == [
+        "mime",
+        "declared_w",
+        "declared_h",
+        "duration_ms",
+    ]
+
+
+def test_decode_features_deterministic(spark, media, sf_small_dir):
+    feats = decode_media(media)
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,n_bytes:bigint,width:int,"
+        "height:int,n_frames:int,checksum:string>"
+    )
+    rows = {r.media_id: r for r in feats.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_small_dir}/documents.parquet").collect()
+    }
+    for did in list(docs)[:30]:
+        payload = docs[did].encode()
+        n = len(payload)
+        r = rows[did]
+        assert r.n_bytes == n
+        assert r.width == 16 + n % 1024
+        assert r.height == 16 + (n * 31 + payload[0]) % 1024
+        kind = ["image", "audio", "video"][did % 3]
+        assert r.kind == kind
+        assert r.n_frames == (1 if kind == "image" else 1 + n % 240)
+        assert r.checksum == hashlib.md5(payload).hexdigest()
+    # run twice → identical (decode is pure)
+    again = {r.media_id: r for r in decode_media(media).collect()}
+    assert again == rows
+
+
+def test_frame_sample_only_video(media):
+    feats = decode_media(media).cache()
+    samples = frame_sample(feats, every_n=24)
+    rows = samples.collect()
+    assert all(r.frame_idx % 24 == 0 for r in rows)
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    videos = {r.media_id: r.n_frames for r in feats.filter("kind = 'video'").collect()}
+    assert set(by_media) == {m for m, nf in videos.items() if nf >= 1}
+    for m, idxs in by_media.items():
+        assert sorted(idxs) == list(range(0, videos[m], 24))
+
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        _decode_real("image", b"\x89PNG")

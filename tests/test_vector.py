@@ -1,0 +1,99 @@
+"""Similarity-search operators vs numpy oracles on the embeddings fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.vector.similarity import (
+    PLANE_A,
+    PLANE_B,
+    PLANE_MOD,
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dups,
+    hyperplane_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small_dir):
+    return spark.read.parquet(f"{sf_small_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    return {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+
+def _np_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+
+def test_cosine_topk_exact(emb, vecs):
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(q, emb, k=5).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        qa = vecs[qid]
+        scored = sorted(
+            ((round(_np_cosine(qa, v), 6), vid) for vid, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert [(r.cos_sim, r.vec_id) for r in rows] == scored, qid
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def _np_bucket(v: np.ndarray, num_planes: int = 8) -> int:
+    d = len(v)
+    b = 0
+    for p in range(num_planes):
+        plane = (
+            ((p * PLANE_A + np.arange(d) * PLANE_B) % PLANE_MOD) - (PLANE_MOD - 1) / 2
+        ) / ((PLANE_MOD - 1) / 2)
+        if float(v @ plane) > 0:
+            b |= 1 << p
+    return b
+
+
+def test_hyperplane_buckets_match_numpy(emb, vecs):
+    got = {r.vec_id: r.bucket for r in hyperplane_buckets(emb).collect()}
+    for vid in list(vecs)[:40]:
+        assert got[vid] == _np_bucket(vecs[vid]), vid
+
+
+def test_ann_subset_of_exact_same_bucket(emb, vecs):
+    """ANN results = exact cosine ranking restricted to the query's bucket."""
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_lsh_topk(q, emb, k=5, num_planes=6).collect()
+    buckets = {vid: _np_bucket(v, 6) for vid, v in vecs.items()}
+    for qid in (0, 1, 2):
+        in_bucket = [vid for vid, b in buckets.items() if b == buckets[qid]]
+        want = sorted(
+            ((round(_np_cosine(vecs[qid], vecs[v]), 6), v) for v in in_bucket),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        rows = sorted(
+            [(r.cos_sim, r.vec_id) for r in got if r.query_id == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert rows == want, qid
+
+
+def test_embedding_near_dups_threshold(emb, vecs):
+    got = embedding_near_dups(emb, threshold=0.3, num_planes=4).collect()
+    assert len(got) > 0
+    buckets = {vid: _np_bucket(v, 4) for vid, v in vecs.items()}
+    for r in got:
+        assert r.vec_a < r.vec_b
+        assert buckets[r.vec_a] == buckets[r.vec_b]
+        want = round(_np_cosine(vecs[r.vec_a], vecs[r.vec_b]), 6)
+        assert r.cos_sim == pytest.approx(want, abs=1e-9)
+        assert r.cos_sim >= 0.3
