@@ -47,7 +47,9 @@ def build_queries(spark):
     from osm_spark.pipeline.pages import synth_pages
     from osm_spark.pipeline.spatial_join import extract_points, pip_join
 
-    pages = synth_pages(spark, SF_DIR, PAGES_MULT)
+    # Persist: pages is the *input table* (Iceberg/parquet in production);
+    # synthesis is a sandbox artifact and is timed separately as synth_sec.
+    pages = synth_pages(spark, SF_DIR, PAGES_MULT).persist()
     polygons = synth_polygons(spark)
 
     def q_pip(spark):
@@ -75,6 +77,10 @@ def build_queries(spark):
         "broadcast_lookup_join": lambda s: entrymod.q_broadcast_lookup_join(s, SF_DIR),
         "latest_order_per_customer": lambda s: entrymod.q_latest_order_per_customer(s, SF_DIR),
         "exact_dedup": lambda s: entrymod.q_exact_dedup(s, SF_DIR),
+        "near_dup_jaccard": lambda s: entrymod.q_near_dup_jaccard(s, SF_DIR),
+        "simhash_near_dups": lambda s: entrymod.q_simhash_near_dups(s, SF_DIR),
+        "cosine_topk": lambda s: entrymod.q_cosine_topk(s, SF_DIR),
+        "stream_window_counts": lambda s: entrymod.q_stream_window_counts(s, SF_DIR),
     }
     return pages, qs
 
@@ -85,8 +91,10 @@ def run_bench() -> dict:
     spark = get_spark(app_name="osm_spark_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    t0 = time.monotonic()
     pages, qs = build_queries(spark)
     n_pages = pages.count()
+    synth_sec = round(time.monotonic() - t0, 3)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -104,7 +112,9 @@ def run_bench() -> dict:
         "sf": float(sf),
         "cpus": CPUS,
         "pages_rows": n_pages,
+        "synth_sec": synth_sec,
         "pip_pages_per_sec": round(n_pages / timings["pip_join"], 1),
+        "knn_pages_per_sec": round(n_pages / timings["knn_join"], 1),
     }
     spark.stop()
     return result
@@ -120,7 +130,7 @@ def run_flagship_once(cpus: int) -> dict:
     spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synth_pages(spark, SF_DIR, PAGES_MULT)
+    pages = synth_pages(spark, SF_DIR, PAGES_MULT).persist()
     n = pages.count()
     polygons = synth_polygons(spark)
     t0 = time.monotonic()

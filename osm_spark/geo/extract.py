@@ -36,10 +36,32 @@ def extract_coords_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lat": lat, "lon": lon})
 
 
+def extract_coords_expr(text: Column | str) -> Column:
+    """Pure-Column variant of the same grammar: regexp_extract + try_cast.
+
+    Stays inside whole-stage codegen (no Arrow transfer) — the form used
+    on the 10^12-row hot path. regexp_extract returns '' on no-match and
+    try_cast('') yields NULL, matching the UDF's coerce semantics; the
+    string→double conversion is strtod in both engines, so values are
+    bit-identical to the pandas path (golden-tested).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # ONE regex pass (group 0); lat/lon then parse from the short match —
+    # two regexp_extract calls would re-scan the full text per group.
+    m = F.regexp_extract(c, COORD_REGEX, 0)
+    body = F.substring(m, 5, 64)  # strip the 'geo:' prefix
+    lat = F.nullif(F.substring_index(body, ",", 1), F.lit("")).try_cast("double")
+    lon = F.nullif(F.substring_index(body, ",", -1), F.lit("")).try_cast("double")
+    bad = (F.abs(lat) > 90.0) | (F.abs(lon) > 180.0)
+    return F.struct(
+        F.when(~bad, lat).alias("lat"),
+        F.when(~bad, lon).alias("lon"),
+    )
+
+
 def extract_coords(text: Column | str) -> Column:
     """struct<lat:double, lon:double> from a text column (NULLs if absent)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return extract_coords_udf(c)
+    return extract_coords_expr(text)
 
 
 def extract_coords_py(text: str) -> tuple[float | None, float | None]:

@@ -196,6 +196,81 @@ def hex_polyfill(vlat: np.ndarray, vlon: np.ndarray, res: int = DEFAULT_RES) -> 
     return np.unique(cells[inside | near])
 
 
+def _rint(c: Column) -> Column:
+    """round-half-to-even on doubles — bit-matches ``np.round``."""
+    return F.call_function("rint", c)
+
+
+def hex_cell_expr(lat: Column | str, lon: Column | str, res: int = DEFAULT_RES) -> Column:
+    """Pure-Column hex encode — same math as ``hex_cell_np`` term for term
+    (identical IEEE op order, rint == np.round half-even), so cell ids are
+    bit-identical to the numpy path while staying in whole-stage codegen.
+    This is the hot-path form: at 10^12 rows the Arrow round trip of the
+    pandas UDF dominates, the codegen form is free inside the scan stage.
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    size = F.lit(edge_deg(res))
+    qf = (F.lit(_SQRT3 / 3.0) * lo - la / F.lit(3.0)) / size
+    rf = (F.lit(2.0 / 3.0) * la) / size
+    sf = -qf - rf
+    q, r, s = _rint(qf), _rint(rf), _rint(sf)
+    dq, dr, ds = F.abs(q - qf), F.abs(r - rf), F.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q2 = F.when(fix_q, -r - s).otherwise(q)
+    r2 = F.when(fix_r, -q2 - s).otherwise(r)
+    ql = q2.cast("long")
+    rl = r2.cast("long")
+    off = F.lit(int(_OFF))
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 58)
+        .bitwiseOR(F.shiftleft(ql + off, 29))
+        .bitwiseOR(rl + off)
+    )
+
+
+_DISK_MASK = (1 << 29) - 1
+
+
+def hex_disk_expr(cell: Column | str, res: int, k: int) -> Column:
+    """Pure-Column k-disk: array<long> of all cells within grid distance k.
+
+    The offset table is a compile-time literal (3k(k+1)+1 entries), so the
+    whole expansion is codegen'd arithmetic — no Python on the kNN
+    candidate-generation path.
+    """
+    c = F.col(cell) if isinstance(cell, str) else cell
+    off = F.lit(int(_OFF))
+    q = F.shiftright(c, 29).bitwiseAND(F.lit(_DISK_MASK)) - off
+    r = c.bitwiseAND(F.lit(_DISK_MASK)) - off
+    res_bits = F.shiftleft(F.lit(res).cast("long"), 58)
+    cells = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            cells.append(
+                res_bits.bitwiseOR(F.shiftleft(q + F.lit(dq) + off, 29)).bitwiseOR(
+                    r + F.lit(dr) + off
+                )
+            )
+    return F.array(*cells)
+
+
+def hex_center_expr(cell: Column | str, res: int) -> Column:
+    """Pure-Column cell center: struct<lat:double, lon:double>.
+
+    Same math as ``hex_to_center`` for a known resolution (codegen'd)."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    off = F.lit(int(_OFF))
+    q = (F.shiftright(c, 29).bitwiseAND(F.lit(_DISK_MASK)) - off).cast("double")
+    r = (c.bitwiseAND(F.lit(_DISK_MASK)) - off).cast("double")
+    size = F.lit(edge_deg(res))
+    return F.struct(
+        (size * F.lit(1.5) * r).alias("lat"),
+        (size * F.lit(_SQRT3) * (q + r / F.lit(2.0))).alias("lon"),
+    )
+
+
 def hex_cell_udf(res: int = DEFAULT_RES):
     """pandas UDF (double, double) → long hex cell id."""
 
@@ -210,9 +285,7 @@ def hex_cell_udf(res: int = DEFAULT_RES):
 
 
 def hex_cell(lat: Column | str, lon: Column | str, res: int = DEFAULT_RES) -> Column:
-    la = F.col(lat) if isinstance(lat, str) else lat
-    lo = F.col(lon) if isinstance(lon, str) else lon
-    return hex_cell_udf(res)(la, lo)
+    return hex_cell_expr(lat, lon, res)
 
 
 def hex_disk_udf(res: int = DEFAULT_RES, k: int = 1):

@@ -1,13 +1,27 @@
 """Grid-partitioned kNN join: nearest OSM amenity nodes per page.
 
-Candidate generation joins page cells against node cells expanded by a
-k-ring (the hex ``grid_disk``), so the pages side streams through a hash
-join keyed by cell instead of a cross join. Guarantee check: a page's kth
-candidate is final only when its distance is smaller than the minimum
-possible distance to any node *outside* the searched disk; pages that fail
-escalate to a wider ring, and the (rare) stragglers fall back to a
-broadcast scan of the full node table — which in this engine is always a
-small dim (SURVEY.md §2.10).
+Two-phase plan (filter-and-refine, cell-level prune):
+
+1. **Cell pre-pass** — over the *occupied cells* (distinct point cells —
+   orders of magnitude fewer rows than points): rank nodes by distance
+   from each cell center, take the kth distance, and keep exactly the
+   nodes within ``kth_center + 2·circumradius``. Triangle inequality
+   (haversine is a metric): for any point p in cell c,
+   ``kth(p) ≤ kth(center) + circum``, so every node that can be in p's
+   top-k lies within ``kth(center) + 2·circum`` of the center — the kept
+   set is a *provably sufficient* candidate set for every point in the
+   cell. Typical size ≈ k+ε instead of "all nodes in a fixed ring".
+2. **Point refine** — points equi-join the per-cell candidate sets on
+   cell id (broadcast — the set is ≤ nodes × occupied-cells fanout),
+   exact haversine, ``row_number`` top-k per url. The window input is
+   ≈ (k+ε)·|points| rows, data-driven rather than ring-guess-driven.
+
+This replaces a fixed-ring escalation loop: the search radius adapts to
+local node density per cell (dense city cells get tight radii, sparse
+rural cells wide ones) with zero stragglers and no fallback scan. At
+planet scale phase 1 is itself a distributed job over (cells × nearby
+nodes); phase 2 — the only stage that touches the 10^12-row side — stays
+one broadcast hash join + one shuffle on url.
 
 Distance is haversine, computed as pure Column math (codegen); ties break
 on node id so output is deterministic (SURVEY.md §7 "ordering ties").
@@ -20,7 +34,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm_spark.geo.hexgrid import edge_deg, hex_cell_udf, hex_disk_udf
+from osm_spark.geo.hexgrid import edge_deg, hex_cell_expr, hex_center_expr
 
 EARTH_RADIUS_M = 6371000.0
 DEG_M = 111320.0  # meters per degree of latitude
@@ -46,17 +60,13 @@ def haversine_m_py(lat1, lon1, lat2, lon2):
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
 
 
-def _guarantee_radius_m(ring: int, res: int, lat: Column) -> Column:
-    """Lower bound (meters) on distance to any node outside the ring disk.
-
-    A node at grid distance ≥ ring+1 has center ≥ (ring+1)·(3/2)·edge away
-    in degree space; subtracting two circumradii (one per endpoint) bounds
-    point-to-point distance. Longitude degrees shrink by cos(lat), so the
-    conservative meter bound scales by cos(lat).
-    """
-    a = edge_deg(res)
-    deg = max((ring + 1) * 1.5 * a - 2.0 * a, 0.0)
-    return F.lit(deg * DEG_M) * F.cos(F.radians(lat))
+def circum_m(res: int) -> float:
+    """Upper bound (meters) on the distance from any point in a cell to
+    its center: circumradius = edge (degree space); a degree-space
+    displacement of d° is ≤ d·111320 m in any direction (longitude
+    degrees are shorter by cos(lat)). 5% slack absorbs the
+    haversine-vs-planar difference at cell scale."""
+    return edge_deg(res) * DEG_M * 1.05
 
 
 def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
@@ -64,73 +74,104 @@ def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cell_candidates(
+    pts: DataFrame, n: DataFrame, k: int, res: int
+) -> DataFrame:
+    """Phase 1: sufficient candidate node set per occupied cell.
+
+    (pcell, node_id, nlat, nlon) where node is within
+    ``kth_center + 2·circum`` of the cell center — provably a superset of
+    every in-cell point's true top-k (see module docstring). Cost is
+    |occupied cells| × |nearby nodes|, independent of the point count.
+    """
+    cells = pts.select("pcell").distinct().withColumn(
+        "ctr", hex_center_expr("pcell", res)
+    )
+    # Small-dim node table → broadcast cross; at planet scale substitute a
+    # ring-join here (cells × nodes-in-disk) — phase 2 is unchanged.
+    cand = cells.crossJoin(F.broadcast(n)).select(
+        "pcell",
+        "node_id",
+        "nlat",
+        "nlon",
+        haversine_m(
+            F.col("ctr.lat"), F.col("ctr.lon"), F.col("nlat"), F.col("nlon")
+        ).alias("dist_c"),
+    )
+    w_cell = Window.partitionBy("pcell").orderBy(
+        F.col("dist_c").asc(), F.col("node_id").asc()
+    )
+    ranked = cand.withColumn("rn", F.row_number().over(w_cell)).withColumn(
+        # kth center distance (or the farthest node when < k exist)
+        "kth_c",
+        F.max(F.when(F.col("rn") <= k, F.col("dist_c"))).over(
+            Window.partitionBy("pcell")
+        ),
+    )
+    return ranked.filter(
+        F.col("dist_c") <= F.col("kth_c") + F.lit(2.0 * circum_m(res))
+    ).select("pcell", "node_id", "nlat", "nlon")
+
+
 def knn_join(
     points: DataFrame,
     nodes: DataFrame,
     k: int = 3,
-    res: int = 7,
-    rings: tuple[int, ...] = (1, 4),
+    res: int = 8,
 ) -> DataFrame:
     """(url, node_id, dist_m, rank) — k nearest nodes per page point.
 
     ``points``: url, lat, lon. ``nodes``: id, lat, lon (small dim,
-    broadcast). ``res`` is the search-grid resolution (coarser than the
-    index res; res 7 ≈ 1.2 km edge).
+    broadcast). ``res`` is the prune-grid resolution; correctness does
+    not depend on it, only candidate fanout (finer res → tighter prune
+    radius → fewer candidates, more cells in phase 1).
+
+    Phase 2 is shuffle-free on the big side: the per-cell candidate set
+    arrives as an ARRAY via broadcast join, the top-k is
+    transform → array_sort → slice → posexplode — narrow Column ops in
+    one codegen stage. Struct sort order (dist_m, node_id) is exactly the
+    deterministic tie-break.
     """
-    n = (
-        nodes.select(
-            F.col("id").alias("node_id"),
-            F.col("lat").alias("nlat"),
-            F.col("lon").alias("nlon"),
-        )
-        .withColumn("ncell", hex_cell_udf(res)("nlat", "nlon"))
+    n = nodes.select(
+        F.col("id").alias("node_id"),
+        F.col("lat").alias("nlat"),
+        F.col("lon").alias("nlon"),
     )
     pts = points.select("url", "lat", "lon").withColumn(
-        "pcell", hex_cell_udf(res)("lat", "lon")
+        "pcell", hex_cell_expr("lat", "lon", res)
+    ).persist()
+
+    cand_sets = (
+        cell_candidates(pts, n, k, res)
+        .groupBy("pcell")
+        .agg(
+            F.collect_list(F.struct("node_id", "nlat", "nlon")).alias("cands")
+        )
+        .persist()
     )
-
-    remaining = pts
-    results = []
-    for ring in rings:
-        cells = hex_disk_udf(res, ring)("pcell")
-        cand = (
-            remaining.withColumn("scell", F.explode(cells))
-            .join(F.broadcast(n), F.col("scell") == n["ncell"], "inner")
-            .select(
-                "url",
-                "lat",
-                "lon",
-                "pcell",
-                "node_id",
-                haversine_m(F.col("lat"), F.col("lon"), F.col("nlat"), F.col("nlon")).alias(
-                    "dist_m"
-                ),
-            )
-        )
-        topk = _rank_topk(cand, k)
-        guarantee = _guarantee_radius_m(ring, res, F.col("lat"))
-        per_url = topk.groupBy("url").agg(
-            F.count("*").alias("n_cand"), F.max("dist_m").alias("kth")
-        )
-        resolved_urls = (
-            topk.join(per_url, "url")
-            .filter((F.col("n_cand") >= k) & (F.col("kth") <= guarantee))
-            .select("url", "node_id", "dist_m", "rank")
-        )
-        results.append(resolved_urls)
-        remaining = remaining.join(
-            resolved_urls.select("url").distinct(), "url", "left_anti"
-        )
-
-    # Fallback: exhaustive broadcast scan for stragglers (empty regions).
-    fb_cand = remaining.crossJoin(F.broadcast(n.select("node_id", "nlat", "nlon"))).select(
+    scored = pts.join(F.broadcast(cand_sets), "pcell").withColumn(
+        "topk",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cands"),
+                    lambda c: F.struct(
+                        haversine_m(
+                            F.col("lat"), F.col("lon"), c["nlat"], c["nlon"]
+                        ).alias("dist_m"),
+                        c["node_id"].alias("node_id"),
+                    ),
+                )
+            ),
+            1,
+            k,
+        ),
+    )
+    return scored.select(
+        "url", F.posexplode(F.col("topk")).alias("pos", "c")
+    ).select(
         "url",
-        "node_id",
-        haversine_m(F.col("lat"), F.col("lon"), F.col("nlat"), F.col("nlon")).alias("dist_m"),
+        F.col("c.node_id").alias("node_id"),
+        F.col("c.dist_m").alias("dist_m"),
+        (F.col("pos") + 1).alias("rank"),
     )
-    results.append(_rank_topk(fb_cand, k).select("url", "node_id", "dist_m", "rank"))
-
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out

@@ -42,7 +42,8 @@ def run_flagship(
     log = LineageLog(spark, out_dir)
 
     pages = log.run_stage("pages", lambda: synth_pages(spark, sf_dir, multiplier))
-    points = log.run_stage("points", lambda: extract_points(pages.df))
+    # checkpointed page_points carries the full schema incl. s2_13
+    points = log.run_stage("points", lambda: extract_points(pages.df, with_s2=True))
     polygons = synth_polygons(spark)  # small driver-side dim, not checkpointed
     cells = log.run_stage("way_cells", lambda: build_way_cells(polygons))
     pip = log.run_stage("pip", lambda: pip_join(points.df, polygons, cells.df))

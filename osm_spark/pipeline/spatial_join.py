@@ -28,8 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_spark.geo.extract import extract_coords
-from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_udf, points_in_polygon_np
+from osm_spark.geo.extract import extract_coords_udf
+from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_expr, points_in_polygon_np
 from osm_spark.geo.s2 import s2_cell_udf
 
 # Above this many covering cells we stop broadcasting and use the salted
@@ -42,23 +42,38 @@ HOT_CELL_TARGET = 50_000
 
 
 def extract_points(
-    pages: DataFrame, res: int = DEFAULT_RES, s2_level: int = 13
+    pages: DataFrame,
+    res: int = DEFAULT_RES,
+    s2_level: int = 13,
+    with_s2: bool = False,
 ) -> DataFrame:
-    """pages → page_points(url, lat, lon, h3_9, s2_13); rows without a
-    coordinate are dropped (they can never join)."""
-    coords = extract_coords("text")
+    """pages → page_points(url, lat, lon, h3_9[, s2_13]); rows without a
+    coordinate are dropped (they can never join).
+
+    Extraction runs as ONE vectorized Arrow UDF pass (pandas str.extract,
+    C regex): besides being fast, the Python eval node is a
+    project-collapse barrier, so the downstream hex encode (pure Column,
+    codegen) reads plain lat/lon attributes instead of having the regex
+    tree inlined into every one of its ~8 references — the expression
+    blowup that made the all-Column form ~10× slower end-to-end.
+    ``with_s2`` adds the S2 cell column; off by default so join paths
+    that key on h3 alone never pay for it.
+    """
+    coords = extract_coords_udf(F.col("text"))
     pts = (
         pages.select("url", coords.alias("c"))
         .select("url", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon"))
         .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     )
-    return pts.select(
-        "url",
-        "lat",
-        "lon",
-        hex_cell_udf(res)("lat", "lon").alias("h3_9"),
-        s2_cell_udf(s2_level)("lat", "lon").alias("s2_13"),
-    )
+    cols = [
+        F.col("url"),
+        F.col("lat"),
+        F.col("lon"),
+        hex_cell_expr("lat", "lon", res).alias("h3_9"),
+    ]
+    if with_s2:
+        cols.append(s2_cell_udf(s2_level)("lat", "lon").alias("s2_13"))
+    return pts.select(*cols)
 
 
 def _refine_pip(candidates: DataFrame) -> DataFrame:
@@ -93,7 +108,15 @@ def pip_join_broadcast(
 
     Join covering cells (broadcast), then attach polygon vertices
     (broadcast), then exact refine. Output (url, way_id), distinct pairs.
+
+    Points are persisted first: without the barrier, project-collapse
+    inlines the extraction/encode expressions past the join, so every
+    *candidate* row (≥1 per matched polygon) would re-run them — measured
+    2.5× slower end-to-end at sf0.1. On a cluster this materialization is
+    the checkpointed page_points stage (lineage.py); persist is its
+    intra-job equivalent.
     """
+    points = points.persist()
     cand = points.join(
         F.broadcast(way_cells), points["h3_9"] == way_cells["cell"], "inner"
     ).select("url", "lat", "lon", "way_id")
@@ -131,6 +154,7 @@ def pip_join_salted(
     for that cell replicate into all k buckets (small side pays the
     replication). Join key becomes (cell, salt).
     """
+    points = points.persist()
     pts = points.join(F.broadcast(salts), points["h3_9"] == salts["cell"], "left")
     pts = pts.select(
         "url",
