@@ -514,6 +514,95 @@ def q_modules_gained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_old_new(spark: SparkSession, sf_dir: str):
+    """Deterministic old/new snapshots of orders for the write-path ops."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"
+    )
+    old = o.filter(F.col("o_orderkey") % 13 != 0)
+    new = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-CHANGED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    ).filter(F.col("o_orderkey") % 11 != 0)
+    return old, new
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 dirty-attribute CDC diff (model.rb:74-94): changed cells only."""
+    from osm_spark.pipeline.merge import changed_cells
+
+    old, new = _orders_old_new(spark, sf_dir)
+    return changed_cells(old, new, "o_orderkey")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 MERGE INTO (full-outer + coalesce form) — source wins on match."""
+    from osm_spark.pipeline.merge import merge_upsert
+
+    old, new = _orders_old_new(spark, sf_dir)
+    return merge_upsert(old, new, "o_orderkey")
+
+
+def q_custom_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 custom collation (section.rb:380-388 type age-order): sort key
+    from a literal order array via array_position."""
+    c = _t(spark, sf_dir, "customer")
+    order = F.array(
+        *[F.lit(s) for s in ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]]
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            F.array_position(order, F.col("c_mktsegment")).cast("int").alias("seg_rank"),
+        )
+        .groupBy("c_mktsegment", "seg_rank")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_visibility_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 visibility predicate (activity.rb:113-118): semi-join against an
+    allowed set OR a local boolean."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    europe = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    visible = c.join(
+        F.broadcast(europe), c["c_nationkey"] == europe["nk"], "left_semi"
+    ).select("c_custkey").unionByName(
+        c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    ).distinct()
+    return (
+        c.join(visible, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_visible"))
+    )
+
+
+def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
+    polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
+    from osm_spark.pipeline.elements import assemble_way_polygons, synth_ways
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    polygons = synth_polygons(spark)
+    ways, nodes = synth_ways(spark, polygons)
+    out = assemble_way_polygons(ways, nodes)
+    return out.select(
+        "way_id",
+        F.size("vlat").alias("n_vertices"),
+        F.round(F.element_at("vlat", 1), 6).alias("lat0"),
+        F.round(F.element_at("vlon", 1), 6).alias("lon0"),
+        F.col("tags")["name"].alias("name"),
+    )
+
+
 # --- rows-only (non-SQL-expressible) spatial operators ---
 
 
@@ -588,6 +677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "map_key_split": q_map_key_split,
         "modules_gained": q_modules_gained,
+        "cdc_diff": q_cdc_diff,
+        "merge_upsert": q_merge_upsert,
+        "custom_collation": q_custom_collation,
+        "visibility_semi_join": q_visibility_semi_join,
+        "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
         "contours": q_contours,
@@ -1032,5 +1126,70 @@ def oracle_sql() -> dict[str, str]:
                              json_extract_string(props, '$.k') AS v FROM events)
                 GROUP BY user_id, event_type
             ) WHERE gained >= 5
+        """,
+        "cdc_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey
+                FROM orders WHERE o_orderkey % 13 <> 0
+            ), new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0 THEN '9-CHANGED'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_custkey
+                FROM orders WHERE o_orderkey % 11 <> 0
+            ), j AS (
+                SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                            WHEN n.o_orderkey IS NULL THEN 'delete'
+                            ELSE 'update' END AS change,
+                       o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+                       o.o_orderpriority AS old_prio, n.o_orderpriority AS new_prio,
+                       CAST(o.o_custkey AS VARCHAR) AS old_ck,
+                       CAST(n.o_custkey AS VARCHAR) AS new_ck
+                FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            ), cells AS (
+                SELECT o_orderkey, 'o_orderstatus' AS column, old_status AS old_value,
+                       new_status AS new_value, change FROM j
+                UNION ALL
+                SELECT o_orderkey, 'o_orderpriority', old_prio, new_prio, change FROM j
+                UNION ALL
+                SELECT o_orderkey, 'o_custkey', old_ck, new_ck, change FROM j
+            )
+            SELECT * FROM cells
+            WHERE change <> 'update' OR old_value IS DISTINCT FROM new_value
+        """,
+        "merge_upsert": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey
+                FROM orders WHERE o_orderkey % 13 <> 0
+            ), new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0 THEN '9-CHANGED'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_custkey
+                FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                   coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+                   coalesce(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+                   coalesce(n.o_custkey, o.o_custkey) AS o_custkey
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        """,
+        "custom_collation": """
+            SELECT c_mktsegment,
+                   CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                        WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                        WHEN 'FURNITURE' THEN 5 ELSE 0 END AS INT) AS seg_rank,
+                   count(*) AS n
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "visibility_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_visible
+            FROM customer c
+            WHERE c.c_nationkey IN (
+                      SELECT n_nationkey FROM nation JOIN region
+                      ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+               OR c.c_acctbal > 9000
+            GROUP BY c_mktsegment
         """,
     }

@@ -137,9 +137,12 @@ def knn_join(
         F.col("lat").alias("nlat"),
         F.col("lon").alias("nlon"),
     )
+    # pts is read twice (phase 1 cells, phase 2 probe) — recomputing the
+    # upstream UDF stage is cheaper than a DataFrame cache at high local
+    # thread counts (block-store write contention, measured 10×).
     pts = points.select("url", "lat", "lon").withColumn(
         "pcell", hex_cell_expr("lat", "lon", res)
-    ).persist()
+    )
 
     cand_sets = (
         cell_candidates(pts, n, k, res)

@@ -63,6 +63,11 @@ def synth_pages(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFr
     columns exactly per input_hint: url, warc_ts, html, text, lang.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The fixture is a single parquet file → 1-2 input partitions; spread
+    # the small side BEFORE the multiplier cross join so the synthesized
+    # table has cluster-wide parallelism (a real Iceberg pages table
+    # arrives pre-split; this stands in for that layout).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     if multiplier > 1:
         docs = docs.join(
             spark.range(multiplier).withColumnRenamed("id", "rep"), how="cross"

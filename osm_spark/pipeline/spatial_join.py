@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_spark.geo.extract import extract_coords_udf
+from osm_spark.geo.extract import COORD_REGEX, extract_coords_udf
 from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_expr, points_in_polygon_np
 from osm_spark.geo.s2 import s2_cell_udf
 
@@ -59,6 +59,15 @@ def extract_points(
     ``with_s2`` adds the S2 cell column; off by default so join paths
     that key on h3 alone never pay for it.
     """
+    # Extraction runs as ONE vectorized Arrow UDF pass (pandas
+    # str.extract, C regex). Besides raw speed, the Python eval node is a
+    # hard optimizer barrier: an all-Column formulation was tried and
+    # measured — CollapseProject and predicate pushdown clone the regex
+    # subtree into every downstream reference / join condition (up to
+    # ~10 evaluations per row), and the nondeterministic-column tricks
+    # that block one rule do not block the other. The UDF form keeps the
+    # regex at exactly one evaluation per row; downstream cell math is
+    # pure-Column codegen over its plain output attributes.
     coords = extract_coords_udf(F.col("text"))
     pts = (
         pages.select("url", coords.alias("c"))
@@ -74,6 +83,60 @@ def extract_points(
     if with_s2:
         cols.append(s2_cell_udf(s2_level)("lat", "lon").alias("s2_13"))
     return pts.select(*cols)
+
+
+def pip_cover_expr(
+    lat: Column, lon: Column, vlat: Column, vlon: Column, eps: float = 1e-12
+) -> Column:
+    """Exact PIP 'covers' test as a pure Column expression.
+
+    Same algorithm and IEEE op order as ``points_in_polygon_np`` (even-odd
+    ray cast + boundary inclusion via point-segment distance), so results
+    are bit-identical to the numpy refine — but codegen'd: the refine
+    stage needs no Python at all. Per row cost is O(vertices) element_at
+    arithmetic on broadcast-joined vertex arrays.
+    """
+    n = F.size(vlat)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def ay(i):
+        return F.element_at(vlat, i + 1)
+
+    def ax(i):
+        return F.element_at(vlon, i + 1)
+
+    def by(i):
+        return F.element_at(vlat, F.pmod(i + 1, n) + 1)
+
+    def bx(i):
+        return F.element_at(vlon, F.pmod(i + 1, n) + 1)
+
+    def crosses(i):
+        denom = F.when(by(i) - ay(i) == 0.0, F.lit(1.0)).otherwise(by(i) - ay(i))
+        xcross = (bx(i) - ax(i)) * (lat - ay(i)) / denom + ax(i)
+        return ((ay(i) > lat) != (by(i) > lat)) & (lon < xcross)
+
+    def seg_d2(i):
+        abx = bx(i) - ax(i)
+        aby = by(i) - ay(i)
+        apx = lon - ax(i)
+        apy = lat - ay(i)
+        d = abx * abx + aby * aby
+        t0 = F.when(d > 0.0, (apx * abx + apy * aby) / F.when(d == 0.0, F.lit(1.0)).otherwise(d)).otherwise(F.lit(0.0))
+        t = F.least(F.greatest(t0, F.lit(0.0)), F.lit(1.0))
+        dx = apx - t * abx
+        dy = apy - t * aby
+        return dx * dx + dy * dy
+
+    inside = F.pmod(F.size(F.filter(idx, crosses)), F.lit(2)) == 1
+    on_edge = F.exists(idx, lambda i: seg_d2(i) <= F.lit(eps * eps))
+    return inside | on_edge
+
+
+def _refine_pip_expr(candidates: DataFrame) -> DataFrame:
+    """Column-expression refine over (url, lat, lon, way_id, vlat, vlon)."""
+    keep = pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    return candidates.filter(keep).select("url", "way_id")
 
 
 def _refine_pip(candidates: DataFrame) -> DataFrame:
@@ -109,19 +172,18 @@ def pip_join_broadcast(
     Join covering cells (broadcast), then attach polygon vertices
     (broadcast), then exact refine. Output (url, way_id), distinct pairs.
 
-    Points are persisted first: without the barrier, project-collapse
-    inlines the extraction/encode expressions past the join, so every
-    *candidate* row (≥1 per matched polygon) would re-run them — measured
-    2.5× slower end-to-end at sf0.1. On a cluster this materialization is
-    the checkpointed page_points stage (lineage.py); persist is its
-    intra-job equivalent.
+    No persist on points: the extraction Arrow UDF node is already a
+    project-collapse barrier (per-candidate re-evaluation cannot happen),
+    and DataFrame cache materialization measured 10× slower than the
+    recompute at local[32] (block-store write contention). On a cluster
+    the durable form of this barrier is the checkpointed page_points
+    stage (lineage.py).
     """
-    points = points.persist()
     cand = points.join(
         F.broadcast(way_cells), points["h3_9"] == way_cells["cell"], "inner"
     ).select("url", "lat", "lon", "way_id")
     cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
-    return _refine_pip(cand)
+    return _refine_pip_expr(cand)
 
 
 def salt_plan(points: DataFrame, target: int = HOT_CELL_TARGET) -> DataFrame:
@@ -154,7 +216,6 @@ def pip_join_salted(
     for that cell replicate into all k buckets (small side pays the
     replication). Join key becomes (cell, salt).
     """
-    points = points.persist()
     pts = points.join(F.broadcast(salts), points["h3_9"] == salts["cell"], "left")
     pts = pts.select(
         "url",
@@ -180,7 +241,7 @@ def pip_join_salted(
         wc, (pts["h3_9"] == wc["cell"]) & (pts["salt"] == wc["salt"]), "inner"
     ).select("url", "lat", "lon", "way_id")
     cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
-    return _refine_pip(cand)
+    return _refine_pip_expr(cand)
 
 
 def pip_join(

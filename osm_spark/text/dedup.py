@@ -169,35 +169,22 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard refine over candidate pairs.
 
-    |A∩B| via token-equi join restricted to candidate pairs, |A∪B| =
-    |A|+|B|−|A∩B|. The candidate set bounds the join, so cost is
-    O(candidate pairs × avg doc length), not O(n²).
+    Token sets ride along as array columns (two key-joins attach them to
+    the pair list — AQE broadcasts when the doc side is small), then
+    |A∩B| / (|A|+|B|−|A∩B|) is pure Column set math per pair: no token
+    explode, no token-keyed shuffle. Cost is O(candidate pairs × avg doc
+    length) in-partition work, not a 40×-row join intermediate.
     """
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle if shingle is not None else tokens(text_col)).alias("tok"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sh = shingle if shingle is not None else tokens(text_col)
+    ts = docs.select(F.col(id_col).alias("doc_id"), sh.alias("toks"))
+    ta = ts.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = ts.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    denom = (F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - n_inter).cast("double")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(n_inter / denom, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

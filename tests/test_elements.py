@@ -1,0 +1,98 @@
+"""OSM element model: way assembly round-trip, relations, merge/CDC."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.pipeline.elements import (
+    assemble_way_polygons,
+    relation_rings,
+    synth_relations,
+    synth_ways,
+)
+from osm_spark.pipeline.geometry import synth_polygons
+from osm_spark.pipeline.merge import changed_cells, merge_upsert
+
+
+@pytest.fixture(scope="module")
+def polygons(spark):
+    return synth_polygons(spark).cache()
+
+
+def test_way_assembly_roundtrip(spark, polygons):
+    """polygons → (ways, nodes) → assemble == original vertex arrays."""
+    ways, nodes = synth_ways(spark, polygons)
+    back = assemble_way_polygons(ways, nodes)
+    orig = {r.way_id: (r.vlat, r.vlon, dict(r.tags)) for r in polygons.collect()}
+    got = {r.way_id: (r.vlat, r.vlon, dict(r.tags)) for r in back.collect()}
+    assert got == orig
+
+
+def test_ways_are_closed_rings(spark, polygons):
+    ways, _ = synth_ways(spark, polygons)
+    for r in ways.collect():
+        assert r.node_ids[0] == r.node_ids[-1]
+        assert len(r.node_ids) == len(set(r.node_ids)) + 1
+
+
+def test_open_ways_excluded_from_assembly(spark):
+    ways = spark.createDataFrame(
+        [(1, [10, 11, 12, 10], {"k": "v"}), (2, [20, 21, 22], {})],
+        "way_id long, node_ids array<long>, tags map<string,string>",
+    )
+    nodes = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in (10, 11, 12, 20, 21, 22)],
+        "id long, lat double, lon double",
+    )
+    got = assemble_way_polygons(ways, nodes).collect()
+    assert [r.way_id for r in got] == [1]
+    assert got[0].vlat == [10.0, 11.0, 12.0]  # closing vertex dropped
+
+
+def test_relations_and_rings(spark, polygons):
+    ways, _ = synth_ways(spark, polygons)
+    rels = synth_relations(spark, ways)
+    rows = rels.collect()
+    assert len(rows) == 10  # one per city
+    for r in rows:
+        roles = [m.role for m in r.members]
+        assert roles == ["outer", "inner"]
+        assert dict(r.tags)["type"] == "multipolygon"
+    rings = relation_rings(rels, polygons)
+    assert rings.count() == 20
+    assert rings.filter(F.col("role") == "outer").count() == 10
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 25), (3, "c", 30)], "id long, name string, v long"
+    )
+    got = sorted(map(tuple, merge_upsert(target, source, "id").collect()))
+    assert got == [(1, "a", 10), (2, "B", 25), (3, "c", 30)]
+
+
+def test_changed_cells(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (4, "gone", 4)],
+        "id long, name string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", None), (3, "new", 3)],
+        "id long, name string, v long",
+    )
+    got = {
+        (r.id, r.column): (r.old_value, r.new_value, r.change)
+        for r in changed_cells(old, new, "id").collect()
+    }
+    # id=1: only v changed; id=2: nothing (null == null survives); 3/4 full rows
+    assert got == {
+        (1, "v"): ("10", "11", "update"),
+        (3, "name"): (None, "new", "insert"),
+        (3, "v"): (None, "3", "insert"),
+        (4, "name"): ("gone", None, "delete"),
+        (4, "v"): ("4", None, "delete"),
+    }
