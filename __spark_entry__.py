@@ -585,6 +585,147 @@ def q_visibility_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F10 name join + '"Name" <email>' formatting (member.rb:426-428,
+    578-581) over synthesized first/last/email parts."""
+    from osm_spark.functions import email_with_name, full_name
+
+    c = _t(spark, sf_dir, "customer")
+    first = F.lower(F.col("c_mktsegment"))
+    last = F.col("c_name")
+    email = F.concat(F.lower(F.regexp_replace(F.col("c_name"), "#", "-")), F.lit("@x.org"))
+    return c.select(
+        "c_custkey",
+        full_name(first, last).alias("full_name"),
+        email_with_name(first, last, email).alias("email_fmt"),
+    )
+
+
+def q_phone_age_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 phone normalize + F11 'yy / mm' age decompose (member.rb:413-421,
+    610-612)."""
+    from osm_spark.functions import age_months, age_years, phone_normalize
+
+    c = _t(spark, sf_dir, "customer")
+    age_str = F.concat(
+        (F.col("c_custkey") % 90).cast("string"), F.lit(" / "),
+        (F.col("c_custkey") % 12).cast("string"),
+    )
+    phone_raw = F.concat(
+        F.lit("+"), F.col("c_nationkey").cast("string"), F.lit(" (0)"),
+        (F.col("c_custkey") % 900 + 100).cast("string"), F.lit("-"),
+        (F.col("c_custkey") % 10000).cast("string"), F.lit(" ext.9"),
+    )
+    return c.select(
+        "c_custkey",
+        phone_normalize(phone_raw).alias("phone_norm"),
+        age_years(age_str).alias("age_years"),
+        age_months(age_str).alias("age_months"),
+    )
+
+
+def q_badge_status_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 badge-status display-string decode (badge.rb:206-231)."""
+    from osm_spark.functions import badge_status_decode
+
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("Started"))
+        .when(F.col("c_custkey") % 6 == 1, F.lit("Due"))
+        .when(F.col("c_custkey") % 6 == 2, F.lit("Due Lvl 2"))
+        .when(F.col("c_custkey") % 6 == 3, F.lit("Awarded"))
+        .when(F.col("c_custkey") % 6 == 4, F.lit("01/02/2016 (Lvl 3)"))
+        .otherwise(F.lit("15/07/2020"))
+    )
+    d = badge_status_decode(s)
+    return c.select(
+        "c_custkey",
+        d["status"].alias("status"),
+        d["level"].alias("level"),
+        d["date"].alias("date"),
+    )
+
+
+def q_sent_at_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 'dd/MM/yyyy HH:mm - Subject' split (email.rb:127-130); subject
+    may itself contain ' - '."""
+    from osm_spark.functions import sent_at_subject_split
+
+    o = _t(spark, sf_dir, "orders")
+    s = F.concat(
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"),
+        F.lit(" - Order "),
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(" - resent")).otherwise(F.lit("")),
+    )
+    parts = sent_at_subject_split(s)
+    return o.select(
+        "o_orderkey",
+        parts["sent_at"].alias("sent_at"),
+        parts["subject"].alias("subject"),
+    )
+
+
+def q_name_number_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 'Name  1234567' split with '+' prefix (sms.rb:154,164-167)."""
+    from osm_spark.functions import name_number_split
+
+    c = _t(spark, sf_dir, "customer")
+    s = F.concat(F.col("c_mktsegment"), F.lit("  "), F.col("c_custkey").cast("string"))
+    p = name_number_split(s)
+    return c.select(
+        "c_custkey", p["name"].alias("name"), p["number"].alias("number")
+    )
+
+
+def q_permission_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 permission lattice decode (lib/osm.rb:151-167): 10/20/100 →
+    grant arrays, joined to a string for engine-portable hashing."""
+    from osm_spark.functions import permission_array
+
+    c = _t(spark, sf_dir, "customer")
+    level = (
+        F.when(F.col("c_custkey") % 4 == 0, 100)
+        .when(F.col("c_custkey") % 4 == 1, 20)
+        .when(F.col("c_custkey") % 4 == 2, 10)
+        .otherwise(0)
+    )
+    return c.select(
+        "c_custkey",
+        F.array_join(permission_array(level), ",").alias("grants"),
+    )
+
+
+def q_earnt_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CNF badge-earnt logic (badge.rb:614-648): module combos
+    [['click'], ['view','purchase']] — earnt iff every clause has a
+    gained module (clause = OR, list = AND in reference; here the common
+    [[a],[b,c]] shape: a OR (b AND c) truth-tabled)."""
+    from osm_spark.functions import requirement_met
+
+    e = _t(spark, sf_dir, "events")
+    met = requirement_met(F.get_json_object(F.col("props"), "$.k"))
+    gained = (
+        e.select("user_id", "event_type", met.alias("met"))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.when(F.col("met"), 1).otherwise(0)).alias("n_met"))
+        .withColumn("gained", F.col("n_met") >= 2)
+    )
+    per_user = gained.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("gained"))).alias("g_click"),
+        F.max(F.when(F.col("event_type") == "view", F.col("gained"))).alias("g_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("gained"))).alias("g_purchase"),
+    )
+    earnt = (
+        F.coalesce(F.col("g_click"), F.lit(False))
+        | (
+            F.coalesce(F.col("g_view"), F.lit(False))
+            & F.coalesce(F.col("g_purchase"), F.lit(False))
+        )
+    )
+    return per_user.select("user_id", earnt.alias("earnt"))
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
     polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
@@ -681,6 +822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "custom_collation": q_custom_collation,
         "visibility_semi_join": q_visibility_semi_join,
+        "name_formatting": q_name_formatting,
+        "phone_age_decode": q_phone_age_decode,
+        "badge_status_decode": q_badge_status_decode,
+        "sent_at_subject": q_sent_at_subject,
+        "name_number_split": q_name_number_split,
+        "permission_decode": q_permission_decode,
+        "earnt_cnf": q_earnt_cnf,
         "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -1191,5 +1339,85 @@ def oracle_sql() -> dict[str, str]:
                       ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
                OR c.c_acctbal > 9000
             GROUP BY c_mktsegment
+        """,
+        "name_formatting": """
+            SELECT c_custkey,
+                   lower(c_mktsegment) || ' ' || c_name AS full_name,
+                   '"' || lower(c_mktsegment) || ' ' || c_name || '" <'
+                       || lower(replace(c_name, '#', '-')) || '@x.org>' AS email_fmt
+            FROM customer
+        """,
+        "phone_age_decode": """
+            SELECT c_custkey,
+                   regexp_replace('+' || CAST(c_nationkey AS VARCHAR) || ' (0)'
+                       || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+                       || CAST(c_custkey % 10000 AS VARCHAR) || ' ext.9',
+                       '[^0-9+]', '', 'g') AS phone_norm,
+                   CAST(c_custkey % 90 AS INT) AS age_years,
+                   CAST(c_custkey % 12 AS INT) AS age_months
+            FROM customer
+        """,
+        "badge_status_decode": """
+            SELECT c_custkey,
+                   CASE CAST(c_custkey % 6 AS INT)
+                        WHEN 0 THEN 'started' WHEN 1 THEN 'due' WHEN 2 THEN 'due'
+                        ELSE 'awarded' END AS status,
+                   CASE CAST(c_custkey % 6 AS INT)
+                        WHEN 2 THEN 2 WHEN 4 THEN 3 END AS level,
+                   CASE CAST(c_custkey % 6 AS INT)
+                        WHEN 4 THEN DATE '2016-02-01'
+                        WHEN 5 THEN DATE '2020-07-15' END AS date
+            FROM customer
+        """,
+        "sent_at_subject": """
+            WITH s AS (
+                SELECT o_orderkey,
+                       strftime(o_orderdate, '%d/%m/%Y %H:%M') || ' - Order '
+                           || o_orderpriority
+                           || CASE WHEN o_orderkey % 3 = 0 THEN ' - resent' ELSE '' END AS str
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   try_strptime(substr(str, 1, strpos(str, ' - ') - 1),
+                                '%d/%m/%Y %H:%M') AS sent_at,
+                   substr(str, strpos(str, ' - ') + 3) AS subject
+            FROM s
+        """,
+        "name_number_split": """
+            SELECT c_custkey, c_mktsegment AS name,
+                   '+' || CAST(c_custkey AS VARCHAR) AS number
+            FROM customer
+        """,
+        "permission_decode": """
+            SELECT c_custkey,
+                   CASE CAST(c_custkey % 4 AS INT)
+                        WHEN 0 THEN 'read,write,administer'
+                        WHEN 1 THEN 'read,write'
+                        WHEN 2 THEN 'read'
+                        ELSE '' END AS grants
+            FROM customer
+        """,
+        "earnt_cnf": """
+            WITH met AS (
+                SELECT user_id, event_type,
+                       CASE WHEN NOT (v IS NULL OR trim(v) = '' OR v = '0'
+                                 OR lower(substring(v, 1, 1)) = 'x')
+                            THEN 1 ELSE 0 END AS m
+                FROM (SELECT user_id, event_type,
+                             json_extract_string(props, '$.k') AS v FROM events)
+            ), g AS (
+                SELECT user_id, event_type, sum(m) >= 2 AS gained
+                FROM met GROUP BY user_id, event_type
+            ), p AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN gained END) AS g_click,
+                       max(CASE WHEN event_type = 'view' THEN gained END) AS g_view,
+                       max(CASE WHEN event_type = 'purchase' THEN gained END) AS g_purchase
+                FROM g GROUP BY user_id
+            )
+            SELECT user_id,
+                   coalesce(g_click, false)
+                       OR (coalesce(g_view, false) AND coalesce(g_purchase, false)) AS earnt
+            FROM p
         """,
     }

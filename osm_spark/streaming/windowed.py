@@ -142,35 +142,27 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     def fn(key, pdfs, state: GroupState):
         rows = []
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            if state.exists:
-                start, last, n = state.get
-            else:
-                start = last = None
-                n = 0
             for ts in pdf["ts"]:
+                ts = ts.to_pydatetime()
                 if last is not None and (ts - last).total_seconds() > gap_s:
                     rows.append((key[0], start, last, n))
-                    start, n = ts, 0
+                    start, n = None, 0
                 if start is None:
                     start = ts
                 last = ts
                 n += 1
+        if last is not None:
             state.update((start, last, n))
-            state.setTimeoutDuration(gap_s * 1000)
-        if state.hasTimedOut and state.exists:
-            start, last, n = state.get
-            rows.append((key[0], start, last, n))
-            state.remove()
         yield pd.DataFrame(
             rows, columns=["user_id", "session_start", "session_end", "n_events"]
         )
 
-    return (
-        events.withWatermark("ts", f"{gap_minutes * 2} minutes")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -72,6 +72,47 @@ def test_sessionize_gap_semantics(spark):
     ]
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emit, the open
+    session survives in state across a query restart (checkpoint)."""
+    from osm_spark.streaming.windowed import EVENTS_SCHEMA, sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sessions")
+    mk = lambda i, minutes: (i, t0 + dt.timedelta(minutes=minutes), 1, "e", 0.0, "{}")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("append").parquet(src)
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EVENTS_SCHEMA).parquet(src), gap_minutes=30
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    # batch 1: one closed session (events 1,2), one open (event 3)
+    assert run_batch([mk(1, 0), mk(2, 10), mk(3, 50)]) == [
+        (1, t0, t0 + dt.timedelta(minutes=10), 2)
+    ]
+    # batch 2 (restart from checkpoint): event 4 closes the open session
+    assert run_batch([mk(4, 130)]) == [
+        (1, t0, t0 + dt.timedelta(minutes=10), 2),
+        (1, t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1),
+    ]
+
+
 def test_sessionize_boundary_exact_gap_is_same_session(spark):
     """Gap strictly greater than the threshold splits; equal does not."""
     t0 = dt.datetime(2024, 1, 1, 9, 0)

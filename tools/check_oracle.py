@@ -31,7 +31,11 @@ def _norm(v):
         return repr(float(v))
     if isinstance(v, float):
         return repr(float(v))
-    return str(v)
+    s = str(v)
+    # pandas renders DuckDB DATE as midnight datetime64; Spark gives date
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
