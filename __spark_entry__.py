@@ -768,6 +768,21 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(points, synth_nodes(spark), k=3).select("url", "node_id", "rank")
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic k-means coarse quantizer + nprobe
+    cluster-probed exact search (rows-only: k-means is iterative;
+    pytest verifies exactness at full probe + recall at partial probe)."""
+    from osm_spark.vector.ivf import ivf_index, ivf_search, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=3)
+    index = ivf_index(e, centroids)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search(q, index, centroids, k=10, nprobe=3)
+
+
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector marching-squares contours (rows-only)."""
     _prep(spark)
@@ -833,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
         "contours": q_contours,
+        "ivf_ann": q_ivf_ann,
     }
 
 
