@@ -726,6 +726,46 @@ def q_earnt_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select("user_id", earnt.alias("earnt"))
 
 
+def q_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 concat-parse date+time with blank-time→midnight and epoch→NULL
+    (lib/osm.rb:93-111)."""
+    from osm_spark.functions import make_datetime
+
+    o = _t(spark, sf_dir, "orders")
+    date_str = F.when(
+        F.col("o_orderkey") % 13 == 0, F.lit("1970-01-01")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    time_str = F.when(F.col("o_orderkey") % 11 == 0, F.lit("")).otherwise(
+        F.concat(
+            (F.col("o_orderkey") % 24).cast("string"),
+            F.lit(":"),
+            F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
+        )
+    )
+    return o.select(
+        "o_orderkey", make_datetime(date_str, time_str).alias("ts")
+    )
+
+
+def q_date_keyed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 date-keyed attendance/donation map fold (register.rb:69-74,
+    giftaid.rb:63-68): date-string keys → typed (date, value) rows; the
+    non-date 'total' key is filtered out by the regex."""
+    from osm_spark.functions.tags import date_keyed_map
+
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.date_format("ts", "yyyy-MM-dd"), F.col("event_type"),
+        F.lit("total"), F.col("value").cast("string"),
+    )
+    entries = date_keyed_map(m)
+    return e.select("event_id", F.explode(entries).alias("en")).select(
+        "event_id",
+        F.col("en.date").alias("date"),
+        F.col("en.value").alias("value"),
+    )
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
     polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
@@ -844,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_number_split": q_name_number_split,
         "permission_decode": q_permission_decode,
         "earnt_cnf": q_earnt_cnf,
+        "make_datetime": q_make_datetime,
+        "date_keyed_map": q_date_keyed_map,
         "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -1412,6 +1454,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'read'
                         ELSE '' END AS grants
             FROM customer
+        """,
+        "make_datetime": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                        WHEN o_orderkey % 11 = 0 THEN CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                        ELSE CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                             + (o_orderkey % 24) * INTERVAL 1 HOUR
+                             + (o_orderkey % 60) * INTERVAL 1 MINUTE
+                   END AS ts
+            FROM orders
+        """,
+        "date_keyed_map": """
+            SELECT event_id, CAST(ts AS DATE) AS date, event_type AS value
+            FROM events
         """,
         "earnt_cnf": """
             WITH met AS (

@@ -102,13 +102,27 @@ def minhash_signatures(
     """
     sh = shingle if shingle is not None else tokens(text_col)
     exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("tok"))
-    seeded = exploded.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    # Hash DISTINCT shingles once (vocab ≪ token occurrences — ~100× fewer
+    # md5 evaluations on natural text), then join the k-hash rows back to
+    # the occurrence list. AQE broadcasts the hash dim when the vocab is
+    # small; at web scale it falls back to a shuffle join on the shingle.
+    tok_hashes = (
+        exploded.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        )
+        .select(
+            "tok",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("tok"))).alias("h"),
+        )
     )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("tok")))).alias("minhash")
+    return (
+        exploded.join(tok_hashes, "tok")
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
     )
 
 
