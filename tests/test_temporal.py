@@ -1,0 +1,43 @@
+"""As-of join semantics: inclusive match, carry-forward, no-prior NULLs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from osm_spark.pipeline.temporal import asof_join
+
+
+def test_asof_join_semantics(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(20)), (3, 1, t(5)), (4, 2, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(15), 101), (2, t(40), 102)],
+        "user_id long, ts timestamp, purchase_id long",
+    )
+    got = {
+        r.event_id: (r.purchase_id, r.asof_ts)
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["purchase_id"]).collect()
+    }
+    assert got == {
+        1: (100, t(10)),   # inclusive: right.ts == left.ts matches
+        2: (101, t(15)),   # latest at-or-before wins
+        3: (None, None),   # no prior right row
+        4: (None, None),   # right row is after left
+    }
+
+
+def test_asof_join_keeps_all_left_rows(spark, sf_med_dir):
+    e = spark.read.parquet(f"{sf_med_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["purchase_id"])
+    assert out.count() == clicks.count()
