@@ -786,6 +786,56 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 validation side-output (SURVEY §1.4: ActiveModel validations →
+    CHECK predicates + a violations table): rows failing any rule emit
+    one row per violation with the rule name."""
+    o = _t(spark, sf_dir, "orders")
+    rules = F.array(
+        F.when(F.col("o_totalprice") > 450000, F.lit("price_out_of_range")),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("synthetic_bad_status")),
+        F.when(F.col("o_orderdate").isNull(), F.lit("missing_date")),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.explode(F.filter(rules, lambda r: r.isNotNull())).alias("violation"),
+        )
+    )
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile pyramid rollup: z10 density aggregated up to z8 and z6 via
+    integer coordinate shifts (the hypertable/continuous-aggregate shape
+    for raster layers)."""
+    from osm_spark.geo.tiles import tile_xy
+
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 2654435761 % 1700001) / 10000.0 - 85.0
+    lon = (F.col("c_custkey") * 40503 % 3600001) / 10000.0 - 180.0
+    t = tile_xy("lat", "lon", 10)
+    base = (
+        c.select(lat.alias("lat"), lon.alias("lon"))
+        .select(t.alias("t"))
+        .groupBy(F.col("t.x").alias("tx"), F.col("t.y").alias("ty"))
+        .agg(F.count("*").alias("n"))
+    )
+    levels = []
+    for z in (10, 8, 6):
+        shift = 10 - z
+        levels.append(
+            base.groupBy(
+                F.lit(z).alias("z"),
+                F.shiftright(F.col("tx"), shift).alias("tx"),
+                F.shiftright(F.col("ty"), shift).alias("ty"),
+            ).agg(F.sum("n").cast("long").alias("n"))
+        )
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
     polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
@@ -904,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_number_split": q_name_number_split,
         "permission_decode": q_permission_decode,
         "earnt_cnf": q_earnt_cnf,
+        "quarantine": q_quarantine,
+        "tile_pyramid": q_tile_pyramid,
         "make_datetime": q_make_datetime,
         "date_keyed_map": q_date_keyed_map,
         "asof_join": q_asof_join,
@@ -1475,6 +1527,36 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'read'
                         ELSE '' END AS grants
             FROM customer
+        """,
+        "quarantine": """
+            SELECT o_orderkey, 'price_out_of_range' AS violation
+            FROM orders WHERE o_totalprice > 450000
+            UNION ALL
+            SELECT o_orderkey, 'synthetic_bad_status' FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, 'missing_date' FROM orders WHERE o_orderdate IS NULL
+        """,
+        "tile_pyramid": """
+            WITH pts AS (
+                SELECT (c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0 AS lat,
+                       (c_custkey * 40503 % 3600001) / 10000.0 - 180.0 AS lon
+                FROM customer
+            ), t AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT), 0), 1023) AS tx,
+                       LEAST(GREATEST(CAST(FLOOR((1.0 - ln(
+                           tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
+                           + sqrt(tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
+                                  * tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))) + 1.0)
+                       ) / pi()) / 2.0 * 1024.0) AS BIGINT), 0), 1023) AS ty
+                FROM pts
+            ), base AS (
+                SELECT tx, ty, count(*) AS n FROM t GROUP BY tx, ty
+            )
+            SELECT 10 AS z, tx, ty, CAST(sum(n) AS BIGINT) AS n FROM base GROUP BY tx, ty
+            UNION ALL
+            SELECT 8, tx >> 2, ty >> 2, CAST(sum(n) AS BIGINT) FROM base GROUP BY tx >> 2, ty >> 2
+            UNION ALL
+            SELECT 6, tx >> 4, ty >> 4, CAST(sum(n) AS BIGINT) FROM base GROUP BY tx >> 4, ty >> 4
         """,
         "asof_join": """
             WITH l AS (
