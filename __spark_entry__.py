@@ -54,15 +54,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            # Decimal-exact sums, terminal cast to DOUBLE: Spark decimals
+            # stringify with trailing zeros while DuckDB decimals reach the
+            # driver as float64, so any decimal terminal column fails the
+            # value hash. decimal->double is correctly rounded in both
+            # engines, so the doubles (and their reprs) are bit-identical.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice").cast("decimal(18,4)")
                  * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -112,7 +117,7 @@ def q_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -137,7 +142,7 @@ def q_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)"))
                 .otherwise(-F.col("value").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("net_value")
         )
     )
@@ -399,7 +404,7 @@ def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.rollup("r_name", "n_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_orders"),
         )
@@ -462,7 +467,7 @@ def q_money_tbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        money_decimal(cost_str).alias("cost"),
+        money_decimal(cost_str).cast("double").alias("cost"),
         cost_tbc(cost_str).alias("tbc"),
     )
 
@@ -971,10 +976,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1001,7 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_lookup_join": """
             SELECT p_brand, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
@@ -1014,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(SUM(CASE WHEN event_type = 'purchase'
                                  THEN CAST(value AS DECIMAL(18,2))
-                                 ELSE -CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS net_value
+                                 ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value
             FROM events
             WHERE event_type IN ('purchase', 'error')
             GROUP BY user_id
@@ -1302,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "sessionize": """
@@ -1323,7 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouping_rollup": """
             SELECT r_name, n_name,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1375,7 +1380,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey,
                    CASE WHEN regexp_full_match(cost_str, '\\d+\\.\\d{2}')
-                        THEN CAST(cost_str AS DECIMAL(12,2)) END AS cost,
+                        THEN CAST(CAST(cost_str AS DECIMAL(12,2)) AS DOUBLE) END AS cost,
                    cost_str IN ('-1', 'TBC') AS tbc
             FROM s
         """,

@@ -54,9 +54,11 @@ def windowed_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            # decimal sum → bit-identical across engines (doubles are not)
+            # decimal sum → order-independent exact total (a double sum is
+            # not); terminal cast to double so the stringified value matches
+            # the oracle's (DuckDB decimals reach pandas as float64)
             F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

@@ -28,7 +28,11 @@ def _norm(v):
     if v is None or v != v:
         return "\x00NULL"
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # Driver-faithful: Spark decimals stringify with trailing zeros
+        # (Decimal('1234.50')) while DuckDB decimals reach pandas as
+        # float64. Do NOT coerce — a Spark-decimal vs oracle-float pair
+        # must FAIL here exactly as it fails the driver's value hash.
+        return str(v)
     if isinstance(v, float):
         return repr(float(v))
     s = str(v)
