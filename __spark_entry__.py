@@ -859,6 +859,183 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- driver-gated twins of the flagship spatial operators ---
+#
+# The flagship pip_join/knn_join run over synth_pages, whose coordinates
+# derive from xxhash64 — not reconstructible in DuckDB SQL. These twins run
+# the SAME engine code paths (hex covering prejoin + codegen refine;
+# two-phase kNN) over points derived closed-form from customer keys, so a
+# DuckDB brute-force oracle can verify the full pipeline end-to-end by
+# value hash. Polygon/node fixtures are injected into the oracle SQL as
+# double literals (repr round-trips bit-exactly), so both engines see
+# bit-identical geometry and the ray-cast decisions agree bit-for-bit.
+
+_SQL_PT_SPREAD = 0.05  # degrees around each city center
+
+
+def _sql_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City-clustered points as a closed-form function of c_custkey.
+
+    Every operation (int mul/mod, the single divide/multiply/add chain) is
+    exactly mirrored in ``_sql_points_oracle`` with the same IEEE op
+    order, so lat/lon are bit-identical across Spark and DuckDB."""
+    from osm_spark.pipeline.pages import CITIES
+
+    c = _t(spark, sf_dir, "customer")
+    city = (F.col("c_custkey") % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    lat = clat + (F.col("c_custkey") * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    lon = clon + (F.col("c_custkey") * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    return c.select(
+        F.col("c_custkey").cast("string").alias("url"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+
+
+def _sql_points_oracle() -> str:
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    return f"""
+        SELECT c_custkey AS point_id,
+               ([{lats}])[CAST(c_custkey % 10 AS INT) + 1]
+                 + (c_custkey * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+               ([{lons}])[CAST(c_custkey % 10 AS INT) + 1]
+                 + (c_custkey * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+        FROM customer
+    """
+
+
+def _polygons_values_sql() -> str:
+    """way_polygons fixture rendered as SQL VALUES literals."""
+    from osm_spark.pipeline.geometry import synth_polygons_pdf
+
+    rows = []
+    for r in synth_polygons_pdf().itertuples():
+        vlat = ", ".join(repr(float(v)) for v in r.vlat)
+        vlon = ", ".join(repr(float(v)) for v in r.vlon)
+        rows.append(f"({r.way_id}, [{vlat}], [{vlon}])")
+    return ",\n                ".join(rows)
+
+
+def _nodes_values_sql() -> str:
+    from osm_spark.pipeline.geometry import synth_nodes_pdf
+
+    rows = [
+        f"({r.id}, {repr(float(r.lat))}, {repr(float(r.lon))})"
+        for r in synth_nodes_pdf().itertuples()
+    ]
+    return ",\n                ".join(rows)
+
+
+def _pip_pairs_oracle() -> str:
+    """Brute-force even-odd ray cast + boundary-eps test in DuckDB, same
+    IEEE op order as ``pip_cover_expr`` (spatial_join.py), over every
+    (point, polygon) pair — verifying that the engine's covering prejoin
+    never drops a true pair and the refine keeps exactly the right ones."""
+    eps2 = repr(1e-12 * 1e-12)
+    return f"""
+        WITH poly(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        pts AS ({_sql_points_oracle()}),
+        ed AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ), e AS (
+            SELECT way_id,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM ed
+        ), c1 AS (
+            SELECT p.point_id, p.lat, p.lon, e.way_id, e.ax, e.ay, e.bx, e.by,
+                   e.bx - e.ax AS abx, e.by - e.ay AS aby,
+                   p.lon - e.ax AS apx, p.lat - e.ay AS apy
+            FROM pts p CROSS JOIN e
+        ), c2 AS (
+            SELECT *, abx * abx + aby * aby AS d,
+                   ((ay > lat) <> (by > lat))
+                   AND lon < abx * apy
+                       / (CASE WHEN aby = 0 THEN 1.0 ELSE aby END) + ax AS crossed
+            FROM c1
+        ), c3 AS (
+            SELECT *, CASE WHEN d > 0
+                           THEN (apx * abx + apy * aby)
+                                / (CASE WHEN d = 0 THEN 1.0 ELSE d END)
+                           ELSE 0.0 END AS t0
+            FROM c2
+        ), c4 AS (
+            SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3
+        ), c5 AS (
+            SELECT *, apx - t * abx AS dx, apy - t * aby AS dy FROM c4
+        ), hit AS (
+            SELECT point_id, way_id,
+                   SUM(CASE WHEN crossed THEN 1 ELSE 0 END) AS crossings,
+                   MAX(CASE WHEN dx * dx + dy * dy <= {eps2} THEN 1 ELSE 0 END) AS on_edge
+            FROM c5 GROUP BY point_id, way_id
+        )
+        SELECT point_id, way_id FROM hit WHERE crossings % 2 = 1 OR on_edge = 1
+    """
+
+
+def _knn_pairs_oracle(k: int = 3) -> str:
+    """Brute-force top-k by haversine (same formula/op order as
+    ``haversine_m``) with the engine's (dist, node_id) tie-break."""
+    return f"""
+        WITH nodes(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        pts AS ({_sql_points_oracle()}),
+        d AS (
+            SELECT p.point_id, n.node_id,
+                   2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin(radians(n.nlat - p.lat) / 2.0), 2)
+                     + cos(radians(p.lat)) * cos(radians(n.nlat))
+                       * pow(sin(radians(n.nlon - p.lon) / 2.0), 2))) AS dist
+            FROM pts p CROSS JOIN nodes n
+        )
+        SELECT point_id, node_id, CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY point_id
+                       ORDER BY dist ASC, node_id ASC) AS rn
+            FROM d
+        ) WHERE rn <= {k}
+    """
+
+
+def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PIP join, driver-gated: full engine path (hex covering via
+    mapInPandas, cell-equi prejoin, codegen ray-cast refine —
+    spatial_join.py:167-186 unchanged) vs a DuckDB brute-force oracle."""
+    _prep(spark)
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join
+
+    from osm_spark.geo.hexgrid import hex_cell_expr
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    pairs = pip_join(pts, synth_polygons(spark))
+    return pairs.select(F.col("url").cast("long").alias("point_id"), "way_id")
+
+
+def q_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 grid kNN, driver-gated: two-phase sufficient-candidate-set
+    plan (knn.py) vs a DuckDB brute-force top-3 oracle. Rank-only output:
+    no float column rides into the hash, so agreement is purely about
+    which neighbors in which order."""
+    _prep(spark)
+    from osm_spark.geo.knn import knn_join
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    out = knn_join(_sql_points(spark, sf_dir), synth_nodes(spark), k=3)
+    return out.select(
+        F.col("url").cast("long").alias("point_id"), "node_id", "rank"
+    )
+
+
 # --- rows-only (non-SQL-expressible) spatial operators ---
 
 
@@ -969,11 +1146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
+        "pip_pairs": q_pip_pairs,
+        "knn_pairs": q_knn_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pip_pairs": _pip_pairs_oracle(),
+        "knn_pairs": _knn_pairs_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
