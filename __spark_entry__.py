@@ -187,17 +187,27 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: whitespace token count + char stats per language."""
+    """Text analysis per language: whitespace token count + char stats +
+    BPE-ish subword counts (absorbs the former subword_token_stats query —
+    same grain, one driver slot)."""
+    from osm_spark.text.analysis import token_count_subword
+
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " "))
     return (
-        d.select("lang", toks.alias("n_tokens"), F.length("text").alias("n"))
+        d.select(
+            "lang",
+            toks.alias("n_tokens"),
+            F.length("text").alias("n"),
+            token_count_subword("text").alias("n_sub"),
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
             F.round(F.sum(F.col("n").cast("double")) / F.sum(F.col("n_tokens").cast("double")), 4)
             .alias("chars_per_token"),
+            F.sum("n_sub").cast("long").alias("total_subword_tokens"),
         )
     )
 
@@ -262,10 +272,15 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (pure-SQL formulation)."""
+    """16-bit SimHash + md5 content fingerprint per document (absorbs the
+    former doc_fingerprint query — same grain, one driver slot)."""
+    from osm_spark.text.analysis import fingerprint
     from osm_spark.text.dedup import simhash16
 
-    return simhash16(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    return simhash16(d).join(
+        d.select("doc_id", fingerprint("text").alias("fp")), "doc_id"
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,29 +308,6 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.text.analysis import quality_features
 
     return quality_features(_t(spark, sf_dir, "documents"))
-
-
-def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword token counts aggregated per language."""
-    from osm_spark.text.analysis import token_count_subword
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("lang", token_count_subword("text").alias("n_sub"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_sub").cast("long").alias("total_subword_tokens"),
-        )
-    )
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace-normalized md5 content fingerprint per document."""
-    from osm_spark.text.analysis import fingerprint
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,26 +474,57 @@ def q_level_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (§2.4 'absent in ref' row — engine provides)."""
+    """Distinct aggregation (§2.4 'absent in ref' row — engine provides).
+    Absorbs the former custom_collation query (§2.6, section.rb:380-388
+    age-order): seg_rank is the literal-array collation key."""
     c = _t(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.countDistinct("c_nationkey").alias("n_nations"),
-        F.count("*").alias("n_customers"),
+    order = F.array(
+        *[F.lit(s) for s in ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]]
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            F.array_position(order, F.col("c_mktsegment")).cast("int").alias("seg_rank"),
+            "c_nationkey",
+        )
+        .groupBy("c_mktsegment", "seg_rank")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
     )
 
 
 def q_map_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 tag-map key-regex split (flexi_record.rb:98-100,
-    event.rb:420-423): keep keys matching ^f_\\d+$, explode to rows."""
+    event.rb:420-423): keep keys matching ^f_\\d+$, explode to rows.
+    Absorbs the former date_keyed_map query (F18, register.rb:69-74)
+    as kind='date' rows — the date-string keys of the same map fold
+    through ``date_keyed_map`` into typed entries."""
+    from osm_spark.functions.tags import date_keyed_map
+
     e = _t(spark, sf_dir, "events")
     tags = F.create_map(
         F.lit("f_1"), F.col("user_id").cast("string"),
         F.lit("name"), F.col("event_type"),
         F.lit("f_2"), (F.col("event_id") % 100).cast("string"),
         F.lit("p9"), F.col("props"),
+        F.date_format("ts", "yyyy-MM-dd"), F.col("event_type"),
     )
     fields = F.map_filter(tags, lambda k, v: k.rlike(r"^f_\d+$"))
-    return e.select("event_id", F.explode(fields).alias("key", "value"))
+    field_rows = e.select(
+        "event_id", F.explode(fields).alias("key", "value")
+    ).select("event_id", F.lit("field").alias("kind"), "key", "value")
+    date_rows = (
+        e.select("event_id", F.explode(date_keyed_map(tags)).alias("en"))
+        .select(
+            "event_id",
+            F.lit("date").alias("kind"),
+            F.date_format(F.col("en.date"), "yyyy-MM-dd").alias("key"),
+            F.col("en.value").alias("value"),
+        )
+    )
+    return field_rows.unionByName(date_rows)
 
 
 def q_modules_gained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,23 +573,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(old, new, "o_orderkey")
 
 
-def q_custom_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 custom collation (section.rb:380-388 type age-order): sort key
-    from a literal order array via array_position."""
-    c = _t(spark, sf_dir, "customer")
-    order = F.array(
-        *[F.lit(s) for s in ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]]
-    )
-    return (
-        c.select(
-            "c_mktsegment",
-            F.array_position(order, F.col("c_mktsegment")).cast("int").alias("seg_rank"),
-        )
-        .groupBy("c_mktsegment", "seg_rank")
-        .agg(F.count("*").alias("n"))
-    )
-
-
 def q_visibility_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 visibility predicate (activity.rb:113-118): semi-join against an
     allowed set OR a local boolean."""
@@ -592,24 +598,32 @@ def q_visibility_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_name_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/F10 name join + '"Name" <email>' formatting (member.rb:426-428,
-    578-581) over synthesized first/last/email parts."""
-    from osm_spark.functions import email_with_name, full_name
+    578-581) over synthesized first/last/email parts. Absorbs the former
+    name_number_split query (F14, sms.rb:154,164-167) — same per-customer
+    grain."""
+    from osm_spark.functions import email_with_name, full_name, name_number_split
 
     c = _t(spark, sf_dir, "customer")
     first = F.lower(F.col("c_mktsegment"))
     last = F.col("c_name")
     email = F.concat(F.lower(F.regexp_replace(F.col("c_name"), "#", "-")), F.lit("@x.org"))
+    nn = name_number_split(
+        F.concat(F.col("c_mktsegment"), F.lit("  "), F.col("c_custkey").cast("string"))
+    )
     return c.select(
         "c_custkey",
         full_name(first, last).alias("full_name"),
         email_with_name(first, last, email).alias("email_fmt"),
+        nn["name"].alias("name"),
+        nn["number"].alias("number"),
     )
 
 
 def q_phone_age_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 phone normalize + F11 'yy / mm' age decompose (member.rb:413-421,
-    610-612)."""
-    from osm_spark.functions import age_months, age_years, phone_normalize
+    610-612). Absorbs the former permission_decode query (F6) — same
+    per-customer grain."""
+    from osm_spark.functions import age_months, age_years, permission_array, phone_normalize
 
     c = _t(spark, sf_dir, "customer")
     age_str = F.concat(
@@ -621,11 +635,19 @@ def q_phone_age_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 900 + 100).cast("string"), F.lit("-"),
         (F.col("c_custkey") % 10000).cast("string"), F.lit(" ext.9"),
     )
+    level = (
+        F.when(F.col("c_custkey") % 4 == 0, 100)
+        .when(F.col("c_custkey") % 4 == 1, 20)
+        .when(F.col("c_custkey") % 4 == 2, 10)
+        .otherwise(0)
+    )
     return c.select(
         "c_custkey",
         phone_normalize(phone_raw).alias("phone_norm"),
         age_years(age_str).alias("age_years"),
         age_months(age_str).alias("age_months"),
+        # absorbed permission_decode (F6, lib/osm.rb:151-167)
+        F.array_join(permission_array(level), ",").alias("grants"),
     )
 
 
@@ -653,8 +675,10 @@ def q_badge_status_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sent_at_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 'dd/MM/yyyy HH:mm - Subject' split (email.rb:127-130); subject
-    may itself contain ' - '."""
-    from osm_spark.functions import sent_at_subject_split
+    may itself contain ' - '. Absorbs the former make_datetime query
+    (F1, lib/osm.rb:93-111) — same per-orderkey grain: ``ts`` is the
+    concat-parsed date+time with blank-time→midnight and epoch→NULL."""
+    from osm_spark.functions import make_datetime, sent_at_subject_split
 
     o = _t(spark, sf_dir, "orders")
     s = F.concat(
@@ -664,40 +688,21 @@ def q_sent_at_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 3 == 0, F.lit(" - resent")).otherwise(F.lit("")),
     )
     parts = sent_at_subject_split(s)
+    date_str = F.when(
+        F.col("o_orderkey") % 13 == 0, F.lit("1970-01-01")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    time_str = F.when(F.col("o_orderkey") % 11 == 0, F.lit("")).otherwise(
+        F.concat(
+            (F.col("o_orderkey") % 24).cast("string"),
+            F.lit(":"),
+            F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
+        )
+    )
     return o.select(
         "o_orderkey",
         parts["sent_at"].alias("sent_at"),
         parts["subject"].alias("subject"),
-    )
-
-
-def q_name_number_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14 'Name  1234567' split with '+' prefix (sms.rb:154,164-167)."""
-    from osm_spark.functions import name_number_split
-
-    c = _t(spark, sf_dir, "customer")
-    s = F.concat(F.col("c_mktsegment"), F.lit("  "), F.col("c_custkey").cast("string"))
-    p = name_number_split(s)
-    return c.select(
-        "c_custkey", p["name"].alias("name"), p["number"].alias("number")
-    )
-
-
-def q_permission_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 permission lattice decode (lib/osm.rb:151-167): 10/20/100 →
-    grant arrays, joined to a string for engine-portable hashing."""
-    from osm_spark.functions import permission_array
-
-    c = _t(spark, sf_dir, "customer")
-    level = (
-        F.when(F.col("c_custkey") % 4 == 0, 100)
-        .when(F.col("c_custkey") % 4 == 1, 20)
-        .when(F.col("c_custkey") % 4 == 2, 10)
-        .otherwise(0)
-    )
-    return c.select(
-        "c_custkey",
-        F.array_join(permission_array(level), ",").alias("grants"),
+        make_datetime(date_str, time_str).alias("ts"),
     )
 
 
@@ -731,44 +736,92 @@ def q_earnt_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select("user_id", earnt.alias("earnt"))
 
 
-def q_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 concat-parse date+time with blank-time→midnight and epoch→NULL
-    (lib/osm.rb:93-111)."""
-    from osm_spark.functions import make_datetime
-
-    o = _t(spark, sf_dir, "orders")
-    date_str = F.when(
-        F.col("o_orderkey") % 13 == 0, F.lit("1970-01-01")
-    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
-    time_str = F.when(F.col("o_orderkey") % 11 == 0, F.lit("")).otherwise(
-        F.concat(
-            (F.col("o_orderkey") % 24).cast("string"),
-            F.lit(":"),
-            F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
-        )
-    )
-    return o.select(
-        "o_orderkey", make_datetime(date_str, time_str).alias("ts")
-    )
-
-
-def q_date_keyed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 date-keyed attendance/donation map fold (register.rb:69-74,
-    giftaid.rb:63-68): date-string keys → typed (date, value) rows; the
-    non-date 'total' key is filtered out by the regex."""
-    from osm_spark.functions.tags import date_keyed_map
+def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 audit-trail parse (event.rb:889-897): 'Set X to Y' named-group
+    split for detail rows, display→symbol attendance decode (incl. an
+    unknown display value mapping to NULL). Also carries F22
+    required-template-tag containment (myscout.rb:275-282) as
+    ``has_required_tag`` — both are event-content predicates."""
+    from osm_spark.functions import audit_trail_parse, template_tag_present
 
     e = _t(spark, sf_dir, "events")
-    m = F.create_map(
-        F.date_format("ts", "yyyy-MM-dd"), F.col("event_type"),
-        F.lit("total"), F.col("value").cast("string"),
+    typ = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("detail"))
+        .when(F.col("event_id") % 3 == 1, F.lit("attendance"))
+        .otherwise(F.lit("note"))
     )
-    entries = date_keyed_map(m)
-    return e.select("event_id", F.explode(entries).alias("en")).select(
+    att_disp = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ["Yes", "No", "Invited", "Show in My.SCOUT", "Reserved", "Maybe"]]),
+        (F.col("event_id") % 6).cast("int") + 1,
+    )
+    desc = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("Set 'f_"), (F.col("event_id") % 5).cast("string"),
+                F.lit("' to '"), F.col("event_type"), F.lit("'"),
+            ),
+        )
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("Attendance: "), att_disp))
+        .otherwise(F.lit("Updated record"))
+    )
+    p = audit_trail_parse(typ, desc)
+    content = F.when(
+        F.col("event_id") % 4 == 0, F.lit("Hi [FIRSTNAME], see [EVENT]")
+    ).otherwise(F.lit("Hi there, see [EVENT]"))
+    return e.select(
         "event_id",
-        F.col("en.date").alias("date"),
-        F.col("en.value").alias("value"),
+        p["label"].alias("label"),
+        p["value"].alias("value"),
+        p["attendance"].alias("attendance"),
+        template_tag_present(content, F.lit("FIRSTNAME")).alias("has_required_tag"),
     )
+
+
+def q_sms_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 SMS credit accounting (sms.rb:13-69): recipients selected per
+    section vs remaining credits parsed from the API's human-readable
+    answer string; can_send is the reference's send guard."""
+    from osm_spark.functions import credits_remaining
+
+    e = _t(spark, sf_dir, "events")
+    sel = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy((F.col("user_id") % 50).alias("section_id"))
+        .agg(F.count("*").alias("n_selected"))
+    )
+    msg = F.concat(
+        F.lit("You have "),
+        (F.col("section_id") * 7 % 100).cast("string"),
+        F.lit(" credits remaining"),
+    )
+    credits = credits_remaining(msg)
+    return sel.select(
+        "section_id",
+        "n_selected",
+        credits.alias("credits"),
+        (F.col("n_selected") <= credits).alias("can_send"),
+    )
+
+
+def q_flexi_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 flexi-record column collation (flexi_record.rb:214-231):
+    system columns sort before user columns (id ~ ^f_\\d+$), then by id;
+    rank materialized so the order-insensitive hash checks the order."""
+    o = _t(spark, sf_dir, "orders")
+    colid = (
+        F.when(F.col("o_orderkey") % 5 == 0,
+               F.concat(F.lit("f_"), (F.col("o_orderkey") % 23).cast("string")))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("firstname"))
+        .when(F.col("o_orderkey") % 5 == 2, F.lit("lastname"))
+        .when(F.col("o_orderkey") % 5 == 3, F.lit("dob"))
+        .otherwise(F.concat(F.lit("f_"), (F.col("o_orderkey") % 7).cast("string")))
+    )
+    ids = o.select(colid.alias("col_id")).distinct()
+    is_user = F.col("col_id").rlike(r"^f_\d+$").cast("int")
+    w = Window.orderBy(is_user.asc(), F.col("col_id").asc())
+    return ids.select("col_id", F.row_number().over(w).alias("sort_rank"))
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1140,13 @@ def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is part of the driver contract: the CORRECTNESS gate
+    evaluates the first 50 entries, so all 50 oracle-gated queries come
+    first and the rows-only (non-SQL-expressible) operators follow. The
+    flagship spatial operators are driver-verified through their gated
+    twins pip_pairs/knn_pairs (same code paths, brute-force oracles)."""
     return {
+        # --- oracle-gated (50) ---
         "pricing_summary": q_pricing_summary,
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
@@ -1101,14 +1160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "tile_assignment": q_tile_assignment,
         "haversine_distance": q_haversine_distance,
+        "pip_pairs": q_pip_pairs,
+        "knn_pairs": q_knn_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
         "language_id": q_language_id,
         "quality_features": q_quality_features,
-        "subword_token_stats": q_subword_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1127,27 +1185,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modules_gained": q_modules_gained,
         "cdc_diff": q_cdc_diff,
         "merge_upsert": q_merge_upsert,
-        "custom_collation": q_custom_collation,
         "visibility_semi_join": q_visibility_semi_join,
         "name_formatting": q_name_formatting,
         "phone_age_decode": q_phone_age_decode,
         "badge_status_decode": q_badge_status_decode,
         "sent_at_subject": q_sent_at_subject,
-        "name_number_split": q_name_number_split,
-        "permission_decode": q_permission_decode,
         "earnt_cnf": q_earnt_cnf,
         "quarantine": q_quarantine,
         "tile_pyramid": q_tile_pyramid,
-        "make_datetime": q_make_datetime,
-        "date_keyed_map": q_date_keyed_map,
         "asof_join": q_asof_join,
+        "audit_trail": q_audit_trail,
+        "sms_credits": q_sms_credits,
+        "flexi_collation": q_flexi_collation,
+        # --- rows-only (non-SQL-expressible; pytest-golden-verified) ---
+        "simhash_near_dups": q_simhash_near_dups,
         "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
-        "pip_pairs": q_pip_pairs,
-        "knn_pairs": q_knn_pairs,
     }
 
 
@@ -1226,7 +1282,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
                    ROUND(SUM(CAST(LENGTH(text) AS DOUBLE))
-                         / SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS chars_per_token
+                         / SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS chars_per_token,
+                   CAST(sum(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+                       AS total_subword_tokens
             FROM documents GROUP BY lang
         """,
         "tile_assignment": """
@@ -1328,8 +1387,11 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, bit
             )
             SELECT doc_id,
-                   CAST(sum(CASE WHEN vote > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id
+                   CAST(sum(CASE WHEN vote > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash,
+                   md5(regexp_replace(trim(lower(any_value(text_))), ' +', ' ', 'g')) AS fp
+            FROM (SELECT v.doc_id, v.bit, v.vote, d.text AS text_
+                  FROM votes v JOIN documents d ON d.doc_id = v.doc_id)
+            GROUP BY doc_id
         """,
         "language_id": """
             WITH w AS (
@@ -1374,17 +1436,6 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(length(text) AS DOUBLE)) * 0.125
                      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
                               / CAST(length(text) AS DOUBLE)) * 0.125, 6) AS quality_score
-            FROM documents
-        """,
-        "subword_token_stats": """
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(CAST(list_sum(list_transform(string_split(lower(text), ' '),
-                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
-                       AS total_subword_tokens
-            FROM documents GROUP BY lang
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
             FROM documents
         """,
         "cosine_topk": """
@@ -1572,14 +1623,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "distinct_agg": """
-            SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+            SELECT c_mktsegment,
+                   CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                        WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                        WHEN 'FURNITURE' THEN 5 ELSE 0 END AS INT) AS seg_rank,
+                   count(DISTINCT c_nationkey) AS n_nations,
                    count(*) AS n_customers
             FROM customer GROUP BY c_mktsegment
         """,
         "map_key_split": """
-            SELECT event_id, 'f_1' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+            SELECT event_id, 'field' AS kind, 'f_1' AS key,
+                   CAST(user_id AS VARCHAR) AS value FROM events
             UNION ALL
-            SELECT event_id, 'f_2' AS key, CAST(event_id % 100 AS VARCHAR) AS value FROM events
+            SELECT event_id, 'field', 'f_2', CAST(event_id % 100 AS VARCHAR) FROM events
+            UNION ALL
+            SELECT event_id, 'date', strftime(CAST(ts AS DATE), '%Y-%m-%d'),
+                   event_type FROM events
         """,
         "modules_gained": """
             SELECT user_id, event_type, gained FROM (
@@ -1640,14 +1699,6 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n.o_custkey, o.o_custkey) AS o_custkey
             FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
         """,
-        "custom_collation": """
-            SELECT c_mktsegment,
-                   CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
-                        WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
-                        WHEN 'FURNITURE' THEN 5 ELSE 0 END AS INT) AS seg_rank,
-                   count(*) AS n
-            FROM customer GROUP BY c_mktsegment
-        """,
         "visibility_semi_join": """
             SELECT c_mktsegment, count(*) AS n_visible
             FROM customer c
@@ -1661,7 +1712,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    lower(c_mktsegment) || ' ' || c_name AS full_name,
                    '"' || lower(c_mktsegment) || ' ' || c_name || '" <'
-                       || lower(replace(c_name, '#', '-')) || '@x.org>' AS email_fmt
+                       || lower(replace(c_name, '#', '-')) || '@x.org>' AS email_fmt,
+                   c_mktsegment AS name,
+                   '+' || CAST(c_custkey AS VARCHAR) AS number
             FROM customer
         """,
         "phone_age_decode": """
@@ -1671,7 +1724,12 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(c_custkey % 10000 AS VARCHAR) || ' ext.9',
                        '[^0-9+]', '', 'g') AS phone_norm,
                    CAST(c_custkey % 90 AS INT) AS age_years,
-                   CAST(c_custkey % 12 AS INT) AS age_months
+                   CAST(c_custkey % 12 AS INT) AS age_months,
+                   CASE CAST(c_custkey % 4 AS INT)
+                        WHEN 0 THEN 'read,write,administer'
+                        WHEN 1 THEN 'read,write'
+                        WHEN 2 THEN 'read'
+                        ELSE '' END AS grants
             FROM customer
         """,
         "badge_status_decode": """
@@ -1697,22 +1755,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    try_strptime(substr(str, 1, strpos(str, ' - ') - 1),
                                 '%d/%m/%Y %H:%M') AS sent_at,
-                   substr(str, strpos(str, ' - ') + 3) AS subject
-            FROM s
-        """,
-        "name_number_split": """
-            SELECT c_custkey, c_mktsegment AS name,
-                   '+' || CAST(c_custkey AS VARCHAR) AS number
-            FROM customer
-        """,
-        "permission_decode": """
-            SELECT c_custkey,
-                   CASE CAST(c_custkey % 4 AS INT)
-                        WHEN 0 THEN 'read,write,administer'
-                        WHEN 1 THEN 'read,write'
-                        WHEN 2 THEN 'read'
-                        ELSE '' END AS grants
-            FROM customer
+                   substr(str, strpos(str, ' - ') + 3) AS subject,
+                   CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                        WHEN o_orderkey % 11 = 0 THEN CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                        ELSE CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                             + (o_orderkey % 24) * INTERVAL 1 HOUR
+                             + (o_orderkey % 60) * INTERVAL 1 MINUTE
+                   END AS ts
+            FROM s JOIN orders USING (o_orderkey)
         """,
         "quarantine": """
             SELECT o_orderkey, 'price_out_of_range' AS violation
@@ -1754,19 +1804,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts, r.purchase_id, r.rts AS asof_ts
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
         """,
-        "make_datetime": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 13 = 0 THEN NULL
-                        WHEN o_orderkey % 11 = 0 THEN CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
-                        ELSE CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
-                             + (o_orderkey % 24) * INTERVAL 1 HOUR
-                             + (o_orderkey % 60) * INTERVAL 1 MINUTE
-                   END AS ts
-            FROM orders
-        """,
-        "date_keyed_map": """
-            SELECT event_id, CAST(ts AS DATE) AS date, event_type AS value
+        "audit_trail": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN 'f_' || CAST(event_id % 5 AS VARCHAR) END AS label,
+                   CASE WHEN event_id % 3 = 0 THEN event_type END AS value,
+                   CASE WHEN event_id % 3 = 1 THEN
+                        CASE CAST(event_id % 6 AS INT)
+                             WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN 'invited'
+                             WHEN 3 THEN 'shown' WHEN 4 THEN 'reserved' END
+                   END AS attendance,
+                   event_id % 4 = 0 AS has_required_tag
             FROM events
+        """,
+        "sms_credits": """
+            SELECT section_id, n_selected,
+                   CAST(section_id * 7 % 100 AS INT) AS credits,
+                   n_selected <= section_id * 7 % 100 AS can_send
+            FROM (SELECT user_id % 50 AS section_id, count(*) AS n_selected
+                  FROM events WHERE event_type = 'click' GROUP BY 1)
+        """,
+        "flexi_collation": """
+            WITH ids AS (
+                SELECT DISTINCT CASE CAST(o_orderkey % 5 AS INT)
+                    WHEN 0 THEN 'f_' || CAST(o_orderkey % 23 AS VARCHAR)
+                    WHEN 1 THEN 'firstname' WHEN 2 THEN 'lastname' WHEN 3 THEN 'dob'
+                    ELSE 'f_' || CAST(o_orderkey % 7 AS VARCHAR) END AS col_id
+                FROM orders
+            )
+            SELECT col_id,
+                   CAST(row_number() OVER (
+                        ORDER BY CASE WHEN regexp_full_match(col_id, 'f_\\d+')
+                                      THEN 1 ELSE 0 END, col_id) AS INT) AS sort_rank
+            FROM ids
         """,
         "earnt_cnf": """
             WITH met AS (

@@ -8,8 +8,10 @@ survive predicate pushdown.
 from osm_spark.functions.parsing import (  # noqa: F401
     age_months,
     age_years,
+    audit_trail_parse,
     badge_status_decode,
     cost_tbc,
+    credits_remaining,
     email_with_name,
     epoch_date,
     full_name,
@@ -23,6 +25,7 @@ from osm_spark.functions.parsing import (  # noqa: F401
     phone_normalize,
     sent_at_subject_split,
     strip_html,
+    template_tag_present,
     to_i_or_nil,
 )
 from osm_spark.functions.tags import (  # noqa: F401

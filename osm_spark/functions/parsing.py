@@ -217,6 +217,63 @@ def strip_html(col: Column | str) -> Column:
     return F.regexp_replace(c, r"</?[^>]*>", "")
 
 
+# F13 audit-trail attendance display → canonical value (event.rb:869-875).
+_ATTENDING_VALUES: list[tuple[str, str]] = [
+    ("Yes", "yes"),
+    ("No", "no"),
+    ("Invited", "invited"),
+    ("Show in My.SCOUT", "shown"),
+    ("Reserved", "reserved"),
+]
+
+
+def audit_trail_parse(type_col: Column | str, desc: Column | str) -> Column:
+    """F13 audit-trail description parse (lib/osm/event.rb:889-897).
+
+    ``detail`` rows match ``Set '<label>' to '<value>'`` (greedy named
+    groups, so quotes inside label/value survive); ``attendance`` rows
+    match ``Attendance: <value>`` with the display string mapped to its
+    canonical symbol (event.rb:869-875). Returns
+    struct<label:string, value:string, attendance:string>, fields NULL
+    when the row type or shape doesn't apply.
+    """
+    t = F.col(type_col) if isinstance(type_col, str) else type_col
+    d = F.col(desc) if isinstance(desc, str) else desc
+    is_detail = t == "detail"
+    label = F.when(is_detail, F.nullif(F.regexp_extract(d, r"^Set '(.+)' to '(.+)'$", 1), F.lit("")))
+    value = F.when(is_detail, F.nullif(F.regexp_extract(d, r"^Set '(.+)' to '(.+)'$", 2), F.lit("")))
+    raw_att = F.nullif(F.regexp_extract(d, r"^Attendance: (.+)$", 1), F.lit(""))
+    att_map = None
+    for display, sym in _ATTENDING_VALUES:
+        att_map = (
+            F.when(raw_att == display, sym)
+            if att_map is None
+            else att_map.when(raw_att == display, sym)
+        )
+    attendance = F.when(t == "attendance", att_map.otherwise(F.lit(None)))
+    return F.struct(
+        label.alias("label"), value.alias("value"), attendance.alias("attendance")
+    )
+
+
+def template_tag_present(content: Column | str, tag: Column | str) -> Column:
+    """F22 required-template-tag containment (lib/osm/myscout.rb:275-282):
+    the rendered tag is the literal ``[<tag-id>]`` inside the content."""
+    c = F.col(content) if isinstance(content, str) else content
+    t = F.col(tag) if isinstance(tag, str) else tag
+    return c.contains(F.concat(F.lit("["), t, F.lit("]")))
+
+
+def credits_remaining(col: Column | str) -> Column:
+    """A13 SMS credits parse (lib/osm/sms.rb:30): the API answers with a
+    human string; the reference extracts the single digit run via
+    ``\\A[^\\d]*(\\d+)[^\\d]*\\Z``. NULL when the shape doesn't match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(
+        F.regexp_extract(c, r"^[^\d]*(\d+)[^\d]*$", 1), F.lit("")
+    ).try_cast("int")
+
+
 def identifier(id_col: Column | str, suffix: Column | str) -> Column:
     """Composite identifier ``id + '_' + suffix`` (badges.rb:82, badge.rb:301)."""
     i = F.col(id_col) if isinstance(id_col, str) else id_col
