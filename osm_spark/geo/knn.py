@@ -34,7 +34,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm_spark.geo.hexgrid import edge_deg, hex_cell_expr, hex_center_expr
+from osm_spark.geo.hexgrid import edge_deg, hex_cell_expr, hex_center_expr, hex_disk_expr
 
 EARTH_RADIUS_M = 6371000.0
 DEG_M = 111320.0  # meters per degree of latitude
@@ -113,11 +113,106 @@ def cell_candidates(
     ).select("pcell", "node_id", "nlat", "nlon")
 
 
+def _min_m_per_deg(center_lat: Column, margin_deg: float) -> Column:
+    """Lower bound on meters per degree of displacement anywhere within
+    ``margin_deg`` of a cell center: latitude degrees are a full
+    ``DEG_M``; longitude degrees shrink by cos(lat), so
+    ``DEG_M * cos(|lat| + margin)`` (clamped below 89°) under-estimates
+    the metric distance of ANY degree-space displacement — the safe
+    direction for a coverage guarantee."""
+    lat_bound = F.least(F.abs(center_lat) + F.lit(margin_deg), F.lit(89.0))
+    return F.lit(DEG_M) * F.cos(F.radians(lat_bound))
+
+
+def cell_candidates_ring(
+    pts: DataFrame,
+    n: DataFrame,
+    k: int,
+    res: int,
+    rings: tuple[int, ...] = (2, 4, 8),
+) -> DataFrame:
+    """Planet-scale phase 1: cell-disk equi-join instead of cells × nodes.
+
+    Each node explodes to the cells of its K-disk (``hex_disk_expr`` —
+    codegen'd literal offsets, |nodes| × 3K(K+1)+1 rows) and equi-joins
+    the occupied point cells on cell id, so the pre-pass is
+    |cells| × O(ring occupancy) rather than |cells| × |nodes|. A cell is
+    *resolved* at ring K when (a) it sees ≥ k candidate nodes and (b) the
+    kth candidate's center distance + 2·circumradius fits inside the
+    ring's guaranteed-coverage radius — any node outside the K-disk lies
+    beyond ``(1.5K − 0.5)·edge`` in degree space (hex-ring inradius minus
+    one cell circumradius on each side), converted to meters with the
+    latitude-aware lower bound. Within that guarantee the ring's kth ==
+    the global kth, so the kept set is exactly the broadcast pre-pass's
+    (tests assert set equality). Unresolved cells (sparse regions whose
+    kth neighbor is far) escalate through doubling rings and finally fall
+    back to the broadcast pre-pass — the whole escalation is one lazy
+    plan, no driver-side counts.
+    """
+    cells = pts.select("pcell").distinct().withColumn(
+        "ctr", hex_center_expr("pcell", res)
+    )
+    node_cells = n.withColumn("ncell", hex_cell_expr("nlat", "nlon", res))
+    resolved_parts: list[DataFrame] = []
+    remaining = cells
+    for ring_k in rings:
+        disk = node_cells.select(
+            "node_id",
+            "nlat",
+            "nlon",
+            F.explode(hex_disk_expr("ncell", res, ring_k)).alias("pcell"),
+        )
+        cand = remaining.join(disk, "pcell").select(
+            "pcell",
+            "ctr",
+            "node_id",
+            "nlat",
+            "nlon",
+            haversine_m(
+                F.col("ctr.lat"), F.col("ctr.lon"), F.col("nlat"), F.col("nlon")
+            ).alias("dist_c"),
+        )
+        w_cell = Window.partitionBy("pcell").orderBy(
+            F.col("dist_c").asc(), F.col("node_id").asc()
+        )
+        ranked = cand.withColumn("rn", F.row_number().over(w_cell)).withColumn(
+            "kth_c",
+            F.max(F.when(F.col("rn") <= k, F.col("dist_c"))).over(
+                Window.partitionBy("pcell")
+            ),
+        ).withColumn(
+            "n_cand", F.count("*").over(Window.partitionBy("pcell"))
+        )
+        margin = (1.5 * ring_k + 1.0) * edge_deg(res)
+        guarantee_m = (
+            F.lit((1.5 * ring_k - 0.5) * edge_deg(res))
+            * _min_m_per_deg(F.col("ctr.lat"), margin)
+        )
+        ok = (F.col("n_cand") >= k) & (
+            F.col("kth_c") + F.lit(2.0 * circum_m(res)) <= guarantee_m
+        )
+        resolved_parts.append(
+            ranked.filter(ok)
+            .filter(F.col("dist_c") <= F.col("kth_c") + F.lit(2.0 * circum_m(res)))
+            .select("pcell", "node_id", "nlat", "nlon")
+        )
+        resolved_cells = ranked.filter(ok).select("pcell").distinct()
+        remaining = remaining.join(resolved_cells, "pcell", "left_anti")
+    # Sparse-region fallback: broadcast pre-pass for whatever is left
+    # (lazy — an empty remainder costs one empty join).
+    resolved_parts.append(cell_candidates(remaining.select("pcell"), n, k, res))
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_join(
     points: DataFrame,
     nodes: DataFrame,
     k: int = 3,
     res: int = 8,
+    phase1: str = "broadcast",
 ) -> DataFrame:
     """(url, node_id, dist_m, rank) — k nearest nodes per page point.
 
@@ -125,6 +220,12 @@ def knn_join(
     broadcast). ``res`` is the prune-grid resolution; correctness does
     not depend on it, only candidate fanout (finer res → tighter prune
     radius → fewer candidates, more cells in phase 1).
+
+    ``phase1``: 'broadcast' (cells × broadcast nodes — right while the
+    node table broadcasts) or 'ring' (cell-disk equi-join escalation,
+    ``cell_candidates_ring`` — the planet-scale form where the node side
+    no longer fits a broadcast). Both produce identical candidate sets
+    (tested), so phase 2 and results are unchanged.
 
     Phase 2 is shuffle-free on the big side: the per-cell candidate set
     arrives as an ARRAY via broadcast join, the top-k is
@@ -144,13 +245,17 @@ def knn_join(
         "pcell", hex_cell_expr("lat", "lon", res)
     )
 
+    phase1_fn = cell_candidates_ring if phase1 == "ring" else cell_candidates
+    # No persist: cand_sets feeds straight into a broadcast exchange, which
+    # materializes it exactly once on the driver anyway — a persist in
+    # front of a broadcast is pure overhead (and measured badly at high
+    # local thread counts; BENCH.md finding #1).
     cand_sets = (
-        cell_candidates(pts, n, k, res)
+        phase1_fn(pts, n, k, res)
         .groupBy("pcell")
         .agg(
             F.collect_list(F.struct("node_id", "nlat", "nlon")).alias("cands")
         )
-        .persist()
     )
     scored = pts.join(F.broadcast(cand_sets), "pcell").withColumn(
         "topk",
