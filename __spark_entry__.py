@@ -284,11 +284,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash (vectorized Arrow UDF) + quadrant-pigeonhole pairs
-    (rows-only: the UDF path; exactness pytest-golden-verified)."""
+    """64-bit SimHash (vectorized Arrow UDF) + segment-pigeonhole pairs
+    (rows-only: the UDF path; exactness pytest-golden-verified).
+    max_hamming=3 with 4×16-bit segments — the regime where the blocking
+    guarantees full recall (simhash_near_dups enforces k < blocks)."""
     from osm_spark.text.dedup import simhash64, simhash_near_dups
 
-    return simhash_near_dups(simhash64(_t(spark, sf_dir, "documents")), max_hamming=12)
+    return simhash_near_dups(simhash64(_t(spark, sf_dir, "documents")), max_hamming=3)
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,8 +14,8 @@ carry-forward plan, NOT a per-key range explosion:
 Cost is a single exchange of |L|+|R| rows keyed by the join key — the
 same shape as a sort-merge join, with skew handled by AQE. Ties
 (right.ts == left.ts) match, mirroring DuckDB/pandas ASOF `>=` semantics;
-among equal right timestamps the highest ``right_order`` column wins
-(deterministic).
+among duplicate (key, ts) right rows the greatest right-column struct
+wins (deterministic tertiary sort key — no dedupe precondition).
 """
 
 from __future__ import annotations
@@ -55,8 +55,13 @@ def asof_join(
         ).alias("_l"),
         F.struct(*[F.col(c) for c in rcols], F.col(right_ts).alias("_rts")).alias("_r"),
     )
-    # right rows sort BEFORE left rows at equal ts → `<=` match semantics
-    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+    # right rows sort BEFORE left rows at equal ts → `<=` match semantics.
+    # "_r" is the tertiary key: among duplicate (key, ts) right rows the
+    # greatest right struct (field order: rcols…, _rts) sorts last and
+    # wins the carry-forward — deterministic without requiring callers to
+    # dedupe the right side. Left rows carry _r = NULL (sorts first, and
+    # their relative order cannot affect last(_r) anyway).
+    w = Window.partitionBy("_k").orderBy("_ts", "_side", "_r").rowsBetween(
         Window.unboundedPreceding, 0
     )
     merged = l_tag.unionByName(r_tag).withColumn(

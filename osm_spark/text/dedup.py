@@ -284,18 +284,47 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(id_col, text_col).mapInPandas(gen, "doc_id long, simhash long")
 
 
-def simhash_near_dups(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ k over 64-bit simhashes.
+def simhash_near_dups(
+    simhashes: DataFrame, max_hamming: int = 3, num_blocks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` over 64-bit
+    simhashes.
 
-    Scale path: block on the 4 16-bit quadrants (pigeonhole — any pair
-    within Hamming 3 agrees on ≥1 quadrant), equi-join per quadrant,
-    verify with bit_count(xor). Avoids the O(n²) cross join.
+    Scale path: split the 64 bits into ``num_blocks`` contiguous segments
+    (pigeonhole — any pair within Hamming ``num_blocks - 1`` agrees on
+    ≥1 whole segment), equi-join per segment, verify with
+    bit_count(xor). Avoids the O(n²) cross join. Recall is guaranteed
+    only when ``max_hamming < num_blocks``, so that is enforced; note
+    more blocks means narrower segments and quadratically larger
+    candidate sets — k=3 with 4×16-bit segments is the practical point.
     """
+    if num_blocks is None:
+        num_blocks = max(4, max_hamming + 1)
+    if not 1 <= num_blocks <= 64:
+        raise ValueError(f"num_blocks must be in [1, 64], got {num_blocks}")
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"blocked candidate generation only guarantees recall for "
+            f"Hamming < num_blocks: max_hamming={max_hamming} needs "
+            f">= {max_hamming + 1} blocks, got {num_blocks}"
+        )
+    # Segment i covers width w_i ∈ {floor(64/b), ceil(64/b)} bits starting
+    # at offset off_i; offsets/widths are compile-time literals.
+    base, extra = divmod(64, num_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(num_blocks)]
+    offsets = [sum(widths[:i]) for i in range(num_blocks)]
+    seg_val = None
+    for i, (off, w) in enumerate(zip(offsets, widths)):
+        mask = (1 << w) - 1
+        v = F.expr(f"(simhash >> {off}) & {mask}")
+        seg_val = F.when(F.col("q") == i, v) if seg_val is None else seg_val.when(
+            F.col("q") == i, v
+        )
     quads = simhashes.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
-    ).withColumn("qval", F.expr("(simhash >> (q * 16)) & 65535"))
+        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("q"),
+    ).withColumn("qval", seg_val)
     a = quads.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qval"
     )

@@ -29,6 +29,24 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Duplicate (key, ts) right rows: the greatest right struct wins,
+    every run (tertiary sort key, no dedupe precondition)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(10), 103), (1, t(10), 101)],
+        "user_id long, ts timestamp, purchase_id long",
+    )
+    for _ in range(3):
+        [r] = asof_join(
+            left, right.repartition(4), "user_id", "ts", "ts", ["purchase_id"]
+        ).collect()
+        assert (r.purchase_id, r.asof_ts) == (103, t(10))
+
+
 def test_asof_join_keeps_all_left_rows(spark, sf_med_dir):
     e = spark.read.parquet(f"{sf_med_dir}/events.parquet")
     from pyspark.sql import functions as F

@@ -134,6 +134,35 @@ def test_simhash_near_dups_pigeonhole(spark):
     assert got == {(1, 2): 3, (1, 3): 1}
 
 
+def test_simhash_near_dups_guard_and_wide_blocks(spark):
+    """Recall guard: k >= blocks raises; k=5 with 6 variable-width
+    segments finds every pair <= 5 (brute-force comparison)."""
+    import itertools
+
+    import pytest as _pytest
+
+    i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    rows = [
+        (1, 0b1010),
+        (2, 0b1010 ^ 0b11111),        # hamming 5 spread over low bits
+        (3, i64(0b1010 ^ ((1 << 63) | (1 << 30) | (1 << 12) | 0b11))),  # hamming 4
+        (4, -1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    with _pytest.raises(ValueError):
+        simhash_near_dups(df, max_hamming=12, num_blocks=4)  # unsound pairing
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(df, max_hamming=5, num_blocks=6).collect()
+    }
+    exp = {}
+    for (ida, sha), (idb, shb) in itertools.combinations(rows, 2):
+        h = bin((sha ^ shb) & (2**64 - 1)).count("1")
+        if h <= 5:
+            exp[(min(ida, idb), max(ida, idb))] = h
+    assert got == exp
+
+
 def test_word_ngrams(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     [row] = df.select(word_ngrams("text", 3).alias("g")).collect()
