@@ -97,32 +97,41 @@ def minhash_signatures(
 
     h_seed(doc) = min over shingles of md5(seed || ':' || shingle); the
     lexicographic min of the hex digest is a valid min-wise hash and is
-    engine-portable. The groupBy combiner computes per-partition mins, so
-    the shuffle after the explode carries ≤ num_hashes rows per doc.
+    engine-portable.
+
+    Plan: one explode to (doc, shingle), all ``num_hashes`` digests
+    computed as ONE array projection per occurrence (whole-stage codegen,
+    no join), then a single doc-keyed aggregation with ``num_hashes``
+    min columns — the map-side combiner collapses every partition to one
+    row per doc BEFORE the only shuffle, which therefore carries
+    |docs| × num_hashes hashes, independent of document length. (The
+    previous form joined a distinct-vocab hash dim back to occurrences,
+    materializing occurrences × num_hashes rows into a (doc, seed)
+    shuffle — measured 3-4× slower at sf0.1 and quadratically worse with
+    document length.) The k-wide min-agg unpivots back to
+    (doc_id, seed, minhash) via posexplode, so downstream banding is
+    unchanged.
     """
     sh = shingle if shingle is not None else tokens(text_col)
     exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("tok"))
-    # Hash DISTINCT shingles once (vocab ≪ token occurrences — ~100× fewer
-    # md5 evaluations on natural text), then join the k-hash rows back to
-    # the occurrence list. AQE broadcasts the hash dim when the vocab is
-    # small; at web scale it falls back to a shuffle join on the shingle.
-    tok_hashes = (
-        exploded.select("tok")
-        .distinct()
-        .select(
-            "tok",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        )
-        .select(
-            "tok",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("tok"))).alias("h"),
-        )
+    harr = exploded.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.md5(F.concat_ws(":", s, F.col("tok"))),
+        ).alias("h"),
     )
-    return (
-        exploded.join(tok_hashes, "tok")
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    mins = harr.groupBy("doc_id").agg(
+        *[
+            F.min(F.element_at("h", i + 1)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
 
 
@@ -188,8 +197,17 @@ def jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|) is pure Column set math per pair: no token
     explode, no token-keyed shuffle. Cost is O(candidate pairs × avg doc
     length) in-partition work, not a 40×-row join intermediate.
+
+    The pair list is explicitly repartitioned to cluster parallelism
+    first: AQE coalesces post-shuffle partitions by BYTES, and candidate
+    pairs are 16-byte rows that each carry ~10³ set-intersection ops —
+    byte-sized coalescing collapsed the refine to 1-2 tasks (measured
+    4× the whole query's wall). The extra shuffle moves only the skinny
+    id pairs; the CPU-heavy refine then runs at full width.
     """
     sh = shingle if shingle is not None else tokens(text_col)
+    par = pairs.sparkSession.sparkContext.defaultParallelism * 2
+    pairs = pairs.repartition(par, "doc_a", "doc_b")
     ts = docs.select(F.col(id_col).alias("doc_id"), sh.alias("toks"))
     ta = ts.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = ts.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
