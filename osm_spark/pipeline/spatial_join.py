@@ -244,16 +244,60 @@ def pip_join_salted(
     return _refine_pip_expr(cand)
 
 
+def estimate_covering_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> int:
+    """Upper-bound covering-cell estimate from polygon bboxes — pure
+    Column arithmetic over the (small) polygon dim, mirroring
+    ``hex_polyfill``'s candidate grid: (Δq+5)·(Δr+5) per polygon.
+
+    This is the strategy-choice statistic: unlike ``way_cells.count()``
+    it never executes the Python polyfill (at planet scale that count is
+    a full covering job over millions of polygons; this is one codegen
+    aggregate over vertex arrays)."""
+    from osm_spark.geo.hexgrid import edge_deg
+
+    size = edge_deg(res)
+    qf = F.transform(
+        F.arrays_zip(F.col("vlat").alias("la"), F.col("vlon").alias("lo")),
+        lambda v: (0.5773502691896258 * v["lo"] - v["la"] / 3.0) / size,
+    )
+    rf = F.transform(F.col("vlat"), lambda la: (2.0 / 3.0 * la) / size)
+    per_poly = (
+        (F.array_max(qf) - F.array_min(qf) + 5.0)
+        * (F.array_max(rf) - F.array_min(rf) + 5.0)
+    )
+    [row] = (
+        polygons.select(per_poly.alias("est"))
+        .agg(F.sum("est").alias("total"))
+        .collect()
+    )
+    return int(row.total or 0)
+
+
 def pip_join(
-    points: DataFrame, polygons: DataFrame, way_cells: DataFrame | None = None
+    points: DataFrame,
+    polygons: DataFrame,
+    way_cells: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Auto-strategy PIP join: broadcast when the covering is small, else
-    salted shuffle. Returns (url, way_id) exact-match pairs."""
+    salted shuffle. Returns (url, way_id) exact-match pairs.
+
+    ``strategy``: 'broadcast' | 'salted' | 'auto'. Auto decides from the
+    bbox-derived covering estimate (one cheap aggregate over the polygon
+    dim — no covering materialization, no Python); callers that know
+    their catalog stats pass the strategy explicitly and pay no job."""
     from osm_spark.pipeline.geometry import build_way_cells
 
     if way_cells is None:
         way_cells = build_way_cells(polygons)
-    n_cells = way_cells.count()
-    if n_cells <= BROADCAST_MAX_CELLS:
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if estimate_covering_cells(polygons) <= BROADCAST_MAX_CELLS
+            else "salted"
+        )
+    if strategy == "broadcast":
         return pip_join_broadcast(points, polygons, way_cells)
+    if strategy != "salted":
+        raise ValueError(f"unknown pip_join strategy: {strategy!r}")
     return pip_join_salted(points, polygons, way_cells, salt_plan(points))
