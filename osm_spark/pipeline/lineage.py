@@ -37,9 +37,21 @@ class StageResult:
 
 @dataclass
 class LineageLog:
+    """``base_dir`` mode checkpoints to parquet paths (the sandbox form).
+    ``table_prefix`` mode is the catalog seam: stages become catalog
+    tables ``{prefix}_{stage}`` and metrics append to a
+    ``{prefix}_lineage`` table — with an Iceberg catalog configured the
+    identical calls land in Iceberg tables whose manifests carry the
+    per-file row counts natively; against the built-in session catalog
+    the same code path is exercised over the warehouse dir (tested)."""
+
     spark: SparkSession
-    base_dir: str
+    base_dir: str | None = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    table_prefix: str | None = None
+
+    def _stage_table(self, name: str) -> str:
+        return f"{self.table_prefix}_{name}"
 
     def _stage_path(self, name: str) -> str:
         return os.path.join(self.base_dir, "stages", name)
@@ -60,40 +72,74 @@ class LineageLog:
         return out
 
     def stage_done(self, name: str) -> bool:
+        if self.table_prefix is not None:
+            return self.spark.catalog.tableExists(self._stage_table(name))
         return os.path.exists(os.path.join(self._stage_path(name), "_SUCCESS"))
+
+    def _read_stage(self, name: str) -> DataFrame:
+        if self.table_prefix is not None:
+            return self.spark.table(self._stage_table(name))
+        return self.spark.read.parquet(self._stage_path(name))
 
     def run_stage(
         self, name: str, build: Callable[[], DataFrame], repartition: int | None = None
     ) -> StageResult:
         """Execute (or resume) one checkpointed stage."""
-        path = self._stage_path(name)
         t0 = time.monotonic()
         if self.stage_done(name):
-            df = self.spark.read.parquet(path)
-            self._append_lineage(name, path, skipped=True, wall_ms=0)
+            df = self._read_stage(name)
+            self._append_lineage(name, skipped=True, wall_ms=0)
             return StageResult(name, df, True, 0, -1)
 
         df = build()
         if repartition:
             df = df.repartition(repartition)
-        df.write.mode("overwrite").parquet(path)
+        if self.table_prefix is not None:
+            df.write.mode("overwrite").saveAsTable(self._stage_table(name))
+        else:
+            df.write.mode("overwrite").parquet(self._stage_path(name))
         wall_ms = int((time.monotonic() - t0) * 1000)
-        rows = self._append_lineage(name, path, skipped=False, wall_ms=wall_ms)
-        return StageResult(name, self.spark.read.parquet(path), False, wall_ms, rows)
+        rows = self._append_lineage(name, skipped=False, wall_ms=wall_ms)
+        return StageResult(name, self._read_stage(name), False, wall_ms, rows)
 
-    def _append_lineage(self, name: str, path: str, skipped: bool, wall_ms: int) -> int:
-        metrics = [] if skipped else self._file_metrics(path)
+    def _append_lineage(self, name: str, skipped: bool, wall_ms: int) -> int:
+        if skipped:
+            metrics = []
+        elif self.table_prefix is not None:
+            # inputFiles() of the fresh table → footer row counts (the
+            # stand-in for Iceberg manifest counts)
+            metrics = self._table_file_metrics(self._stage_table(name))
+        else:
+            metrics = self._file_metrics(self._stage_path(name))
         total = sum(r for _f, r in metrics)
         rows = [
             (self.run_id, name, f, int(r), int(wall_ms), bool(skipped))
             for f, r in metrics
         ] or [(self.run_id, name, None, 0, int(wall_ms), bool(skipped))]
-        self.spark.createDataFrame(
+        log = self.spark.createDataFrame(
             rows,
             "run_id string, stage string, partition_file string, "
             "output_rows long, wall_ms long, skipped boolean",
-        ).write.mode("append").parquet(self._lineage_path())
+        )
+        if self.table_prefix is not None:
+            log.write.mode("append").saveAsTable(f"{self.table_prefix}_lineage")
+        else:
+            log.write.mode("append").parquet(self._lineage_path())
         return total
 
+    def _table_file_metrics(self, table: str) -> list[tuple[str, int]]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for uri in sorted(self.spark.table(table).inputFiles()):
+            path = uri.removeprefix("file:")
+            if path.endswith(".parquet"):
+                out.append(
+                    (os.path.basename(path), pq.ParquetFile(path).metadata.num_rows)
+                )
+        return out
+
     def lineage(self) -> DataFrame:
+        if self.table_prefix is not None:
+            return self.spark.table(f"{self.table_prefix}_lineage")
         return self.spark.read.parquet(self._lineage_path())

@@ -43,6 +43,65 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     )
 
 
+def merge_into_sql(
+    target_table: str, source_view: str, key: str, cols: list[str]
+) -> str:
+    """The ANSI ``MERGE INTO`` statement the catalog path executes —
+    source wins on match, inserts otherwise (exactly ``merge_upsert``'s
+    semantics, ref model.rb:74-119 minimal-update contract O1/O6)."""
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+    cols_csv = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s "
+        f"ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols_csv}) VALUES ({vals})"
+    )
+
+
+def catalog_supports_merge(spark, table: str) -> bool:
+    """True when the table's catalog is a configured V2 catalog (Iceberg/
+    Delta register an implementation under spark.sql.catalog.<name>) —
+    those execute MERGE INTO natively. The built-in session catalog over
+    plain files does not."""
+    catalog = (
+        table.split(".", 1)[0]
+        if table.count(".") >= 2
+        else spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+    )
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    # Spark 4 reports the built-in session catalog as 'builtin'; a real
+    # V2 catalog (Iceberg SparkCatalog, Delta) is a class name.
+    return bool(impl) and impl != "builtin"
+
+
+def merge_upsert_table(
+    spark, target_table: str, source: DataFrame, key: str
+):
+    """Catalog-aware MERGE seam.
+
+    On a configured V2 catalog (Iceberg/Delta) this registers the source
+    as a temp view and executes real ``MERGE INTO`` SQL — copy-on-write /
+    merge-on-read is the writer's concern, snapshots come for free. In
+    this sandbox (no catalog jars) it falls back to the engine-portable
+    full-outer + coalesce plan. Returns ``(result_df, sql_text,
+    executed)`` so callers and tests can inspect the statement either way.
+    """
+    import uuid as _uuid
+
+    view = f"_merge_src_{_uuid.uuid4().hex[:8]}"
+    source.createOrReplaceTempView(view)
+    sql = merge_into_sql(target_table, view, key, list(source.columns))
+    if catalog_supports_merge(spark, target_table):
+        spark.sql(sql)
+        return spark.table(target_table), sql, True
+    return merge_upsert(spark.table(target_table), source, key), sql, False
+
+
 def changed_cells(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """CDC diff: (key, column, old_value, new_value, change) rows.
 

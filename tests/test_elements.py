@@ -96,3 +96,76 @@ def test_changed_cells(spark):
         (4, "name"): ("gone", None, "delete"),
         (4, "v"): ("4", None, "delete"),
     }
+
+
+def test_merge_into_sql_and_catalog_dispatch(spark, tmp_path):
+    """The Iceberg seam: MERGE INTO text generation, catalog detection,
+    and the fallback path producing merge_upsert's exact result."""
+    from osm_spark.pipeline.merge import (
+        catalog_supports_merge,
+        merge_into_sql,
+        merge_upsert,
+        merge_upsert_table,
+    )
+
+    sql = merge_into_sql("ice.db.orders", "src_v", "id", ["id", "status"])
+    assert sql == (
+        "MERGE INTO ice.db.orders t USING src_v s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.status = s.status "
+        "WHEN NOT MATCHED THEN INSERT (id, status) VALUES (s.id, s.status)"
+    )
+
+    # built-in session catalog: no V2 impl configured -> no native MERGE
+    assert not catalog_supports_merge(spark, "spark_catalog.default.t")
+    # a configured V2 catalog (how Iceberg/Delta appear) is detected
+    spark.conf.set("spark.sql.catalog.icetest", "org.example.FakeCatalog")
+    try:
+        assert catalog_supports_merge(spark, "icetest.db.t")
+    finally:
+        spark.conf.unset("spark.sql.catalog.icetest")
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, status string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "id long, status string")
+    target.write.mode("overwrite").saveAsTable("merge_seam_target")
+    try:
+        got, sql2, executed = merge_upsert_table(
+            spark, "merge_seam_target", source, "id"
+        )
+        assert not executed  # sandbox: fallback plan ran
+        assert "MERGE INTO merge_seam_target t USING" in sql2
+        exp = sorted(
+            map(tuple, merge_upsert(spark.table("merge_seam_target"), source, "id").collect())
+        )
+        assert sorted(map(tuple, got.collect())) == exp == [(1, "a"), (2, "B"), (3, "c")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_seam_target")
+
+
+def test_lineage_catalog_table_mode(spark):
+    """LineageLog table_prefix mode: stages land as catalog tables,
+    metrics append to the {prefix}_lineage table, resume skips."""
+    from osm_spark.pipeline.lineage import LineageLog
+
+    prefix = "seam_demo"
+    for t in (f"{prefix}_stage1", f"{prefix}_lineage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    log = LineageLog(spark, table_prefix=prefix)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(100).withColumnRenamed("id", "v")
+
+    try:
+        r1 = log.run_stage("stage1", build)
+        assert not r1.skipped and r1.output_rows == 100
+        assert spark.table(f"{prefix}_stage1").count() == 100
+        r2 = log.run_stage("stage1", build)
+        assert r2.skipped and len(calls) == 1
+        lin = log.lineage()
+        assert lin.filter(lin.stage == "stage1").count() >= 2
+        rows = lin.filter(~lin.skipped).agg(F.sum("output_rows")).collect()[0][0]
+        assert rows == 100
+    finally:
+        for t in (f"{prefix}_stage1", f"{prefix}_lineage"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
