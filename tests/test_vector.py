@@ -97,3 +97,36 @@ def test_embedding_near_dups_threshold(emb, vecs):
         want = round(_np_cosine(vecs[r.vec_a], vecs[r.vec_b]), 6)
         assert r.cos_sim == pytest.approx(want, abs=1e-9)
         assert r.cos_sim >= 0.3
+
+
+def test_ann_multiprobe_monotone_recall(emb, vecs):
+    """nprobe=1 results are a subset of nprobe=3's candidate coverage:
+    every query's probed-bucket set grows, so recall vs exact top-k is
+    monotonically non-decreasing — and strictly better on this fixture."""
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_lsh_topk(q, emb, k=5, num_planes=6, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > r1  # 6-plane buckets on 500 vectors: probing must help
+
+
+def test_ann_multiprobe_nprobe1_identical_to_single(emb):
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ann_lsh_topk(q, emb, k=10, num_planes=6).collect()))
+    b = sorted(map(tuple, ann_lsh_topk(q, emb, k=10, num_planes=6, nprobe=1).collect()))
+    assert a == b
