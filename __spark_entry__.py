@@ -231,15 +231,22 @@ def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle distance as pure column math (kNN's metric), verified
-    value-exactly against DuckDB's trig on the same derived coordinates."""
+    value-exactly against DuckDB's trig on the same derived coordinates.
+    Also carries the S2 level-13 cell id (§2.10) from the codegen
+    ``s2_cell_cols`` chain — the full face/gnomonic/Hilbert construction
+    replayed by the oracle SQL, so the S2 encode is driver-gated."""
     from osm_spark.geo.knn import haversine_m
+    from osm_spark.geo.s2 import s2_cell_cols
 
     c = _t(spark, sf_dir, "customer")
     lat = (F.col("c_custkey") * 2654435761 % 1700001) / 10000.0 - 85.0
     lon = (F.col("c_custkey") * 40503 % 3600001) / 10000.0 - 180.0
     pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    pts = s2_cell_cols(pts, level=13, out="s2_13")
     d = haversine_m(F.col("lat"), F.col("lon"), F.lit(51.5074), F.lit(-0.1278))
-    return pts.select("c_custkey", F.round(d / 1000.0, 3).alias("dist_km"))
+    return pts.select(
+        "c_custkey", F.round(d / 1000.0, 3).alias("dist_km"), "s2_13"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -987,6 +994,82 @@ def _nodes_values_sql() -> str:
     return ",\n                ".join(rows)
 
 
+def _s2_chain_sql(base: str, carry: list[str], level: int = 13) -> str:
+    """DuckDB replay of ``s2_cell_cols`` — face selection, gnomonic (u,v),
+    quadratic ST, then the Hilbert xy→d loop unrolled as one CTE pair per
+    bit (integer ops, bit-exact across engines). ``base`` must yield
+    ``carry`` columns plus lat/lon; the result CTE ``s2out`` yields carry
+    + ``s2_13``."""
+    n = 1 << level
+    carry_csv = ", ".join(carry)
+    parts = [
+        f"sb AS ({base})",
+        "s1 AS (SELECT *, cos(radians(lat))*cos(radians(lon)) AS cx,"
+        " cos(radians(lat))*sin(radians(lon)) AS cy, sin(radians(lat)) AS cz FROM sb)",
+        "s2f AS (SELECT *, CASE WHEN abs(cx) >= greatest(abs(cy), abs(cz)) THEN 0"
+        " WHEN abs(cy) >= abs(cz) THEN 1 ELSE 2 END AS f0 FROM s1)",
+        "s3 AS (SELECT *, CASE WHEN (CASE f0 WHEN 0 THEN cx WHEN 1 THEN cy ELSE cz END) < 0"
+        " THEN f0 + 3 ELSE f0 END AS face FROM s2f)",
+        "s4 AS (SELECT *,"
+        " CASE face WHEN 0 THEN cy/cx WHEN 1 THEN -cx/cy WHEN 2 THEN -cx/cz"
+        " WHEN 3 THEN cz/cx WHEN 4 THEN cz/cy ELSE -cy/cz END AS u,"
+        " CASE face WHEN 0 THEN cz/cx WHEN 1 THEN cz/cy WHEN 2 THEN -cy/cz"
+        " WHEN 3 THEN cy/cx WHEN 4 THEN -cx/cy ELSE -cx/cz END AS v FROM s3)",
+        "s5 AS (SELECT *,"
+        " CASE WHEN u >= 0 THEN 0.5*sqrt(1.0+3.0*u) ELSE 1.0-0.5*sqrt(1.0-3.0*u) END AS stu,"
+        " CASE WHEN v >= 0 THEN 0.5*sqrt(1.0+3.0*v) ELSE 1.0-0.5*sqrt(1.0-3.0*v) END AS stv"
+        " FROM s4)",
+        f"h0 AS (SELECT {carry_csv}, face,"
+        f" LEAST(GREATEST(CAST(trunc(stu*{n}.0) AS BIGINT), 0), {n - 1}) AS hx,"
+        f" LEAST(GREATEST(CAST(trunc(stv*{n}.0) AS BIGINT), 0), {n - 1}) AS hy,"
+        " CAST(0 AS BIGINT) AS hd FROM s5)",
+    ]
+    k, s = 0, n >> 1
+    while s > 0:
+        k += 1
+        parts.append(
+            f"p{k} AS (SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,"
+            f" CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM h{k - 1})"
+        )
+        parts.append(
+            f"q{k} AS (SELECT *, CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - hx ELSE hx END AS xf,"
+            f" CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - hy ELSE hy END AS yf FROM p{k})"
+        )
+        parts.append(
+            f"h{k} AS (SELECT {carry_csv}, face,"
+            f" CASE WHEN ry = 0 THEN yf ELSE xf END AS hx,"
+            f" CASE WHEN ry = 0 THEN xf ELSE yf END AS hy,"
+            f" hd + {s} * {s} * xor(3 * rx, ry) AS hd FROM q{k})"
+        )
+        s >>= 1
+    parts.append(
+        f"s2out AS (SELECT {carry_csv},"
+        f" ((face * {n * n} + hd) << 5) | {level} AS s2_13 FROM h{k})"
+    )
+    return ",\n        ".join(parts)
+
+
+def _haversine_s2_oracle() -> str:
+    base = """
+        SELECT c_custkey,
+               (c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0 AS lat,
+               (c_custkey * 40503 % 3600001) / 10000.0 - 180.0 AS lon
+        FROM customer
+    """
+    chain = _s2_chain_sql(base, ["c_custkey", "lat", "lon"], 13)
+    return f"""
+        WITH {chain}
+        SELECT c_custkey,
+               ROUND(2.0 * 6371000.0 * asin(sqrt(
+                   pow(sin(radians(51.5074 - lat) / 2.0), 2)
+                   + cos(radians(lat)) * cos(radians(51.5074))
+                   * pow(sin(radians(-0.1278 - lon) / 2.0), 2)
+               )) / 1000.0, 3) AS dist_km,
+               s2_13
+        FROM s2out
+    """
+
+
 def _pip_pairs_oracle() -> str:
     """Brute-force even-odd ray cast + boundary-eps test in DuckDB, same
     IEEE op order as ``pip_cover_expr`` (spatial_join.py), over every
@@ -1307,16 +1390,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty
         """,
-        "haversine_distance": """
-            SELECT c_custkey,
-                   ROUND(2.0 * 6371000.0 * asin(sqrt(
-                       pow(sin(radians(51.5074 - ((c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0)) / 2.0), 2)
-                       + cos(radians((c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0))
-                       * cos(radians(51.5074))
-                       * pow(sin(radians(-0.1278 - ((c_custkey * 40503 % 3600001) / 10000.0 - 180.0)) / 2.0), 2)
-                   )) / 1000.0, 3) AS dist_km
-            FROM customer
-        """,
+        "haversine_distance": _haversine_s2_oracle(),
         "minhash_lsh_pairs": """
             WITH tok AS (
                 SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok

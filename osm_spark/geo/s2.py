@@ -107,6 +107,106 @@ def s2_parent_np(cell: np.ndarray, level: int, parent_level: int) -> np.ndarray:
     return ((face * pn2 + pos) << 5) | np.int64(parent_level)
 
 
+def s2_cell_cols(
+    df,
+    lat: str = "lat",
+    lon: str = "lon",
+    level: int = DEFAULT_LEVEL,
+    out: str = "s2",
+):
+    """Pure-Column S2 encode as a DataFrame transform (no Python).
+
+    Same math as ``s2_cell_np`` term for term. The Hilbert xy→d loop is
+    ``level`` chained ``withColumns`` projections — column-at-a-time so
+    each iteration's x/y/d are named attributes, not a re-inlined
+    expression tree (CollapseProject's duplication guard keeps non-cheap
+    multi-referenced projections un-collapsed, so the plan stays linear
+    in ``level``). Whole-stage codegen fuses the chain into one stage:
+    the hot path pays zero Arrow round trips, matching the
+    ``hex_cell_expr`` design. Integer ops are bit-exact across engines;
+    the float prefix (trig, gnomonic projection) is IEEE-identical in
+    op order to the numpy form (bit-equality tested on fixtures).
+    """
+    la, lo = F.radians(F.col(lat)), F.radians(F.col(lon))
+    cx = F.cos(la) * F.cos(lo)
+    cy = F.cos(la) * F.sin(lo)
+    cz = F.sin(la)
+    df = df.withColumns({"_cx": cx, "_cy": cy, "_cz": cz})
+    ax, ay, az = F.abs(F.col("_cx")), F.abs(F.col("_cy")), F.abs(F.col("_cz"))
+    f0 = (
+        F.when(ax >= F.greatest(ay, az), F.lit(0))
+        .when(ay >= az, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    df = df.withColumns({"_f0": f0})
+    major = (
+        F.when(F.col("_f0") == 0, F.col("_cx"))
+        .when(F.col("_f0") == 1, F.col("_cy"))
+        .otherwise(F.col("_cz"))
+    )
+    df = df.withColumns(
+        {"_face": F.when(major < 0, F.col("_f0") + 3).otherwise(F.col("_f0")).cast("long")}
+    )
+    x, y, z = F.col("_cx"), F.col("_cy"), F.col("_cz")
+    u = (
+        F.when(F.col("_face") == 0, y / x)
+        .when(F.col("_face") == 1, -x / y)
+        .when(F.col("_face") == 2, -x / z)
+        .when(F.col("_face") == 3, z / x)
+        .when(F.col("_face") == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(F.col("_face") == 0, z / x)
+        .when(F.col("_face") == 1, z / y)
+        .when(F.col("_face") == 2, -y / z)
+        .when(F.col("_face") == 3, y / x)
+        .when(F.col("_face") == 4, -x / y)
+        .otherwise(-x / z)
+    )
+    df = df.withColumns({"_u": u, "_v": v})
+
+    def st(c):
+        return F.when(c >= 0, 0.5 * F.sqrt(1.0 + 3.0 * c)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c)
+        )
+
+    n = np.int64(1) << level
+    clip = lambda c: F.least(F.greatest(c, F.lit(0).cast("long")), F.lit(int(n - 1)))  # noqa: E731
+    df = df.withColumns(
+        {
+            "_hx": clip((st(F.col("_u")) * float(n)).cast("long")),
+            "_hy": clip((st(F.col("_v")) * float(n)).cast("long")),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    s = int(n) >> 1
+    while s > 0:
+        hx, hy = F.col("_hx"), F.col("_hy")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        df = df.withColumns({"_rx": rx, "_ry": ry})
+        flip = (F.col("_ry") == 0) & (F.col("_rx") == 1)
+        xf = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        yf = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        df = df.withColumns({"_xf": xf, "_yf": yf})
+        swap = F.col("_ry") == 0
+        df = df.withColumns(
+            {
+                "_hd": F.col("_hd")
+                + F.lit(s) * F.lit(s) * (3 * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+                "_hx": F.when(swap, F.col("_yf")).otherwise(F.col("_xf")),
+                "_hy": F.when(swap, F.col("_xf")).otherwise(F.col("_yf")),
+            }
+        )
+        s >>= 1
+    cell = F.shiftleft(
+        F.col("_face") * F.lit(int(n) * int(n)) + F.col("_hd"), 5
+    ).bitwiseOR(F.lit(level).cast("long"))
+    drop = ["_cx", "_cy", "_cz", "_f0", "_face", "_u", "_v", "_hx", "_hy", "_hd", "_rx", "_ry", "_xf", "_yf"]
+    return df.withColumns({out: cell}).drop(*drop)
+
+
 def s2_cell_udf(level: int = DEFAULT_LEVEL):
     """pandas UDF (double, double) → long cell id."""
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.geo.extract import COORD_REGEX, extract_coords_udf
 from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_expr, points_in_polygon_np
-from osm_spark.geo.s2 import s2_cell_udf
+from osm_spark.geo.s2 import s2_cell_cols
 
 # Above this many covering cells we stop broadcasting and use the salted
 # shuffle path (each cell row is ~16 bytes + way vertices joined later).
@@ -74,15 +74,16 @@ def extract_points(
         .select("url", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon"))
         .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     )
-    cols = [
+    out = pts.select(
         F.col("url"),
         F.col("lat"),
         F.col("lon"),
         hex_cell_expr("lat", "lon", res).alias("h3_9"),
-    ]
+    )
     if with_s2:
-        cols.append(s2_cell_udf(s2_level)("lat", "lon").alias("s2_13"))
-    return pts.select(*cols)
+        # codegen chain (s2_cell_cols) — no second Arrow round trip
+        out = s2_cell_cols(out, level=s2_level, out="s2_13")
+    return out
 
 
 def pip_cover_expr(
