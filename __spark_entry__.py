@@ -212,23 +212,6 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster tile groupBy-count with coordinates derived arithmetically
-    from customer keys (SQL-expressible in both engines)."""
-    from osm_spark.geo.tiles import tile_xy
-
-    c = _t(spark, sf_dir, "customer")
-    lat = (F.col("c_custkey") * 2654435761 % 1700001) / 10000.0 - 85.0
-    lon = (F.col("c_custkey") * 40503 % 3600001) / 10000.0 - 180.0
-    pts = c.select(lat.alias("lat"), lon.alias("lon"))
-    t = tile_xy("lat", "lon", 6)
-    return (
-        pts.select(t.alias("t"))
-        .groupBy(F.col("t.x").alias("tx"), F.col("t.y").alias("ty"))
-        .agg(F.count("*").alias("n"))
-    )
-
-
 def q_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle distance as pure column math (kNN's metric), verified
     value-exactly against DuckDB's trig on the same derived coordinates.
@@ -300,23 +283,16 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(simhash64(_t(spark, sf_dir, "documents")), max_hamming=3)
 
 
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language-ID, doc counts per predicted language."""
-    from osm_spark.text.analysis import language_id
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document web-text quality features + composite score. Absorbs
+    the former language_id query as the per-doc predicted_lang column
+    (same marker-lexicon decision, finer grain than the old counts)."""
+    from osm_spark.text.analysis import language_id, quality_features
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(language_id("text").alias("predicted_lang"))
-        .groupBy("predicted_lang")
-        .agg(F.count("*").alias("n_docs"))
+    return quality_features(d).join(
+        d.select("doc_id", language_id("text").alias("predicted_lang")), "doc_id"
     )
-
-
-def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document web-text quality features + composite score."""
-    from osm_spark.text.analysis import quality_features
-
-    return quality_features(_t(spark, sf_dir, "documents"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,17 +328,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: binary payload → typed features via mapInPandas
-    (the deterministic fake decode keeps this oracle-checkable)."""
-    from osm_spark.multimodal.media import decode_media, synth_media
-
-    return decode_media(synth_media(spark, sf_dir))
-
-
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one row per sampled frame index."""
+    (the deterministic fake decode keeps this oracle-checkable). Absorbs
+    the former frame_sample query: video frame-index rows ride along as
+    kind-NULL rows with frame_idx set — one driver slot for the decode +
+    frame-sampling surface."""
     from osm_spark.multimodal.media import decode_media, frame_sample, synth_media
 
-    return frame_sample(decode_media(synth_media(spark, sf_dir)), every_n=24)
+    feats = decode_media(synth_media(spark, sf_dir))
+    f_rows = feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "checksum",
+        F.lit(None).cast("int").alias("frame_idx"),
+    )
+    frames = frame_sample(feats, every_n=24).select(
+        "media_id",
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("string").alias("checksum"),
+        "frame_idx",
+    )
+    return f_rows.unionByName(frames)
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,19 +891,24 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 structure×data assembly: ways(node_ids) ⋈ nodes → ordered
-    polygons (rows-only: geometry is synthesized; pytest round-trips it)."""
+    """J3/J4 structure×data assembly, driver-gated: polygons decompose
+    into normalized ways(node_ids)+way_nodes tables, then reassemble via
+    posexplode → node equi-join → ordered array rebuild. The oracle
+    states the round-trip fixed point over the same literal polygons —
+    any ordering/join/ring-closure defect breaks the hash."""
     from osm_spark.pipeline.elements import assemble_way_polygons, synth_ways
     from osm_spark.pipeline.geometry import synth_polygons
 
     polygons = synth_polygons(spark)
     ways, nodes = synth_ways(spark, polygons)
     out = assemble_way_polygons(ways, nodes)
+    vadd = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
     return out.select(
         "way_id",
         F.size("vlat").alias("n_vertices"),
         F.round(F.element_at("vlat", 1), 6).alias("lat0"),
         F.round(F.element_at("vlon", 1), 6).alias("lon0"),
+        F.round(vadd(F.col("vlat")) + vadd(F.col("vlon")), 6).alias("vsum"),
         F.col("tags")["name"].alias("name"),
     )
 
@@ -1070,6 +1062,105 @@ def _haversine_s2_oracle() -> str:
     """
 
 
+def _way_assembly_oracle() -> str:
+    """Round-trip fixed point: the assembled polygons must equal the
+    literal source polygons (vertex count, first vertex, coordinate sum,
+    name) — stated directly over the same VALUES the Spark side
+    decomposes into ways+nodes and reassembles."""
+    from osm_spark.pipeline.geometry import synth_polygons_pdf
+
+    rows = []
+    for r in synth_polygons_pdf().itertuples():
+        vlat = ", ".join(repr(float(v)) for v in r.vlat)
+        vlon = ", ".join(repr(float(v)) for v in r.vlon)
+        rows.append(f"({r.way_id}, '{r.tags['name']}', [{vlat}], [{vlon}])")
+    values = ",\n                ".join(rows)
+    return f"""
+        WITH poly0(way_id, name, vlat, vlon) AS (VALUES
+                {values}),
+        poly AS (
+            -- literals parse as DECIMAL; all arithmetic must be DOUBLE to
+            -- match Spark bit-for-bit (repr strings round-trip exactly)
+            SELECT way_id, name, CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        )
+        SELECT way_id, CAST(len(vlat) AS INT) AS n_vertices,
+               ROUND(vlat[1], 6) AS lat0, ROUND(vlon[1], 6) AS lon0,
+               ROUND(list_sum(vlat) + list_sum(vlon), 6) AS vsum,
+               name
+        FROM poly
+    """
+
+
+def _contours_oracle(z: int = 12, threshold: float = 1.0, tile_size: int = 256) -> str:
+    """Marching-squares replay: Web-Mercator pixel rasterization of the
+    closed-form points, candidate 2×2 blocks around lit pixels, case
+    index from the four corners, and the segment lookup generated from
+    the SAME case table the engine uses (geo/contours.py)."""
+    from osm_spark.geo.contours import _CASES, _EDGE_XY
+
+    n = float(1 << z)
+    seg_rows = []
+    for case, segs in _CASES.items():
+        for e_from, e_to in segs:
+            p1, p2 = _EDGE_XY[e_from], _EDGE_XY[e_to]
+            seg_rows.append(f"({case}, {p1[0]}, {p1[1]}, {p2[0]}, {p2[1]})")
+    seg_values = ", ".join(seg_rows)
+    thr = repr(float(threshold))
+    clat = "LEAST(GREATEST(lat, -85.05112878), 85.05112878)"
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        fxy AS (
+            SELECT (lon + 180.0) / 360.0 * {n!r} AS fx,
+                   (1.0 - ln(tan(radians({clat}))
+                             + sqrt(tan(radians({clat})) * tan(radians({clat})) + 1.0))
+                         / pi()) / 2.0 * {n!r} AS fy
+            FROM pts
+        ), pix AS (
+            SELECT {z} AS z,
+                   LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), {(1 << z) - 1}) AS x,
+                   LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), {(1 << z) - 1}) AS y,
+                   fx, fy
+            FROM fxy
+        ), raster AS (
+            SELECT z, x, y,
+                   LEAST(CAST(floor((fx - x) * {tile_size}) AS INT), {tile_size - 1}) AS px,
+                   LEAST(CAST(floor((fy - y) * {tile_size}) AS INT), {tile_size - 1}) AS py,
+                   count(*) AS cnt
+            FROM pix GROUP BY ALL
+        ), lit AS (
+            SELECT * FROM raster WHERE cnt >= {thr}
+        ), cand AS (
+            SELECT DISTINCT z, x, y, px + dx AS bx, py + dy AS by
+            FROM lit, (VALUES (-1, -1), (-1, 0), (0, -1), (0, 0)) AS o(dx, dy)
+            WHERE px + dx BETWEEN 0 AND {tile_size - 2}
+              AND py + dy BETWEEN 0 AND {tile_size - 2}
+        ), cases AS (
+            SELECT c.z, c.x, c.y, c.bx, c.by,
+                   CASE WHEN tl.cnt >= {thr} THEN 1 ELSE 0 END
+                 + CASE WHEN tr.cnt >= {thr} THEN 2 ELSE 0 END
+                 + CASE WHEN br.cnt >= {thr} THEN 4 ELSE 0 END
+                 + CASE WHEN bl.cnt >= {thr} THEN 8 ELSE 0 END AS cse
+            FROM cand c
+            LEFT JOIN raster tl ON tl.z = c.z AND tl.x = c.x AND tl.y = c.y
+                               AND tl.px = c.bx AND tl.py = c.by
+            LEFT JOIN raster tr ON tr.z = c.z AND tr.x = c.x AND tr.y = c.y
+                               AND tr.px = c.bx + 1 AND tr.py = c.by
+            LEFT JOIN raster br ON br.z = c.z AND br.x = c.x AND br.y = c.y
+                               AND br.px = c.bx + 1 AND br.py = c.by + 1
+            LEFT JOIN raster bl ON bl.z = c.z AND bl.x = c.x AND bl.y = c.y
+                               AND bl.px = c.bx AND bl.py = c.by + 1
+        ), segs(cse, x1o, y1o, x2o, y2o) AS (VALUES {seg_values})
+        SELECT ca.z, ca.x, ca.y,
+               CAST(2 * ca.bx + s.x1o AS BIGINT) AS x1,
+               CAST(2 * ca.by + s.y1o AS BIGINT) AS y1,
+               CAST(2 * ca.bx + s.x2o AS BIGINT) AS x2,
+               CAST(2 * ca.by + s.y2o AS BIGINT) AS y2
+        FROM cases ca JOIN segs s ON s.cse = ca.cse
+    """
+
+
 def _pip_pairs_oracle() -> str:
     """Brute-force even-odd ray cast + boundary-eps test in DuckDB, same
     IEEE op order as ``pip_cover_expr`` (spatial_join.py), over every
@@ -1077,8 +1168,16 @@ def _pip_pairs_oracle() -> str:
     never drops a true pair and the refine keeps exactly the right ones."""
     eps2 = repr(1e-12 * 1e-12)
     return f"""
-        WITH poly(way_id, vlat, vlon) AS (VALUES
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
                 {_polygons_values_sql()}),
+        poly AS (
+            -- literals parse as DECIMAL; force DOUBLE so every product
+            -- (notably the segment-distance d = abx²+aby²) rounds exactly
+            -- as Spark's double arithmetic does
+            SELECT way_id, CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
         pts AS ({_sql_points_oracle()}),
         ed AS (
             SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
@@ -1123,8 +1222,13 @@ def _knn_pairs_oracle(k: int = 3) -> str:
     """Brute-force top-k by haversine (same formula/op order as
     ``haversine_m``) with the engine's (dist, node_id) tie-break."""
     return f"""
-        WITH nodes(node_id, nlat, nlon) AS (VALUES
+        WITH nodes0(node_id, nlat, nlon) AS (VALUES
                 {_nodes_values_sql()}),
+        nodes AS (
+            SELECT node_id, CAST(nlat AS DOUBLE) AS nlat,
+                   CAST(nlon AS DOUBLE) AS nlon
+            FROM nodes0
+        ),
         pts AS ({_sql_points_oracle()}),
         d AS (
             SELECT p.point_id, n.node_id,
@@ -1199,9 +1303,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: deterministic k-means coarse quantizer + nprobe
-    cluster-probed exact search (rows-only: k-means is iterative;
-    pytest verifies exactness at full probe + recall at partial probe)."""
+    """IVF-Flat ANN, driver-gated at FULL probe: the whole machinery runs
+    (deterministic k-means quantizer, inverted-file build, cluster
+    probing, in-cluster exact scoring, ranking) and with nprobe == k
+    every vector is scored, so the result must equal brute-force cosine
+    top-10 — the oracle. Partial-probe recall stays pytest-verified
+    (k-means itself is iterative and not economically SQL-replayable)."""
     from osm_spark.vector.ivf import ivf_index, ivf_search, kmeans_fit
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1210,17 +1317,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_search(q, index, centroids, k=10, nprobe=3)
+    return ivf_search(q, index, centroids, k=10, nprobe=8)
 
 
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster→vector marching-squares contours (rows-only)."""
+    """Raster→vector marching squares, driver-gated: the per-tile
+    applyInPandas vectorized case classification vs a DuckDB oracle that
+    replays the pixel rasterization (Web-Mercator math) and the full
+    16-case table over candidate 2×2 blocks."""
     _prep(spark)
     from osm_spark.geo.contours import contours, density_raster
-    from osm_spark.pipeline.pages import synth_pages
-    from osm_spark.pipeline.spatial_join import extract_points
 
-    points = extract_points(synth_pages(spark, sf_dir))
+    points = _sql_points(spark, sf_dir)
     return contours(density_raster(points, 12), threshold=1.0)
 
 
@@ -1243,20 +1351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_requirement_met": q_tag_requirement_met,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
-        "tile_assignment": q_tile_assignment,
         "haversine_distance": q_haversine_distance,
         "pip_pairs": q_pip_pairs,
         "knn_pairs": q_knn_pairs,
+        "way_assembly": q_way_assembly,
+        "contours": q_contours,
+        "ivf_ann": q_ivf_ann,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash": q_simhash,
-        "language_id": q_language_id,
         "quality_features": q_quality_features,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
-        "frame_sample": q_frame_sample,
         "stream_window_counts": q_stream_window_counts,
         "sessionize": q_sessionize,
         "grouping_rollup": q_grouping_rollup,
@@ -1282,13 +1390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_trail": q_audit_trail,
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
-        # --- rows-only (non-SQL-expressible; pytest-golden-verified) ---
+        # --- rows-only (pytest-golden-verified; each has a driver-gated
+        # twin above: simhash, pip_pairs, knn_pairs) ---
         "simhash_near_dups": q_simhash_near_dups,
-        "way_assembly": q_way_assembly,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
-        "contours": q_contours,
-        "ivf_ann": q_ivf_ann,
     }
 
 
@@ -1296,6 +1402,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_pairs": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
+        "way_assembly": _way_assembly_oracle(),
+        "contours": _contours_oracle(),
+        # full probe (nprobe == k clusters) scores every vector, so the
+        # IVF result must equal exact brute-force cosine top-10
+        "ivf_ann": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(
+                           list_sum(list_transform(range(64),
+                               i -> q.qv[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))
+                           / (sqrt(list_sum(list_transform(range(64),
+                                  i -> q.qv[i+1]::DOUBLE * q.qv[i+1]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(64),
+                                  i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)))), 6)
+                           AS cos_sim
+                FROM embeddings c CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1372,23 +1503,6 @@ def oracle_sql() -> dict[str, str]:
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
                        AS total_subword_tokens
             FROM documents GROUP BY lang
-        """,
-        "tile_assignment": """
-            WITH pts AS (
-                SELECT (c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0 AS lat,
-                       (c_custkey * 40503 % 3600001) / 10000.0 - 180.0 AS lon
-                FROM customer
-            ), t AS (
-                -- DuckDB 1.0 has no asinh: asinh(x) = ln(x + sqrt(x*x + 1))
-                SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63) AS tx,
-                       LEAST(GREATEST(CAST(FLOOR((1.0 - ln(
-                           tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
-                           + sqrt(tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
-                                  * tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))) + 1.0)
-                       ) / pi()) / 2.0 * 64.0) AS BIGINT), 0), 63) AS ty
-                FROM pts
-            )
-            SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty
         """,
         "haversine_distance": _haversine_s2_oracle(),
         "minhash_lsh_pairs": """
@@ -1469,7 +1583,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM votes v JOIN documents d ON d.doc_id = v.doc_id)
             GROUP BY doc_id
         """,
-        "language_id": """
+        "quality_features": """
             WITH w AS (
                 SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
             ), s AS (
@@ -1481,17 +1595,15 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(ws, t -> t IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS zh
                 FROM w
             ), p AS (
-                SELECT CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+                SELECT doc_id,
+                       CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
                             WHEN en >= greatest(es, fr, zh) THEN 'en'
                             WHEN es >= greatest(fr, zh) THEN 'es'
                             WHEN fr >= zh THEN 'fr'
                             ELSE 'zh' END AS predicted_lang
                 FROM s
             )
-            SELECT predicted_lang, count(*) AS n_docs FROM p GROUP BY predicted_lang
-        """,
-        "quality_features": """
-            SELECT doc_id,
+            SELECT documents.doc_id,
                    CAST(length(text) AS INT) AS n_chars,
                    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
                    round((length(text) - len(string_split(lower(text), ' ')) + 1)
@@ -1511,8 +1623,9 @@ def oracle_sql() -> dict[str, str]:
                      + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                               / CAST(length(text) AS DOUBLE)) * 0.125
                      + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                              / CAST(length(text) AS DOUBLE)) * 0.125, 6) AS quality_score
-            FROM documents
+                              / CAST(length(text) AS DOUBLE)) * 0.125, 6) AS quality_score,
+                   p.predicted_lang
+            FROM documents JOIN p ON p.doc_id = documents.doc_id
         """,
         "cosine_topk": """
             WITH q AS (
@@ -1603,13 +1716,14 @@ def oracle_sql() -> dict[str, str]:
                         + ascii(substring(text, 1, 1))) % 1024 AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                         ELSE 1 + octet_length(encode(text)) % 240 END AS INT) AS n_frames,
-                   md5(text) AS checksum
+                   md5(text) AS checksum,
+                   CAST(NULL AS INT) AS frame_idx
             FROM documents
-        """,
-        "frame_sample": """
-            SELECT doc_id AS media_id,
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(NULL AS VARCHAR),
                    CAST(unnest(range(0, 1 + octet_length(encode(text)) % 240, 24)) AS INT)
-                       AS frame_idx
             FROM documents WHERE doc_id % 3 = 2
         """,
         "stream_window_counts": """
