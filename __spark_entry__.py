@@ -240,11 +240,21 @@ def q_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) → 4 LSH bands → candidate pairs (shingle→band→bucket-join)."""
-    from osm_spark.text.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
+    """MinHash(32) → LSH bands → candidate pairs (shingle→band→bucket-
+    join). Band count comes from ``lsh_tune`` (S-curve midpoint nearest
+    the 0.8 refine threshold → 4 bands for a 32-hash budget), matching
+    the oracle's banding."""
+    from osm_spark.text.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        lsh_tune,
+        minhash_signatures,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(lsh_bands(minhash_signatures(d, 32), 4))
+    return lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(d, 32), lsh_tune(32, 0.8))
+    )
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,11 +263,14 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
         lsh_bands,
         lsh_candidate_pairs,
+        lsh_tune,
         minhash_signatures,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(d, 32), 4))
+    pairs = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(d, 32), lsh_tune(32, 0.8))
+    )
     return jaccard_pairs(d, pairs, threshold=0.8)
 
 

@@ -135,6 +135,26 @@ def minhash_signatures(
     )
 
 
+def lsh_tune(num_hashes: int, threshold: float) -> int:
+    """Band count whose S-curve midpoint sits nearest the target Jaccard
+    threshold: with b bands of r = n/b rows, P(candidate) =
+    1 − (1 − s^r)^b, which crosses ~50 % at s* = (1/b)^(1/r). Like
+    ``salt_plan``, the constant is derived from the operating point
+    (hash budget + refine threshold) instead of hard-coded — a different
+    threshold automatically rebalances precision vs recall."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    best, best_gap = 1, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        s_star = (1.0 / b) ** (b / float(num_hashes))
+        gap = abs(s_star - threshold)
+        if gap < best_gap:
+            best, best_gap = b, gap
+    return best
+
+
 def lsh_bands(signatures: DataFrame, num_bands: int = 8) -> DataFrame:
     """(doc_id, band, band_hash): hash of the ordered minhashes per band.
 

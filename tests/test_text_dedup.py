@@ -173,3 +173,17 @@ def test_word_ngrams(spark):
         .collect()
     )
     assert row.g == []
+
+
+def test_lsh_tune_operating_points():
+    from osm_spark.text.dedup import lsh_tune
+
+    # 32 hashes, 0.8 threshold -> 4 bands of 8 (s* = 0.25^(1/8) = 0.84)
+    assert lsh_tune(32, 0.8) == 4
+    # lower threshold -> more bands (wider recall)
+    assert lsh_tune(32, 0.5) > lsh_tune(32, 0.8)
+    # near-exact threshold -> 1 band (all hashes must agree)
+    assert lsh_tune(32, 0.995) == 1
+    import pytest as _p
+    with _p.raises(ValueError):
+        lsh_tune(32, 0.0)
