@@ -245,6 +245,49 @@ def pip_join_salted(
     return _refine_pip_expr(cand)
 
 
+def pip_join_multipolygon(
+    points: DataFrame, rings: DataFrame, ring_cells: DataFrame | None = None
+) -> DataFrame:
+    """Multipolygon PIP: (url, relation_id) pairs where the point lies
+    inside at least one ``outer`` ring and inside no ``inner`` ring
+    (holes) — OSM multipolygon semantics over the normalized ring table
+    from ``relation_rings`` (relation_id, role, way_id, vlat, vlon).
+
+    Same filter-then-refine shape as ``pip_join``: hex covering per ring
+    (broadcast prejoin, points never shuffle), codegen ray-cast refine
+    per candidate (point, ring), then one aggregation per (point,
+    relation) combining roles. A point inside a hole still matches the
+    outer's covering cells, so the inner test runs on exactly the
+    candidates that need it.
+    """
+    from osm_spark.pipeline.geometry import build_way_cells
+
+    if ring_cells is None:
+        ring_cells = build_way_cells(rings.select("way_id", "vlat", "vlon"))
+    cand = points.join(
+        F.broadcast(ring_cells), points["h3_9"] == ring_cells["cell"], "inner"
+    ).select("url", "lat", "lon", "way_id")
+    cand = cand.join(
+        F.broadcast(rings.select("relation_id", "role", "way_id", "vlat", "vlon")),
+        "way_id",
+    )
+    hit = cand.withColumn(
+        "inside", pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    )
+    return (
+        hit.groupBy("url", "relation_id")
+        .agg(
+            F.max(F.when(F.col("role") == "outer", F.col("inside"))).alias("in_outer"),
+            F.max(F.when(F.col("role") == "inner", F.col("inside"))).alias("in_inner"),
+        )
+        .filter(
+            F.coalesce(F.col("in_outer"), F.lit(False))
+            & ~F.coalesce(F.col("in_inner"), F.lit(False))
+        )
+        .select("url", "relation_id")
+    )
+
+
 def estimate_covering_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> int:
     """Upper-bound covering-cell estimate from polygon bboxes — pure
     Column arithmetic over the (small) polygon dim, mirroring

@@ -168,3 +168,44 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the training-data
+    dedup operator on a live crawl feed.
+
+    Streaming input: ``dropDuplicatesWithinWatermark`` keeps per-key
+    state only until the watermark passes, so a 10^12-event stream holds
+    ``keys-within-watermark`` state instead of all history (the classic
+    unbounded-state failure of plain dropDuplicates on streams). Batch
+    input: plain dropDuplicates — identical results whenever duplicate
+    arrivals fall inside the watermark, which is the operator's contract.
+    """
+    cols = list(id_cols or ["event_id"])
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
+def run_dedup_batchlike(
+    spark: SparkSession, events_dir: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """availableNow bounded run of the streaming dedup into a memory
+    sink (same pattern as run_windowed_counts_batchlike)."""
+    import uuid
+
+    sink = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events(stream_events(spark, events_dir), id_cols)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -169,3 +169,91 @@ def test_lineage_catalog_table_mode(spark):
     finally:
         for t in (f"{prefix}_stage1", f"{prefix}_lineage"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_multipolygon_pip_outer_minus_holes(spark):
+    """OSM multipolygon semantics: inside an outer ring but not inside
+    any inner (hole) ring; verified on an explicit square-with-hole
+    fixture with points in the ring area, in the hole, and outside."""
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon
+
+    outer = ([10.0, 10.0, 10.2, 10.2], [20.0, 20.2, 20.2, 20.0])
+    hole = ([10.08, 10.08, 10.12, 10.12], [20.08, 20.12, 20.12, 20.08])
+    rings = spark.createDataFrame(
+        [
+            (500, "outer", 9001, outer[0], outer[1]),
+            (500, "inner", 9002, hole[0], hole[1]),
+        ],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("ring-area", 10.05, 20.05),   # inside outer, outside hole
+            ("in-hole", 10.10, 20.10),     # inside the hole -> excluded
+            ("outside", 10.50, 20.50),     # outside everything
+            ("edge-ring", 10.02, 20.15),   # inside outer, outside hole
+        ],
+        "url string, lat double, lon double",
+    ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    got = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings).collect()
+    }
+    assert got == {("ring-area", 500), ("edge-ring", 500)}
+
+
+def test_multipolygon_pip_on_synth_relations(spark):
+    """End-to-end over the synthesized relation model: every matched
+    point is inside some outer and no inner of that relation (checked
+    vs the numpy PIP oracle)."""
+    import numpy as np
+
+    from osm_spark.geo.hexgrid import hex_cell_expr, points_in_polygon_np
+    from osm_spark.pipeline.elements import synth_relations, synth_ways, relation_rings
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon
+    from pyspark.sql import functions as F
+
+    polygons = synth_polygons(spark)
+    ways, _nodes = synth_ways(spark, polygons)
+    rels = synth_relations(spark, ways)
+    rings = relation_rings(rels, polygons)
+    # probe points: ring vertices nudged inward + centroids
+    ring_rows = rings.collect()
+    probe = []
+    for i, r in enumerate(ring_rows):
+        clat = sum(r.vlat) / len(r.vlat)
+        clon = sum(r.vlon) / len(r.vlon)
+        probe.append((f"c{i}", clat, clon))
+        probe.append((f"m{i}", (r.vlat[0] + clat) / 2, (r.vlon[0] + clon) / 2))
+    pts = spark.createDataFrame(probe, "url string, lat double, lon double")
+    pts = pts.withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    got = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings).collect()
+    }
+    by_rel = {}
+    for r in ring_rows:
+        by_rel.setdefault(r.relation_id, []).append(r)
+    exp = set()
+    for url, lat, lon in probe:
+        for rel_id, rr in by_rel.items():
+            in_outer = any(
+                points_in_polygon_np(
+                    np.array([lon]), np.array([lat]),
+                    np.array(r.vlon), np.array(r.vlat),
+                )[0]
+                for r in rr if r.role == "outer"
+            )
+            in_inner = any(
+                points_in_polygon_np(
+                    np.array([lon]), np.array([lat]),
+                    np.array(r.vlon), np.array(r.vlat),
+                )[0]
+                for r in rr if r.role == "inner"
+            )
+            if in_outer and not in_inner:
+                exp.add((url, rel_id))
+    assert got == exp

@@ -127,3 +127,21 @@ def test_sessionize_boundary_exact_gap_is_same_session(spark):
     )
     got = sessionize(df, gap_minutes=30).collect()
     assert len(got) == 1 and got[0].n_events == 2
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_small_dir, tmp_path):
+    """Watermarked streaming dedup over a doubled input == batch
+    distinct: every event_id exactly once, stream ≡ batch."""
+    from osm_spark.streaming.windowed import dedup_events, run_dedup_batchlike
+
+    src = spark.read.parquet(f"{sf_small_dir}/events.parquet")
+    doubled_dir = str(tmp_path / "doubled")
+    src.unionByName(src).repartition(4).write.mode("overwrite").parquet(doubled_dir)
+
+    batch = dedup_events(spark.read.parquet(doubled_dir))
+    got = run_dedup_batchlike(spark, doubled_dir)
+    n_src = src.select("event_id").distinct().count()
+    assert batch.count() == n_src
+    assert got.count() == n_src
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
