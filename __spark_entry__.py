@@ -952,8 +952,15 @@ def _sql_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     city = (F.col("c_custkey") % 10).cast("int")
     clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
     clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
-    lat = clat + (F.col("c_custkey") * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
-    lon = clon + (F.col("c_custkey") * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    # 25% of each city's points collapse into a ~100 m hotspot at the
+    # center (factor 0.001) — same skew design as the pages table, so
+    # hot res-9 cells exist and the salted pip path genuinely splits keys
+    hot = (
+        F.when(F.col("c_custkey") * 7919 % 100 < 25, F.lit(0.001))
+        .otherwise(F.lit(1.0))
+    )
+    lat = clat + (F.col("c_custkey") * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD * hot
+    lon = clon + (F.col("c_custkey") * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD * hot
     return c.select(
         F.col("c_custkey").cast("string").alias("url"),
         lat.alias("lat"),
@@ -967,12 +974,13 @@ def _sql_points_oracle() -> str:
     lats = ", ".join(repr(float(x[1])) for x in CITIES)
     lons = ", ".join(repr(float(x[2])) for x in CITIES)
     sp = repr(float(_SQL_PT_SPREAD))
+    hot = "(CASE WHEN c_custkey * 7919 % 100 < 25 THEN 0.001 ELSE 1.0 END)"
     return f"""
         SELECT c_custkey AS point_id,
                ([{lats}])[CAST(c_custkey % 10 AS INT) + 1]
-                 + (c_custkey * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                 + (c_custkey * 2654435761 % 2001 - 1000) / 1000.0 * {sp} * {hot} AS lat,
                ([{lons}])[CAST(c_custkey % 10 AS INT) + 1]
-                 + (c_custkey * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+                 + (c_custkey * 40503 % 2001 - 1000) / 1000.0 * {sp} * {hot} AS lon
         FROM customer
     """
 
@@ -1260,19 +1268,25 @@ def _knn_pairs_oracle(k: int = 3) -> str:
 
 
 def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 PIP join, driver-gated: full engine path (hex covering via
-    mapInPandas, cell-equi prejoin, codegen ray-cast refine —
-    spatial_join.py:167-186 unchanged) vs a DuckDB brute-force oracle."""
+    """§2.10 PIP join, driver-gated via the SALTED shuffle path: hex
+    covering (mapInPandas), data-driven salt plan with a low hot-cell
+    target so salting genuinely engages at test scale, salted cell-equi
+    prejoin, codegen ray-cast refine — vs a DuckDB brute-force oracle.
+    The broadcast path is the flagship/bench path and is pytest-proven
+    equal to the salted one (test_pip_salted_equals_broadcast)."""
     _prep(spark)
-    from osm_spark.pipeline.geometry import synth_polygons
-    from osm_spark.pipeline.spatial_join import pip_join
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join_salted, salt_plan
 
     from osm_spark.geo.hexgrid import hex_cell_expr
 
     pts = _sql_points(spark, sf_dir).withColumn(
         "h3_9", hex_cell_expr("lat", "lon", 9)
     )
-    pairs = pip_join(pts, synth_polygons(spark))
+    polygons = synth_polygons(spark)
+    pairs = pip_join_salted(
+        pts, polygons, build_way_cells(polygons), salt_plan(pts, target=20)
+    )
     return pairs.select(F.col("url").cast("long").alias("point_id"), "way_id")
 
 
