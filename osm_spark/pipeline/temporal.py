@@ -73,3 +73,58 @@ def asof_join(
         F.col("_rlast")["_rts"].alias("asof_ts"),
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Interval-containment join (``start <= point <= end``) without the
+    O(|L|·|R|) theta-join Spark would otherwise plan.
+
+    Intervals explode to the fixed-width buckets they overlap; points
+    key by their single bucket; a plain hash equi-join on the bucket
+    meets only locally plausible pairs, and the exact containment filter
+    refines. Each (point, interval) pair meets in exactly one bucket —
+    the point's — so no dedup is needed. The same shape as the hex-cell
+    prejoin, in one dimension.
+
+    ``bucket_width`` is data-driven when omitted: the median interval
+    width from a sample (the salt_plan precedent — constants from the
+    data, not guesses). A very long interval costs width/bucket_width
+    index rows; at planet scale the known refinement is a two-level
+    bucket hierarchy for outlier intervals (documented, not needed at
+    this corpus' spread).
+
+    Columns are numeric (cast timestamps to epoch seconds first). Output:
+    all left columns + all right columns (inner join semantics).
+    """
+    if bucket_width is None:
+        widths = (
+            right.select((F.col(end_col) - F.col(start_col)).cast("double").alias("w"))
+            .approxQuantile("w", [0.5], 0.01)
+        )
+        bucket_width = max(widths[0], 1e-9) if widths else 1.0
+    w = float(bucket_width)
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn("_bucket", F.floor(F.col(point_col) / w).cast("long"))
+    return (
+        l.join(r, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -59,3 +59,47 @@ def test_asof_join_keeps_all_left_rows(spark, sf_med_dir):
     )
     out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["purchase_id"])
     assert out.count() == clicks.count()
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bucketed interval join == brute-force theta join on random-ish
+    intervals, including zero-width and bucket-straddling ones."""
+    import random
+
+    rnd = random.Random(7)
+    intervals = [
+        (i, float(s := rnd.randint(0, 1000)), float(s + rnd.randint(0, 80)))
+        for i in range(60)
+    ]
+    points = [(j, float(rnd.randint(-10, 1100))) for j in range(300)]
+    right = spark.createDataFrame(intervals, "ival_id long, lo double, hi double")
+    left = spark.createDataFrame(points, "pt_id long, p double")
+
+    from osm_spark.pipeline.temporal import range_join
+
+    got = {
+        (r.pt_id, r.ival_id)
+        for r in range_join(left, right, "p", "lo", "hi").collect()
+    }
+    exp = {
+        (j, i)
+        for j, p in points
+        for i, lo, hi in intervals
+        if lo <= p <= hi
+    }
+    assert got == exp
+    # explicit width takes the same path
+    got2 = {
+        (r.pt_id, r.ival_id)
+        for r in range_join(left, right, "p", "lo", "hi", bucket_width=13.0).collect()
+    }
+    assert got2 == exp
+
+
+def test_range_join_plan_has_no_cartesian(spark):
+    right = spark.createDataFrame([(1, 0.0, 10.0)], "ival_id long, lo double, hi double")
+    left = spark.createDataFrame([(1, 5.0)], "pt_id long, p double")
+    from osm_spark.pipeline.temporal import range_join
+
+    plan = range_join(left, right, "p", "lo", "hi", 5.0)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
