@@ -1,0 +1,89 @@
+"""Physical-plan audits: the scale claims in BENCH.md/README as
+assertions, so a regression that silently changes the plan shape
+(pushdown lost, broadcast degraded to shuffle, points side exchanged)
+fails CI instead of only showing up at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_med_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q_interval_filter(spark, sf_med_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_med_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_pricing_summary(spark, sf_med_dir))
+    # toString truncates the schema line; assert needed columns lead the
+    # pruned struct and wide unused columns are gone
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_pip_broadcast_path_never_shuffles_points(spark, sf_small_dir):
+    """The 10^12-row side must reach the refine without an exchange:
+    scan → Arrow extract → codegen cell math → two broadcast hash joins
+    → codegen refine. Any hashpartitioning exchange in this plan means
+    the pages side started shuffling."""
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import extract_points, pip_join_broadcast
+
+    pages = synth_pages(spark, sf_small_dir)
+    polygons = synth_polygons(spark)
+    out = pip_join_broadcast(extract_points(pages), polygons, build_way_cells(polygons))
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, sf_small_dir):
+    """The dedup shuffle key is the 16-byte md5, never the document text:
+    the partial aggregate below the exchange already projects the hash."""
+    from osm_spark.text.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "Exchange hashpartitioning" in plan
+    below = plan.split("Exchange hashpartitioning")[1]
+    # partial aggregation (the map-side combine) and the md5 projection
+    # both sit BELOW the exchange, and the exchange key is the grouping
+    # expression (the hash), never the raw text column
+    assert "partial_min" in below and "md5(" in below
+    key = below[:120]
+    assert "text#" not in key
+
+
+def test_whole_stage_codegen_covers_hex_encode(spark, sf_med_dir):
+    """The hex cell encode must live inside a WholeStageCodegen span (no
+    Python eval node on the pure-arithmetic path)."""
+    from osm_spark.geo.hexgrid import hex_cell_expr
+
+    c = spark.read.parquet(f"{sf_med_dir}/customer.parquet")
+    df = c.select(
+        hex_cell_expr(
+            (F.col("c_custkey") % 90).cast("double"),
+            (F.col("c_custkey") % 180).cast("double"),
+            9,
+        ).alias("cell")
+    )
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
