@@ -209,3 +209,44 @@ def run_dedup_batchlike(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution: each purchase joined to the clicks by
+    the same user that happened within ``max_lag`` before it.
+
+    On streams both sides carry watermarks and the time-range condition
+    bounds the join state (Spark retains each side only for
+    watermark + lag) — the canonical watermarked stream-stream inner
+    join. On batch frames the identical join expression runs as a plain
+    join, so stream ≡ batch is testable on bounded input.
+
+    Output: (user_id, click_id, click_ts, purchase_id, purchase_ts).
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL '{max_lag}'"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )

@@ -145,3 +145,36 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_small_dir, tmp_path):
     assert got.count() == n_src
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_small_dir, tmp_path):
+    """Watermarked stream-stream join (availableNow) == the identical
+    batch join: purchases attributed to same-user clicks within 1 h."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from osm_spark.streaming.windowed import attribution_join, stream_events
+
+    src = f"{sf_small_dir}/events.parquet"
+    batch_e = spark.read.parquet(src)
+    b_clicks = batch_e.filter(F.col("event_type") == "click")
+    b_purch = batch_e.filter(F.col("event_type") == "purchase")
+    batch = attribution_join(b_clicks, b_purch)
+    exp = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert exp  # fixture must actually produce attributions
+
+    s_clicks = stream_events(spark, src).filter(F.col("event_type") == "click")
+    s_purch = stream_events(spark, src).filter(F.col("event_type") == "purchase")
+    sink = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join(s_clicks, s_purch)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.purchase_id) for r in spark.table(sink).collect()}
+    assert got == exp
