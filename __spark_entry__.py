@@ -1100,9 +1100,11 @@ def _way_assembly_oracle() -> str:
         WITH poly0(way_id, name, vlat, vlon) AS (VALUES
                 {values}),
         poly AS (
-            -- literals parse as DECIMAL; all arithmetic must be DOUBLE to
-            -- match Spark bit-for-bit (repr strings round-trip exactly)
-            SELECT way_id, name, CAST(vlat AS DOUBLE[]) AS vlat,
+            -- literals parse as DECIMAL/INT32; all arithmetic must be
+            -- DOUBLE and ids BIGINT to match Spark bit-for-bit (repr
+            -- strings round-trip exactly)
+            SELECT CAST(way_id AS BIGINT) AS way_id, name,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
                    CAST(vlon AS DOUBLE[]) AS vlon
             FROM poly0
         )
@@ -1192,10 +1194,12 @@ def _pip_pairs_oracle() -> str:
         WITH poly0(way_id, vlat, vlon) AS (VALUES
                 {_polygons_values_sql()}),
         poly AS (
-            -- literals parse as DECIMAL; force DOUBLE so every product
-            -- (notably the segment-distance d = abx²+aby²) rounds exactly
-            -- as Spark's double arithmetic does
-            SELECT way_id, CAST(vlat AS DOUBLE[]) AS vlat,
+            -- literals parse as DECIMAL/INT32; force DOUBLE so every
+            -- product (notably the segment-distance d = abx²+aby²) rounds
+            -- exactly as Spark's double arithmetic does, and BIGINT ids to
+            -- match Spark's long schema
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
                    CAST(vlon AS DOUBLE[]) AS vlon
             FROM poly0
         ),
@@ -1246,7 +1250,8 @@ def _knn_pairs_oracle(k: int = 3) -> str:
         WITH nodes0(node_id, nlat, nlon) AS (VALUES
                 {_nodes_values_sql()}),
         nodes AS (
-            SELECT node_id, CAST(nlat AS DOUBLE) AS nlat,
+            SELECT CAST(node_id AS BIGINT) AS node_id,
+                   CAST(nlat AS DOUBLE) AS nlat,
                    CAST(nlon AS DOUBLE) AS nlon
             FROM nodes0
         ),
