@@ -76,26 +76,50 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 latest-per-key (online_payment.rb:320-323,475-480 semantics)."""
+    """W1 latest-per-key (online_payment.rb:320-323,475-480 semantics),
+    plus W2/W3 max-by pick: the order id with the highest total price
+    (deterministic (value, id) tie-break) rides along as a full-frame
+    first_value — the 'pick the best-matching row per key' signature."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     return (
         o.withColumn("rn", F.row_number().over(w))
+        .withColumn("top_value_orderkey", F.first("o_orderkey").over(w2))
         .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+            "top_value_orderkey",
+        )
     )
 
 
 def q_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7/P8 equality + closed-interval predicates (term.rb:192-234)."""
+    """P7/P8 equality + closed-interval predicates (term.rb:192-234),
+    plus the P9 null-open-interval predicate: a synthesized nullable end
+    date where NULL means still-active (term.rb 'current' semantics) —
+    active iff start <= cutoff AND (end IS NULL OR end >= cutoff)."""
     o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-06-30").cast("date")
+    start = F.to_date("o_orderdate")
+    end = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit(None).cast("date")
+    ).otherwise(F.date_add(start, 90))
+    active = (start <= cutoff) & (end.isNull() | (end >= cutoff))
     return o.filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01"))
         & (F.col("o_orderdate") <= F.lit("1996-12-31"))
         & (F.col("o_orderstatus") == "O")
-    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        active.alias("active_null_open"),
+    )
 
 
 def q_grouped_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +835,11 @@ def q_sms_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_selected",
         credits.alias("credits"),
         (F.col("n_selected") <= credits).alias("can_send"),
+        # A9 headroom: credits left after this send (floor 0, the
+        # reference never reports negative balances)
+        F.greatest(
+            credits - F.col("n_selected"), F.lit(0)
+        ).cast("int").alias("headroom"),
     )
 
 
@@ -1472,14 +1501,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "latest_order_per_customer": """
-            SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                   top_value_orderkey
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
-                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS top_value_orderkey
                   FROM orders)
             WHERE rn = 1
         """,
         "interval_filter": """
-            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   CAST(o_orderdate AS DATE) <= DATE '1996-06-30'
+                   AND (CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                             ELSE CAST(o_orderdate AS DATE) + 90 END IS NULL
+                        OR CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                                ELSE CAST(o_orderdate AS DATE) + 90 END
+                           >= DATE '1996-06-30') AS active_null_open
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <= TIMESTAMP '1996-12-31'
@@ -2042,7 +2082,8 @@ def oracle_sql() -> dict[str, str]:
         "sms_credits": """
             SELECT section_id, n_selected,
                    CAST(section_id * 7 % 100 AS INT) AS credits,
-                   n_selected <= section_id * 7 % 100 AS can_send
+                   n_selected <= section_id * 7 % 100 AS can_send,
+                   CAST(GREATEST(section_id * 7 % 100 - n_selected, 0) AS INT) AS headroom
             FROM (SELECT user_id % 50 AS section_id, count(*) AS n_selected
                   FROM events WHERE event_type = 'click' GROUP BY 1)
         """,
