@@ -132,3 +132,61 @@ def frame_sample(features: DataFrame, every_n: int = 24) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, bytes binary, width int, height int"
+)
+
+
+def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Real resize hook (Pillow thumbnail / swscale). Not available in
+    this container — the deterministic fake below exercises the
+    identical Spark plumbing (binary in, binary out, Arrow batches)."""
+    raise NotImplementedError(
+        "image codecs are not installed; resize_media uses the "
+        "deterministic fake resample"
+    )
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize stage: binary payload → resized binary payload via
+    one Arrow ``mapInPandas`` pass (the feature-extraction preprocessing
+    shape: decode → resample → re-encode).
+
+    The deterministic fake resample keeps byte count proportional to the
+    pixel-count ratio by striding the payload (every k-th byte), so the
+    batch shapes, binary Arrow transfer and output schema are exactly
+    what the Pillow-backed ``_resize_real`` would produce. Non-image
+    rows pass through untouched with their decoded dimensions.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payload = pdf["bytes"]
+            n_bytes = payload.map(len).to_numpy(np.int64)
+            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
+            w, h, _fr = _fake_decode(n_bytes, first)
+            is_img = (pdf["kind"] == "image").to_numpy()
+            ratio = (float(target_w) * target_h) / np.maximum(
+                w.astype(np.float64) * h, 1.0
+            )
+            out_len = np.maximum((n_bytes * np.minimum(ratio, 1.0)).astype(np.int64), 1)
+            stride = np.maximum(n_bytes // out_len, 1)
+            out_bytes = [
+                bytes(b[:: int(s)]) if img else b
+                for b, s, img in zip(payload, stride, is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"],
+                    "bytes": out_bytes,
+                    "width": np.where(is_img, target_w, w).astype(np.int32),
+                    "height": np.where(is_img, target_h, h).astype(np.int32),
+                }
+            )
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)

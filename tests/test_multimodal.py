@@ -76,3 +76,24 @@ def test_frame_sample_only_video(media):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _decode_real("image", b"\x89PNG")
+
+
+def test_resize_media_plumbing(media):
+    """Resize stage: images land at the target dims with payloads
+    shrunk by the pixel-count ratio (strided fake resample); non-image
+    rows pass through with decoded dims; deterministic across runs."""
+    from osm_spark.multimodal.media import resize_media
+
+    out = resize_media(media, target_w=64, target_h=64)
+    rows = {r.media_id: r for r in out.collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        if r.kind == "image":
+            assert (r.width, r.height) == (64, 64)
+            assert 1 <= len(r.bytes) <= len(src[mid].bytes)
+        else:
+            assert r.bytes == src[mid].bytes
+            assert r.width > 0 and r.height > 0
+    again = {r.media_id: bytes(r.bytes) for r in resize_media(media, 64, 64).collect()}
+    assert again == {m: bytes(r.bytes) for m, r in rows.items()}
