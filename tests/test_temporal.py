@@ -103,3 +103,28 @@ def test_range_join_plan_has_no_cartesian(spark):
 
     plan = range_join(left, right, "p", "lo", "hi", 5.0)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_history_intervals_scd2(spark):
+    """Change log -> validity intervals: runs collapse, changes open new
+    intervals, the current interval has NULL valid_to, and re-appearing
+    values start fresh intervals (no global dedupe)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    rows = [
+        (1, t(0), "pending"), (1, t(5), "pending"), (1, t(10), "paid"),
+        (1, t(20), "pending"),  # value returns -> NEW interval
+        (2, t(0), "paid"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, status string")
+    from osm_spark.pipeline.temporal import history_intervals
+
+    got = sorted(
+        (r.uid, r.status, r.valid_from, r.valid_to, r.n_events)
+        for r in history_intervals(df, "uid", "ts", ["status"]).collect()
+    )
+    assert got == [
+        (1, "paid", t(10), t(20), 1),
+        (1, "pending", t(0), t(10), 2),
+        (1, "pending", t(20), None, 1),
+        (2, "paid", t(0), None, 1),
+    ]
