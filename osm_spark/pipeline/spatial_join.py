@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_spark.geo.extract import COORD_REGEX, extract_coords_udf
+from osm_spark.geo.extract import COORD_REGEX
 from osm_spark.geo.hexgrid import DEFAULT_RES, hex_cell_expr, points_in_polygon_np
 from osm_spark.geo.s2 import s2_cell_cols
 
@@ -59,20 +59,35 @@ def extract_points(
     ``with_s2`` adds the S2 cell column; off by default so join paths
     that key on h3 alone never pay for it.
     """
-    # Extraction runs as ONE vectorized Arrow UDF pass (pandas
-    # str.extract, C regex). Besides raw speed, the Python eval node is a
-    # hard optimizer barrier: an all-Column formulation was tried and
-    # measured — CollapseProject and predicate pushdown clone the regex
-    # subtree into every downstream reference / join condition (up to
-    # ~10 evaluations per row), and the nondeterministic-column tricks
-    # that block one rule do not block the other. The UDF form keeps the
-    # regex at exactly one evaluation per row; downstream cell math is
-    # pure-Column codegen over its plain output attributes.
-    coords = extract_coords_udf(F.col("text"))
-    pts = (
-        pages.select("url", coords.alias("c"))
-        .select("url", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon"))
-        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    # Extraction + row-drop run as ONE vectorized mapInPandas pass
+    # (pandas str.extract, C regex). The single Python node is a hard
+    # optimizer barrier in BOTH directions: an all-Column formulation was
+    # measured with CollapseProject/pushdown cloning the regex subtree
+    # into every downstream reference (~10 evals/row), and the earlier
+    # scalar-UDF + Spark-side notNull FILTER form was observed split by
+    # filter pushdown into TWO ArrowEvalPython nodes around an upstream
+    # exchange (the UDF evaluated once below for the filter, again above
+    # for the projection). Dropping non-matching rows INSIDE the pandas
+    # pass leaves Catalyst nothing to push, so the regex runs exactly
+    # once per row; downstream cell math is pure-Column codegen.
+    def _gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ext = pdf["text"].str.extract(COORD_REGEX, expand=True)
+            lat = pd.to_numeric(ext[0], errors="coerce")
+            lon = pd.to_numeric(ext[1], errors="coerce")
+            bad = (lat.abs() > 90) | (lon.abs() > 180)
+            lat[bad] = None
+            lon[bad] = None
+            keep = lat.notna() & lon.notna()
+            if keep.any():
+                yield pd.DataFrame(
+                    {"url": pdf["url"][keep], "lat": lat[keep], "lon": lon[keep]}
+                )
+
+    pts = pages.select("url", "text").mapInPandas(
+        _gen, "url string, lat double, lon double"
     )
     out = pts.select(
         F.col("url"),
