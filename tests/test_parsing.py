@@ -177,3 +177,58 @@ def test_strip_html_byte_identical(spark):
 def test_identifier(spark):
     df = spark.createDataFrame([(123, 1)], "i long, c int")
     assert df.select(identifier("i", "c").alias("o")).collect()[0].o == "123_1"
+
+
+def test_audit_trail_parse_truth_table(spark):
+    """Mirrors spec/osm/event_spec.rb audit cases (event.rb:889-897):
+    detail rows split on the greedy named groups (quotes inside label and
+    value survive), attendance display strings decode to symbols, unknown
+    displays and other row types yield NULLs."""
+    from osm_spark.functions import audit_trail_parse
+
+    rows = [
+        ("detail", "Set 'First name' to 'John'", ("First name", "John", None)),
+        ("detail", "Set 'Nick's label' to 'O'Brien'", ("Nick's label", "O'Brien", None)),
+        ("detail", "garbage text", (None, None, None)),
+        ("attendance", "Attendance: Yes", (None, None, "yes")),
+        ("attendance", "Attendance: Show in My.SCOUT", (None, None, "shown")),
+        ("attendance", "Attendance: Reserved", (None, None, "reserved")),
+        ("attendance", "Attendance: Maybe", (None, None, None)),  # unknown display
+        ("note", "Set 'x' to 'y'", (None, None, None)),  # wrong type
+    ]
+    df = spark.createDataFrame(
+        [(t, d) for t, d, _ in rows], "typ string, descr string"
+    )
+    p = audit_trail_parse("typ", "descr")
+    got = [
+        (r.out.label, r.out.value, r.out.attendance)
+        for r in df.select(p.alias("out")).collect()
+    ]
+    assert got == [exp for _, _, exp in rows]
+
+
+def test_template_tag_present(spark):
+    from osm_spark.functions import template_tag_present
+
+    df = spark.createDataFrame(
+        [("Hi [FIRSTNAME], see [EVENT]",), ("Hi FIRSTNAME",), ("",)],
+        "content string",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            template_tag_present("content", F.lit("FIRSTNAME")).alias("x")
+        ).collect()
+    ]
+    assert got == [True, False, False]
+
+
+def test_credits_remaining_regex(spark):
+    """sms.rb:30 shape: the single digit run inside a human string; two
+    digit runs or none -> NULL (the reference regex anchors both ends)."""
+    from osm_spark.functions import credits_remaining
+
+    vals = ["You have 45 credits remaining", "45", "no credits",
+            "12 of 34 left", " 7 ."]
+    got = one_col(spark, vals, credits_remaining(F.col("v")))
+    assert got == [45, 45, None, None, 7]
