@@ -42,3 +42,34 @@ def test_flagship_checkpointed_and_resumable(spark, sf_small_dir, tmp_path):
     assert res3["pages"].skipped and res3["points"].skipped and res3["way_cells"].skipped
     assert not res3["pip"].skipped and not res3["tiles"].skipped
     assert res3["pip"].df.count() == pip_rows
+
+
+def test_write_partitioned_layout(spark, sf_small_dir, tmp_path):
+    """Bounded deterministic file counts per partition dir, in-file sort
+    order, and a footer-derived row-count manifest."""
+    import pyarrow.parquet as pq
+
+    from osm_spark.pipeline.sinks import write_partitioned
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    manifest = write_partitioned(
+        docs, out, ["lang"], files_per_partition=2, sort_cols=["doc_id"]
+    )
+    assert sum(n for _f, n in manifest) == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    by_dir = {}
+    for f, n in manifest:
+        by_dir.setdefault(f.split("/")[0], []).append((f, n))
+    assert set(by_dir) == {f"lang={l}" for l in langs}
+    for d, files in by_dir.items():
+        assert 1 <= len(files) <= 2, (d, files)
+    # in-file ordering: doc_id ascending within each file
+    f0 = manifest[0][0]
+    ids = pq.read_table(f"{out}/{f0}", columns=["doc_id"])["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+    # deterministic layout on rewrite
+    manifest2 = write_partitioned(
+        docs, out, ["lang"], files_per_partition=2, sort_cols=["doc_id"]
+    )
+    assert sorted(n for _f, n in manifest) == sorted(n for _f, n in manifest2)
