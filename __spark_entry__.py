@@ -344,23 +344,26 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-10 (deterministic planes)."""
+    """Hyperplane-LSH bucketed ANN top-10 (deterministic planes). The
+    plane count is data-driven: ``plan_planes`` derives P from the corpus
+    size and target bucket occupancy (the oracle mirrors the same
+    ceil(log2(n/target)) formula in SQL, so both sides agree at any sf)."""
     from osm_spark.vector.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_lsh_topk(q, e, k=10, num_planes=6)
+    return ann_lsh_topk(q, e, k=10)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked embedding near-dup pairs, cosine ≥ 0.3."""
+    """LSH-blocked embedding near-dup pairs, cosine ≥ 0.3; plane count
+    data-driven via ``plan_planes`` (coarser target than ANN — the
+    self-join cost per bucket is occupancy²), mirrored in the oracle."""
     from osm_spark.vector.similarity import embedding_near_dups
 
-    return embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
-    )
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,10 +1724,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
         "ann_lsh_topk": """
-            WITH planes AS (
+            -- plane count mirrors plan_planes(count(*), target=16):
+            -- P = clamp(ceil(log2(max(n/target, 2))), 1, 31)
+            WITH np AS (
+                SELECT greatest(1, least(31,
+                       CAST(ceil(log2(greatest(count(*) / 16.0, 2.0))) AS INT))) AS p_cnt
+                FROM embeddings
+            ), planes AS (
                 SELECT p, list_transform(range(64),
                        i -> ((p * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0) AS plane
-                FROM (SELECT unnest(range(6)) AS p)
+                FROM (SELECT unnest(range((SELECT p_cnt FROM np))) AS p)
             ), bv AS (
                 SELECT e.vec_id, e.embedding,
                        CAST(sum(CASE WHEN list_sum(list_transform(range(64),
@@ -1753,10 +1762,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
         "embedding_near_dups": """
-            WITH planes AS (
+            -- plane count mirrors plan_planes(count(*), target=64)
+            WITH np AS (
+                SELECT greatest(1, least(31,
+                       CAST(ceil(log2(greatest(count(*) / 64.0, 2.0))) AS INT))) AS p_cnt
+                FROM embeddings
+            ), planes AS (
                 SELECT p, list_transform(range(64),
                        i -> ((p * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0) AS plane
-                FROM (SELECT unnest(range(4)) AS p)
+                FROM (SELECT unnest(range((SELECT p_cnt FROM np))) AS p)
             ), bv AS (
                 SELECT e.vec_id, e.embedding,
                        CAST(sum(CASE WHEN list_sum(list_transform(range(64),

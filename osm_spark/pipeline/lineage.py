@@ -50,6 +50,14 @@ class LineageLog:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     table_prefix: str | None = None
 
+    def __post_init__(self) -> None:
+        if (self.base_dir is None) == (self.table_prefix is None):
+            raise ValueError(
+                "LineageLog needs exactly one of base_dir (parquet mode) "
+                "or table_prefix (catalog-table mode); got "
+                f"base_dir={self.base_dir!r}, table_prefix={self.table_prefix!r}"
+            )
+
     def _stage_table(self, name: str) -> str:
         return f"{self.table_prefix}_{name}"
 

@@ -5,7 +5,7 @@ The write side of S7 at corpus scale: a naive ``partitionBy`` write emits
 one file per (shuffle partition × partition value) — the classic
 small-file explosion that murders downstream scan planning at 10^5+
 partitions — while a plain ``coalesce`` serializes the write. This sink
-shuffles rows to exactly ``files_per_partition`` buckets per partition
+shuffles rows to at most ``files_per_partition`` buckets per partition
 value (deterministic hash of the sort key, so re-runs produce identical
 layouts), sorts within each task for scan locality / row-group pruning,
 and returns the per-file row counts read from parquet footers — the same
@@ -27,9 +27,18 @@ def write_partitioned(
     partition_cols: list[str],
     files_per_partition: int = 1,
     sort_cols: list[str] | None = None,
+    num_tasks: int | None = None,
 ) -> list[tuple[str, int]]:
     """Write ``df`` under ``path`` partitioned by ``partition_cols`` with
     a bounded, deterministic file count and optional in-file ordering.
+
+    ``files_per_partition`` is an UPPER bound, not an exact count: the
+    repartition hash-distributes (partition value, bucket) combos into
+    shuffle tasks, and two distinct buckets that land in one task merge
+    into one output file. The layout is still deterministic (same data →
+    same files). Pass ``num_tasks`` ≈ the number of distinct
+    (partition value × bucket) combos — e.g. from catalog stats — to
+    make such collisions rare and the bound tight.
 
     Returns [(relative_file_path, row_count)] from the parquet footers
     (metadata only — no data re-scan).
@@ -39,8 +48,11 @@ def write_partitioned(
     sort_cols = sort_cols or []
     bucket_src = sort_cols[0] if sort_cols else df.columns[0]
     bucket = F.pmod(F.xxhash64(F.col(bucket_src)), F.lit(files_per_partition))
-    keyed = df.repartition(
-        *[F.col(c) for c in partition_cols], bucket.alias("_file_bucket")
+    part_exprs = [*[F.col(c) for c in partition_cols], bucket.alias("_file_bucket")]
+    keyed = (
+        df.repartition(num_tasks, *part_exprs)
+        if num_tasks
+        else df.repartition(*part_exprs)
     )
     if sort_cols:
         keyed = keyed.sortWithinPartitions(*partition_cols, *sort_cols)

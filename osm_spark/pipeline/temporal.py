@@ -104,12 +104,37 @@ def range_join(
     all left columns + all right columns (inner join semantics).
     """
     if bucket_width is None:
-        widths = (
-            right.select((F.col(end_col) - F.col(start_col)).cast("double").alias("w"))
-            .approxQuantile("w", [0.5], 0.01)
-        )
-        bucket_width = max(widths[0], 1e-9) if widths else 1.0
+        # Median of the NONZERO interval widths (one aggregate): point
+        # (zero-width) intervals are common and must not drag the bucket
+        # width toward 0 — clamping a zero median to an epsilon would
+        # make F.sequence emit ~width/epsilon rows for every real
+        # interval, a silent OOM (ADVICE r2). When every interval is a
+        # point (max width 0) the containment join degenerates to an
+        # equi-join on the value itself.
+        row = right.select(
+            (F.col(end_col) - F.col(start_col)).cast("double").alias("w")
+        ).agg(
+            F.percentile_approx(
+                F.when(F.col("w") > 0, F.col("w")), 0.5, 100
+            ).alias("med_nz"),
+            F.max("w").alias("mx"),
+        ).collect()[0]
+        if row.med_nz is not None and row.med_nz > 0:
+            bucket_width = float(row.med_nz)
+        elif row.mx is not None and row.mx > 0:
+            bucket_width = float(row.mx)
+        else:
+            return (
+                left.join(
+                    right, left[point_col] == right[start_col], "inner"
+                ).filter(
+                    (F.col(point_col) >= F.col(start_col))
+                    & (F.col(point_col) <= F.col(end_col))
+                )
+            )
     w = float(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {w}")
     r = right.withColumn(
         "_bucket",
         F.explode(
@@ -145,8 +170,11 @@ def history_intervals(
 
     One shuffle on the key; everything else is window arithmetic.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    # The value struct is the deterministic tiebreaker for duplicate
+    # (key, ts) rows — without it lag/grouping order is run-dependent
+    # (same fix asof_join carries via its "_r" tertiary sort key).
     val = F.struct(*[F.col(c) for c in value_cols])
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), val)
     changed = (
         F.lag(val).over(w).isNull() | ~F.lag(val).over(w).eqNullSafe(val)
     ).cast("int")

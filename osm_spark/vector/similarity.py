@@ -14,8 +14,12 @@ Scale design:
   candidate generation is an equi join on the bucket id (hash shuffle on
   a short int key), exact cosine refines inside buckets only. Expected
   candidate count per query is |corpus| / 2^P for isotropic data —
-  choose P from the corpus histogram the same way the PIP join's salt
-  factor is chosen (SURVEY.md §7, data-driven constants).
+  ``plan_planes`` derives P from the corpus size and a target bucket
+  occupancy the same way the PIP join's salt factor (``salt_plan``) and
+  the band count (``lsh_tune``) are derived (SURVEY.md §7, data-driven
+  constants). A static P caps join parallelism at 2^P buckets and lets
+  bucket occupancy grow linearly with the corpus; a data-driven P keeps
+  per-bucket work constant as the corpus scales.
 - **embedding_near_dups** blocks on the same buckets, so near-dup
   detection never materializes O(n²) pairs.
 
@@ -91,6 +95,41 @@ def cosine_topk(
     )
 
 
+def plan_planes(n_rows: int, target_occupancy: int = 16) -> int:
+    """Hyperplane count P from corpus size: expected bucket occupancy for
+    isotropic data is n / 2^P, so P = ceil(log2(n / target)).
+
+    The data-driven analog of ``salt_plan`` (spatial_join.py) and
+    ``lsh_tune`` (dedup.py): at 10^12 vectors a static P=6-8 means
+    64-256 buckets — candidate scans 10^10 long and a join whose
+    parallelism is capped at the bucket count. Deriving P from n keeps
+    occupancy ≈ ``target_occupancy`` at any corpus size (P=33 would be
+    needed past 2^31·target rows; clamped to 31 so the bucket id stays a
+    valid positive int32 — beyond that, shard the corpus).
+
+    ``n_rows`` comes from catalog stats in production; callers here pass
+    ``df.count()`` (one cheap aggregate over the corpus dim, same
+    pattern as ``estimate_covering_cells``).
+    """
+    import math
+
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    if target_occupancy < 1:
+        raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
+    p = math.ceil(math.log2(max(n_rows / target_occupancy, 2.0)))
+    return max(1, min(31, p))
+
+
+def _check_planes(num_planes: int) -> None:
+    """Bucket ids are built as sign-bit · 2^p sums in int32: p ≥ 31 would
+    silently overflow the cast and corrupt/collide buckets (ADVICE r2)."""
+    if not 1 <= num_planes <= 31:
+        raise ValueError(
+            f"num_planes must be in [1, 31] (int32 bucket ids), got {num_planes}"
+        )
+
+
 def plane_component(p: Column | int, i: Column) -> Column:
     """Deterministic hyperplane component in [-1, 1] (engine-portable)."""
     pc = F.lit(p) if isinstance(p, int) else p
@@ -101,6 +140,7 @@ def plane_component(p: Column | int, i: Column) -> Column:
 
 def _bucket(vec: Column, num_planes: int, dim: int) -> Column:
     """LSH bucket id: sum over planes of sign-bit · 2^p."""
+    _check_planes(num_planes)
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def plane_dot(p: int) -> Column:
@@ -137,6 +177,7 @@ def _probe_buckets(vec: Column, num_planes: int, dim: int, nprobe: int) -> Colum
     the ``nprobe − 1`` planes with the smallest |margin| (the classic
     multi-probe LSH heuristic: a near-boundary sign bit is the likeliest
     to disagree with a true neighbor's). Deterministic, pure Column."""
+    _check_planes(num_planes)
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def plane_dot(p: int) -> Column:
@@ -175,14 +216,20 @@ def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    target_occupancy: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi join on LSH bucket(s), exact cosine inside.
+
+    ``num_planes`` defaults to the data-driven ``plan_planes`` value:
+    pass ``n_rows`` (a catalog stat) to avoid the one count job,
+    or an explicit ``num_planes`` to pin the bucket space.
 
     ``nprobe`` > 1 raises recall by also probing the buckets reached by
     flipping the nearest-boundary sign bits, one per extra probe — the
@@ -192,6 +239,10 @@ def ann_lsh_topk(
     end to end."""
     from pyspark.sql import Window
 
+    if num_planes is None:
+        num_planes = plan_planes(
+            n_rows if n_rows is not None else corpus.count(), target_occupancy
+        )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -222,15 +273,25 @@ def ann_lsh_topk(
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_occupancy: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-blocked self-join + cosine ≥ t.
 
     Only same-bucket pairs are scored, so the pair count stays near-linear
-    for well-spread corpora; a hot bucket is AQE-skew-split."""
+    for well-spread corpora; a hot bucket is AQE-skew-split.
+    ``num_planes`` defaults to ``plan_planes`` over the corpus size (the
+    self-join cost per bucket is occupancy², so the default target is
+    coarser than ANN's); pass ``n_rows`` from catalog stats to skip the
+    count job, or pin ``num_planes`` explicitly."""
+    if num_planes is None:
+        num_planes = plan_planes(
+            n_rows if n_rows is not None else vectors.count(), target_occupancy
+        )
     b = hyperplane_buckets(vectors, num_planes, dim, id_col, vec_col).join(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
         "vec_id",

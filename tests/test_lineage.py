@@ -73,3 +73,15 @@ def test_write_partitioned_layout(spark, sf_small_dir, tmp_path):
         docs, out, ["lang"], files_per_partition=2, sort_cols=["doc_id"]
     )
     assert sorted(n for _f, n in manifest) == sorted(n for _f, n in manifest2)
+
+
+def test_lineage_log_mode_validation(spark, tmp_path):
+    """Exactly one of base_dir / table_prefix must be set (ADVICE r2)."""
+    import pytest as _pytest
+
+    from osm_spark.pipeline.lineage import LineageLog
+
+    with _pytest.raises(ValueError):
+        LineageLog(spark)
+    with _pytest.raises(ValueError):
+        LineageLog(spark, base_dir=str(tmp_path), table_prefix="both")

@@ -128,3 +128,67 @@ def test_history_intervals_scd2(spark):
         (1, "pending", t(20), None, 1),
         (2, "paid", t(0), None, 1),
     ]
+
+
+def test_range_join_zero_width_intervals_safe(spark):
+    """ADVICE r2: a zero median interval width must not clamp to 1e-9
+    (which would explode F.sequence to ~width/1e-9 rows per real
+    interval). Mostly-point intervals fall back to the p90 width; the
+    all-point corpus degenerates to an equi-join. Results stay exact."""
+    from osm_spark.pipeline.temporal import range_join
+
+    # 90% point intervals + a few real ones → median width is 0
+    right = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(90)]
+        + [(100 + i, i * 10.0, i * 10.0 + 25.0) for i in range(10)],
+        "rid long, lo double, hi double",
+    )
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100, 7)], "pid long, p double"
+    )
+    got = {
+        (r.pid, r.rid)
+        for r in range_join(left, right, "p", "lo", "hi").collect()
+    }
+    want = {
+        (pl, rr)
+        for pl, pv in [(i, float(i)) for i in range(0, 100, 7)]
+        for rr, lo, hi in (
+            [(i, float(i), float(i)) for i in range(90)]
+            + [(100 + i, i * 10.0, i * 10.0 + 25.0) for i in range(10)]
+        )
+        if lo <= pv <= hi
+    }
+    assert got == want
+
+    # all-point intervals: equi-join fallback, still exact
+    right_pts = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(50)], "rid long, lo double, hi double"
+    )
+    got2 = {
+        (r.pid, r.rid)
+        for r in range_join(left, right_pts, "p", "lo", "hi").collect()
+    }
+    assert got2 == {(i, i) for i in range(0, 50, 7)}
+
+
+def test_history_intervals_duplicate_ts_deterministic(spark):
+    """Duplicate (key, ts) rows: the value-struct tiebreaker makes the
+    interval split order stable across runs."""
+    from osm_spark.pipeline.temporal import history_intervals
+
+    rows = [(1, 10, "a"), (1, 10, "b"), (1, 20, "a")]
+    df = spark.createDataFrame(rows, "uid long, ts long, status string")
+    outs = [
+        sorted(
+            (r.status, r.valid_from, r.valid_to, r.n_events)
+            for r in history_intervals(df, "uid", "ts", ["status"]).collect()
+        )
+        for _ in range(3)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # ordering is (ts, struct): a@10 < b@10 < a@20 → three intervals
+    assert outs[0] == sorted(
+        [("a", 10, 10, 1), ("b", 10, 20, 1), ("a", 20, None, 1)],
+        key=lambda t: (t[0], t[1], t[2] if t[2] is not None else 1 << 60),
+    )

@@ -130,3 +130,76 @@ def test_ann_multiprobe_nprobe1_identical_to_single(emb):
     a = sorted(map(tuple, ann_lsh_topk(q, emb, k=10, num_planes=6).collect()))
     b = sorted(map(tuple, ann_lsh_topk(q, emb, k=10, num_planes=6, nprobe=1).collect()))
     assert a == b
+
+
+def test_plan_planes_values_and_clamps():
+    from osm_spark.vector.similarity import plan_planes
+
+    # P = ceil(log2(n / target)): occupancy stays ~target at any scale
+    assert plan_planes(500, 16) == 5
+    assert plan_planes(2000, 16) == 7
+    assert plan_planes(500, 64) == 3
+    # tiny corpora floor at P=1 (two buckets), never 0 or negative
+    assert plan_planes(1) == 1
+    assert plan_planes(16, 16) == 1
+    # planet scale clamps at 31 (int32 bucket ids)
+    assert plan_planes(10**13, 1) == 31
+    with pytest.raises(ValueError):
+        plan_planes(0)
+    with pytest.raises(ValueError):
+        plan_planes(100, 0)
+
+
+def test_plan_planes_bounds_bucket_occupancy(emb):
+    """Scaling the corpus 4× with a data-driven P keeps bucket occupancy
+    bounded where a static P lets it grow linearly."""
+    from osm_spark.vector.similarity import plan_planes
+
+    base = emb.count()
+    slim = emb.select("vec_id", "embedding")
+    # 4× corpus of DISTINCT directions (reverse / negate are new vectors
+    # for non-palindromic embeddings, deterministic — no RNG)
+    scaled = slim
+    for i, expr in enumerate(
+        [
+            F.reverse("embedding"),
+            F.transform("embedding", lambda x: -x),
+            F.reverse(F.transform("embedding", lambda x: -x)),
+        ]
+    ):
+        scaled = scaled.unionByName(
+            slim.select(
+                (F.col("vec_id") + (i + 1) * 100000).alias("vec_id"),
+                expr.alias("embedding"),
+            )
+        )
+
+    def occupancy(df, p):
+        row = (
+            hyperplane_buckets(df, p)
+            .groupBy("bucket")
+            .count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+            .collect()[0]
+        )
+        return row.mx, row.avg
+
+    p_static = plan_planes(base, 16)
+    p_scaled = plan_planes(4 * base, 16)
+    assert p_scaled == p_static + 2  # 4× data → exactly 2 more planes
+    mx_static, avg_static = occupancy(scaled, p_static)
+    mx_planned, avg_planned = occupancy(scaled, p_scaled)
+    # data-driven P splits the grown corpus into finer buckets; the max
+    # can stall at a collinear hot cluster (hyperplanes cannot separate
+    # identical directions — that regime is the skew-split's job), so
+    # the strict bound is on the mean
+    assert avg_planned < avg_static
+    assert mx_planned <= mx_static
+
+
+def test_num_planes_int32_guard(emb):
+    with pytest.raises(ValueError):
+        hyperplane_buckets(emb, num_planes=32)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        ann_lsh_topk(q, emb, k=5, num_planes=40, nprobe=2)
