@@ -72,9 +72,15 @@ def build_queries(spark):
         pts = extract_points(pages)
         return pip_join(pts, polygons, way_cells, strategy="broadcast")
 
+    # catalog-stat analog: occupied cells <= page rows; phase2_strategy
+    # picks broadcast here (1M cells x (k+eps) structs ~ 168 MB) and
+    # flips to the shuffle hash join past the broadcast ceiling —
+    # measured at this SF the two are within noise (BENCH.md).
+    n_pages_est = pages.count()
+
     def q_knn(spark):
         pts = extract_points(pages)
-        return knn_join(pts, synth_nodes(spark), k=3)
+        return knn_join(pts, synth_nodes(spark), k=3, n_cells=n_pages_est)
 
     def q_tiles(spark):
         pts = extract_points(pages)

@@ -12,16 +12,22 @@ Two-phase plan (filter-and-refine, cell-level prune):
    set is a *provably sufficient* candidate set for every point in the
    cell. Typical size ≈ k+ε instead of "all nodes in a fixed ring".
 2. **Point refine** — points equi-join the per-cell candidate sets on
-   cell id (broadcast — the set is ≤ nodes × occupied-cells fanout),
-   exact haversine, ``row_number`` top-k per url. The window input is
+   cell id, exact haversine, array top-k per url. The join input is
    ≈ (k+ε)·|points| rows, data-driven rather than ring-guess-driven.
 
 This replaces a fixed-ring escalation loop: the search radius adapts to
 local node density per cell (dense city cells get tight radii, sparse
 rural cells wide ones) with zero stragglers and no fallback scan. At
 planet scale phase 1 is itself a distributed job over (cells × nearby
-nodes); phase 2 — the only stage that touches the 10^12-row side — stays
-one broadcast hash join + one shuffle on url.
+nodes); phase 2 — the only stage that touches the 10^12-row side — is a
+single hash join on cell id whose physical strategy is chosen by size
+(``phase2``): the per-cell candidate table broadcasts while it fits, but
+at the 10^12-page design point the occupied-cell count approaches the
+global res-8 land-cell count (~10⁷-10⁸) and ×(k+ε) struct entries that
+table is multi-GB — past Spark's broadcast ceiling — so the fallback
+hash-joins points to candidate sets with ONE shuffle of the points on
+cell id (still no window and no sort over the big side: the top-k stays
+the narrow transform → array_sort → slice chain after the join).
 
 Distance is haversine, computed as pure Column math (codegen); ties break
 on node id so output is deterministic (SURVEY.md §7 "ordering ties").
@@ -38,6 +44,15 @@ from osm_spark.geo.hexgrid import edge_deg, hex_cell_expr, hex_center_expr, hex_
 
 EARTH_RADIUS_M = 6371000.0
 DEG_M = 111320.0  # meters per degree of latitude
+
+# Phase-2 strategy threshold: estimated candidate-table bytes above which
+# the broadcast is replaced by a shuffle hash join on the cell id. 256 MB
+# is far under Spark's 8 GB broadcast hard ceiling and a sane per-executor
+# memory bite; a candidate row is a cell id + (k+ε) structs of
+# (node_id, nlat, nlon) ≈ 24 bytes each.
+PHASE2_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+_CAND_STRUCT_BYTES = 24
+_CAND_SLACK = 4  # ε: candidates beyond k that the prune typically keeps
 
 
 def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
@@ -207,12 +222,24 @@ def cell_candidates_ring(
     return out
 
 
+def phase2_strategy(n_cells: int, k: int) -> str:
+    """Pick the phase-2 join strategy from an occupied-cell estimate —
+    the same estimate-driven auto-choice as ``pip_join``'s
+    (``estimate_covering_cells``). ``n_cells`` is a catalog/lineage stat
+    (the distinct-cell count of the points table); the candidate table
+    is ~``n_cells × (k+ε)`` structs."""
+    est_bytes = n_cells * (k + _CAND_SLACK) * _CAND_STRUCT_BYTES
+    return "broadcast" if est_bytes <= PHASE2_BROADCAST_MAX_BYTES else "shuffle"
+
+
 def knn_join(
     points: DataFrame,
     nodes: DataFrame,
     k: int = 3,
     res: int = 8,
     phase1: str = "broadcast",
+    phase2: str = "auto",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """(url, node_id, dist_m, rank) — k nearest nodes per page point.
 
@@ -227,11 +254,32 @@ def knn_join(
     no longer fits a broadcast). Both produce identical candidate sets
     (tested), so phase 2 and results are unchanged.
 
-    Phase 2 is shuffle-free on the big side: the per-cell candidate set
-    arrives as an ARRAY via broadcast join, the top-k is
-    transform → array_sort → slice → posexplode — narrow Column ops in
-    one codegen stage. Struct sort order (dist_m, node_id) is exactly the
-    deterministic tie-break.
+    ``phase2`` picks the physical join of points × candidate sets —
+    results are identical on every path (tested); only the plan differs:
+
+    - ``'broadcast'``: candidate sets broadcast; points never shuffle.
+      Right whenever the occupied-cell count × (k+ε) fits a broadcast.
+    - ``'shuffle'``: shuffle hash join on the cell id — points shuffle
+      exactly once, candidate sets build the per-partition hash table.
+      The planet-scale form: at 10^12 pages the candidate table is
+      multi-GB (bounded below by the global occupied-cell count), past
+      any sane broadcast. Still no window/sort over the big side.
+    - ``'auto'`` (default): with ``n_cells`` (a catalog stat — the
+      distinct-cell count of the points table), choose by the
+      ``phase2_strategy`` size estimate without running anything.
+      Without it, leave the join unhinted and let AQE decide from the
+      *measured* phase-1 output at runtime — the candidate-set size is
+      only knowable after phase 1 runs, and AQE's runtime stat is
+      strictly better than a static guess: it converts the join to
+      broadcast when the materialized size is under the threshold and
+      keeps the shuffle otherwise (with a local shuffle read on the
+      points side in the broadcast case).
+
+    In every phase-2 variant the per-cell candidate set arrives as an
+    ARRAY and the top-k is transform → array_sort → slice → posexplode —
+    narrow Column ops in one codegen stage, never a row_number window
+    over |points|×(k+ε) rows. Struct sort order (dist_m, node_id) is
+    exactly the deterministic tie-break.
     """
     n = nodes.select(
         F.col("id").alias("node_id"),
@@ -246,10 +294,10 @@ def knn_join(
     )
 
     phase1_fn = cell_candidates_ring if phase1 == "ring" else cell_candidates
-    # No persist: cand_sets feeds straight into a broadcast exchange, which
-    # materializes it exactly once on the driver anyway — a persist in
-    # front of a broadcast is pure overhead (and measured badly at high
-    # local thread counts; BENCH.md finding #1).
+    # No persist: cand_sets feeds straight into one exchange (broadcast or
+    # shuffle), which materializes it exactly once anyway — a persist in
+    # front of either is pure overhead (and measured badly at high local
+    # thread counts; BENCH.md finding #1).
     cand_sets = (
         phase1_fn(pts, n, k, res)
         .groupBy("pcell")
@@ -257,7 +305,20 @@ def knn_join(
             F.collect_list(F.struct("node_id", "nlat", "nlon")).alias("cands")
         )
     )
-    scored = pts.join(F.broadcast(cand_sets), "pcell").withColumn(
+    if phase2 == "auto":
+        phase2 = phase2_strategy(n_cells, k) if n_cells is not None else "aqe"
+    if phase2 == "broadcast":
+        joined = pts.join(F.broadcast(cand_sets), "pcell")
+    elif phase2 == "shuffle":
+        # SHUFFLE_HASH: one exchange per side on pcell, hash table built
+        # from the (small-per-partition) candidate sets — no sort-merge
+        # sort over the points.
+        joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
+    elif phase2 == "aqe":
+        joined = pts.join(cand_sets, "pcell")
+    else:
+        raise ValueError(f"unknown knn_join phase2 strategy: {phase2!r}")
+    scored = joined.withColumn(
         "topk",
         F.slice(
             F.array_sort(

@@ -104,3 +104,59 @@ def test_knn_k1(spark, points):
     urls = [r.url for r in got]
     assert len(urls) == len(set(urls)) == 50
     assert all(r.rank == 1 for r in got)
+
+
+def _phase2_rows(spark, points, **kw):
+    nodes = synth_nodes(spark)
+    return sorted(
+        (r.url, r.rank, r.node_id, round(r.dist_m, 6))
+        for r in knn_join(points, nodes, k=3, **kw).collect()
+    )
+
+
+def test_knn_phase2_paths_identical(spark, points):
+    """broadcast / shuffle / AQE-auto phase-2 joins: identical results —
+    the strategy changes the physical plan only."""
+    base = _phase2_rows(spark, points, phase2="broadcast")
+    assert _phase2_rows(spark, points, phase2="shuffle") == base
+    assert _phase2_rows(spark, points) == base  # auto → AQE runtime choice
+    # auto with a catalog cell-count estimate, both regimes
+    assert _phase2_rows(spark, points, n_cells=10) == base
+    assert _phase2_rows(spark, points, n_cells=10**9) == base
+
+
+def test_knn_phase2_strategy_estimate():
+    from osm_spark.geo.knn import PHASE2_BROADCAST_MAX_BYTES, phase2_strategy
+
+    assert phase2_strategy(10_000, k=3) == "broadcast"
+    # the 10^12-page design point: ~10^7-10^8 occupied land cells →
+    # multi-GB candidate table → must NOT broadcast
+    assert phase2_strategy(50_000_000, k=3) == "shuffle"
+    # threshold is bytes-based, so k moves it
+    edge = PHASE2_BROADCAST_MAX_BYTES // (7 * 24)
+    assert phase2_strategy(edge, k=3) == "broadcast"
+    assert phase2_strategy(edge + 1, k=3) == "shuffle"
+
+
+def test_knn_phase2_plan_shapes(spark, points):
+    nodes = synth_nodes(spark)
+    bcast_plan = (
+        knn_join(points, nodes, k=3, phase2="broadcast")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bcast_plan
+    shuffle_plan = (
+        knn_join(points, nodes, k=3, phase2="shuffle")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash join on pcell, no broadcast of the candidate table, and no
+    # sort over the points side (shuffled hash, not sort-merge)
+    assert "ShuffledHashJoin" in shuffle_plan
+    assert "BroadcastHashJoin" not in shuffle_plan
+    assert "SortMergeJoin" not in shuffle_plan
+    assert shuffle_plan.count("hashpartitioning(pcell") >= 2
+
+
+def test_knn_phase2_rejects_unknown(spark, points):
+    with pytest.raises(ValueError):
+        knn_join(points, synth_nodes(spark), k=3, phase2="nope").collect()
