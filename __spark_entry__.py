@@ -267,35 +267,42 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) → LSH bands → candidate pairs (shingle→band→bucket-
     join). Band count comes from ``lsh_tune`` (S-curve midpoint nearest
     the 0.8 refine threshold → 4 bands for a 32-hash budget), matching
-    the oracle's banding."""
+    the oracle's banding. Bands derive from the wide signature array
+    (``lsh_bands_from_array`` — a per-doc projection, no banding
+    shuffle); bit-identical to the long-form ``lsh_bands``."""
     from osm_spark.text.dedup import (
-        lsh_bands,
+        lsh_bands_from_array,
         lsh_candidate_pairs,
         lsh_tune,
-        minhash_signatures,
+        minhash_array,
     )
 
     d = _t(spark, sf_dir, "documents")
     return lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(d, 32), lsh_tune(32, 0.8))
+        lsh_bands_from_array(minhash_array(d, 32), lsh_tune(32, 0.8), 32)
     )
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates refined by exact token-set Jaccard ≥ 0.8."""
+    """LSH candidates refined by exact token-set Jaccard ≥ 0.8. The wide
+    signature array feeds banding AND the agreement prune that drops
+    chance band collisions before the token arrays attach (recall-safe
+    margin — see jaccard_pairs; result identical to the unpruned oracle,
+    driver-gated)."""
     from osm_spark.text.dedup import (
         jaccard_pairs,
-        lsh_bands,
+        lsh_bands_from_array,
         lsh_candidate_pairs,
         lsh_tune,
-        minhash_signatures,
+        minhash_array,
     )
 
     d = _t(spark, sf_dir, "documents")
+    sigs = minhash_array(d, 32)
     pairs = lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(d, 32), lsh_tune(32, 0.8))
+        lsh_bands_from_array(sigs, lsh_tune(32, 0.8), 32)
     )
-    return jaccard_pairs(d, pairs, threshold=0.8)
+    return jaccard_pairs(d, pairs, threshold=0.8, signatures=sigs)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

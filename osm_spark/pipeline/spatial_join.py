@@ -220,17 +220,17 @@ def salt_plan(points: DataFrame, target: int = HOT_CELL_TARGET) -> DataFrame:
     )
 
 
-def pip_join_salted(
-    points: DataFrame,
-    polygons: DataFrame,
-    way_cells: DataFrame,
-    salts: DataFrame,
+def _prejoin_salted(
+    points: DataFrame, way_cells: DataFrame, salts: DataFrame
 ) -> DataFrame:
-    """Shuffle prejoin path with explicit hot-cell salting.
+    """Shuffle prejoin with explicit hot-cell salting → candidate
+    (url, lat, lon, way_id) pairs.
 
     Points in a hot cell scatter across k salt buckets; the covering rows
     for that cell replicate into all k buckets (small side pays the
-    replication). Join key becomes (cell, salt).
+    replication). Join key becomes (cell, salt). Shared by the single-
+    polygon and multipolygon joins — the covering table is the only thing
+    that differs.
     """
     pts = points.join(F.broadcast(salts), points["h3_9"] == salts["cell"], "left")
     pts = pts.select(
@@ -253,35 +253,69 @@ def pip_join_salted(
             F.sequence(F.lit(0), F.coalesce(F.col("k") - 1, F.lit(0)))
         ).alias("salt"),
     )
-    cand = pts.join(
+    return pts.join(
         wc, (pts["h3_9"] == wc["cell"]) & (pts["salt"] == wc["salt"]), "inner"
     ).select("url", "lat", "lon", "way_id")
+
+
+def pip_join_salted(
+    points: DataFrame,
+    polygons: DataFrame,
+    way_cells: DataFrame,
+    salts: DataFrame,
+) -> DataFrame:
+    """Shuffle prejoin path with explicit hot-cell salting (see
+    ``_prejoin_salted``), then the codegen refine."""
+    cand = _prejoin_salted(points, way_cells, salts)
     cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
     return _refine_pip_expr(cand)
 
 
 def pip_join_multipolygon(
-    points: DataFrame, rings: DataFrame, ring_cells: DataFrame | None = None
+    points: DataFrame,
+    rings: DataFrame,
+    ring_cells: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Multipolygon PIP: (url, relation_id) pairs where the point lies
     inside at least one ``outer`` ring and inside no ``inner`` ring
     (holes) — OSM multipolygon semantics over the normalized ring table
     from ``relation_rings`` (relation_id, role, way_id, vlat, vlon).
+    Reference analog: the relation-member model (lib/osm/event.rb:63-65
+    nested structs; SURVEY.md §1.4).
 
-    Same filter-then-refine shape as ``pip_join``: hex covering per ring
-    (broadcast prejoin, points never shuffle), codegen ray-cast refine
-    per candidate (point, ring), then one aggregation per (point,
-    relation) combining roles. A point inside a hole still matches the
-    outer's covering cells, so the inner test runs on exactly the
-    candidates that need it.
+    Same filter-then-refine shape and the same strategy surface as
+    ``pip_join``: ``'broadcast'`` prejoins the ring covering (points
+    never shuffle), ``'salted'`` is the shuffle prejoin with explicit
+    data-driven hot-cell salting, ``'auto'`` decides from the
+    bbox-derived covering estimate. Relation multipolygons are exactly
+    where broadcast breaks first — continent/admin boundary rings have
+    the largest coverings of any geometry — so the salted path matters
+    *more* here than for single polygons. After the prejoin: codegen
+    ray-cast refine per candidate (point, ring), then one aggregation
+    per (point, relation) combining roles. A point inside a hole still
+    matches the outer's covering cells, so the inner test runs on
+    exactly the candidates that need it.
     """
     from osm_spark.pipeline.geometry import build_way_cells
 
+    ring_geo = rings.select("way_id", "vlat", "vlon")
     if ring_cells is None:
-        ring_cells = build_way_cells(rings.select("way_id", "vlat", "vlon"))
-    cand = points.join(
-        F.broadcast(ring_cells), points["h3_9"] == ring_cells["cell"], "inner"
-    ).select("url", "lat", "lon", "way_id")
+        ring_cells = build_way_cells(ring_geo)
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if estimate_covering_cells(ring_geo) <= BROADCAST_MAX_CELLS
+            else "salted"
+        )
+    if strategy == "broadcast":
+        cand = points.join(
+            F.broadcast(ring_cells), points["h3_9"] == ring_cells["cell"], "inner"
+        ).select("url", "lat", "lon", "way_id")
+    elif strategy == "salted":
+        cand = _prejoin_salted(points, ring_cells, salt_plan(points))
+    else:
+        raise ValueError(f"unknown pip_join_multipolygon strategy: {strategy!r}")
     cand = cand.join(
         F.broadcast(rings.select("relation_id", "role", "way_id", "vlat", "vlon")),
         "way_id",

@@ -86,18 +86,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
+def minhash_array(
     docs: DataFrame,
     num_hashes: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle: Column | None = None,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per (doc, hash function).
+    """(doc_id, sig array<string>) — the full signature as ONE row/doc.
 
     h_seed(doc) = min over shingles of md5(seed || ':' || shingle); the
     lexicographic min of the hex digest is a valid min-wise hash and is
-    engine-portable.
+    engine-portable. ``sig[seed]`` is h_seed.
 
     Plan: one explode to (doc, shingle), all ``num_hashes`` digests
     computed as ONE array projection per occurrence (whole-stage codegen,
@@ -105,12 +105,14 @@ def minhash_signatures(
     min columns — the map-side combiner collapses every partition to one
     row per doc BEFORE the only shuffle, which therefore carries
     |docs| × num_hashes hashes, independent of document length. (The
-    previous form joined a distinct-vocab hash dim back to occurrences,
+    earlier form joined a distinct-vocab hash dim back to occurrences,
     materializing occurrences × num_hashes rows into a (doc, seed)
     shuffle — measured 3-4× slower at sf0.1 and quadratically worse with
-    document length.) The k-wide min-agg unpivots back to
-    (doc_id, seed, minhash) via posexplode, so downstream banding is
-    unchanged.
+    document length.)
+
+    This wide form is the natural checkpoint/persist unit: banding, the
+    candidate join and the agreement prune are all per-doc projections or
+    key-joins over it — none of them needs a second doc-keyed shuffle.
     """
     sh = shingle if shingle is not None else tokens(text_col)
     exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("tok"))
@@ -129,9 +131,21 @@ def minhash_signatures(
     )
     return mins.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])).alias(
-            "seed", "minhash"
-        ),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: Column | None = None,
+) -> DataFrame:
+    """(doc_id, seed, minhash) — the long (one row per hash) form of
+    ``minhash_array``, for callers that band/aggregate per seed."""
+    return minhash_array(docs, num_hashes, id_col, text_col, shingle).select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
     )
 
 
@@ -179,6 +193,31 @@ def lsh_bands(signatures: DataFrame, num_bands: int = 8) -> DataFrame:
     )
 
 
+def lsh_bands_from_array(
+    signatures: DataFrame, num_bands: int = 8, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, band, band_hash) from the wide ``minhash_array`` form —
+    a pure per-doc projection + explode, NO shuffle (``lsh_bands`` pays
+    a (doc, band) groupBy shuffle because its input is one row per
+    seed). At 10^12 docs that is one whole exchange of
+    |docs| × num_hashes rows saved.
+
+    Bit-identical to ``lsh_bands`` (tested): band = seed mod num_bands,
+    minhashes concatenated in ascending seed order (seeds are unique
+    within a band, so lsh_bands' (seed, minhash) struct sort is exactly
+    seed order). The per-band seed layout [b, b+nb, ...] is static, so
+    each band hash is plain literal-index ``element_at`` arithmetic.
+    """
+    structs = []
+    for b in range(num_bands):
+        seeds = range(b, num_hashes, num_bands)
+        h = F.md5(F.concat_ws(",", *[F.element_at("sig", s + 1) for s in seeds]))
+        structs.append(F.struct(F.lit(b).alias("band"), h.alias("band_hash")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing ≥1 band bucket.
 
@@ -209,6 +248,8 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle: Column | None = None,
+    signatures: DataFrame | None = None,
+    prune_margin: float = 0.3,
 ) -> DataFrame:
     """Exact Jaccard refine over candidate pairs.
 
@@ -217,6 +258,21 @@ def jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|) is pure Column set math per pair: no token
     explode, no token-keyed shuffle. Cost is O(candidate pairs × avg doc
     length) in-partition work, not a 40×-row join intermediate.
+
+    ``signatures`` (the wide ``minhash_array`` output the caller already
+    built for banding) enables a **signature-agreement prune**: the
+    fraction of agreeing minhashes is an unbiased Jaccard estimate, so
+    pairs whose estimate falls below ``threshold − prune_margin`` are
+    dropped BEFORE the token arrays attach — the heavy joins and the
+    set-intersection math then run only on plausibly-passing pairs. The
+    margin is a one-sided recall guard: with n=32 hashes a true-Jaccard
+    = threshold pair has agreement ~ Binomial(32, t)/32, and at the
+    default margin 0.3 the drop probability is Φ(−0.3·√32/σ) ≈ 1e-6 per
+    boundary pair (≈4.7σ at t=0.8) — negligible even at 10^9 candidate
+    pairs, while the pairs the band join admits *by chance* (one lucky
+    band out of many, true Jaccard well below t) are exactly the ones
+    the prune removes. Signature rows are ~num_hashes·33 B — an order
+    of magnitude lighter than token arrays.
 
     The pair list is explicitly repartitioned to cluster parallelism
     first: AQE coalesces post-shuffle partitions by BYTES, and candidate
@@ -228,6 +284,26 @@ def jaccard_pairs(
     sh = shingle if shingle is not None else tokens(text_col)
     par = pairs.sparkSession.sparkContext.defaultParallelism * 2
     pairs = pairs.repartition(par, "doc_a", "doc_b")
+    if signatures is not None:
+        sa = signatures.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sig_a")
+        )
+        sb = signatures.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sig_b")
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        est = agree / F.size(F.col("_sig_a")).cast("double")
+        pairs = (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(est >= F.lit(threshold - prune_margin))
+            .select("doc_a", "doc_b")
+        )
     ts = docs.select(F.col(id_col).alias("doc_id"), sh.alias("toks"))
     ta = ts.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = ts.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))

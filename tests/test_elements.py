@@ -257,3 +257,87 @@ def test_multipolygon_pip_on_synth_relations(spark):
             if in_outer and not in_inner:
                 exp.add((url, rel_id))
     assert got == exp
+
+
+def test_multipolygon_pip_salted_equals_broadcast(spark):
+    """The salted shuffle prejoin (relation rings are where broadcast
+    breaks first at scale) must match the broadcast path exactly on a
+    fixture with a genuinely hot cell."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon, salt_plan
+
+    outer = ([10.0, 10.0, 10.2, 10.2], [20.0, 20.2, 20.2, 20.0])
+    hole = ([10.08, 10.08, 10.12, 10.12], [20.08, 20.12, 20.12, 20.08])
+    outer2 = ([10.3, 10.3, 10.5, 10.5], [20.3, 20.5, 20.5, 20.3])
+    rings = spark.createDataFrame(
+        [
+            (500, "outer", 9001, outer[0], outer[1]),
+            (500, "inner", 9002, hole[0], hole[1]),
+            (501, "outer", 9003, outer2[0], outer2[1]),
+        ],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    # 200 points crammed around one location (one hot cell), plus spread
+    rows = [(f"hot{i}", 10.05 + i * 1e-6, 20.05 + i * 1e-6) for i in range(200)]
+    rows += [(f"sp{i}", 10.0 + (i % 60) * 0.01, 20.0 + (i // 60) * 0.01) for i in range(120)]
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double").withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    # the fixture must actually have a hot cell under the forced target
+    assert salt_plan(pts, target=50).count() > 0
+    bc = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings, strategy="broadcast").collect()
+    }
+    assert len(bc) > 150
+    # monkey-scale the hot threshold by salting on a small target
+    from osm_spark.pipeline import spatial_join as sj
+
+    salted_df = pip_join_multipolygon(pts, rings, strategy="salted")
+    # default target won't mark hot cells at this size; re-run the salted
+    # path with a forced plan through the shared prejoin to hit real salt
+    from osm_spark.pipeline.geometry import build_way_cells
+
+    ring_cells = build_way_cells(rings.select("way_id", "vlat", "vlon"))
+    forced = sj._prejoin_salted(pts, ring_cells, salt_plan(pts, target=50))
+    forced = forced.join(
+        F.broadcast(rings.select("relation_id", "role", "way_id", "vlat", "vlon")),
+        "way_id",
+    ).withColumn(
+        "inside",
+        sj.pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon")),
+    )
+    forced_pairs = (
+        forced.groupBy("url", "relation_id")
+        .agg(
+            F.max(F.when(F.col("role") == "outer", F.col("inside"))).alias("in_outer"),
+            F.max(F.when(F.col("role") == "inner", F.col("inside"))).alias("in_inner"),
+        )
+        .filter(
+            F.coalesce(F.col("in_outer"), F.lit(False))
+            & ~F.coalesce(F.col("in_inner"), F.lit(False))
+        )
+    )
+    assert {(r.url, r.relation_id) for r in salted_df.collect()} == bc
+    assert {(r.url, r.relation_id) for r in forced_pairs.collect()} == bc
+
+
+def test_multipolygon_pip_strategy_validation(spark):
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon
+
+    rings = spark.createDataFrame(
+        [(1, "outer", 2, [0.0, 0.0, 1.0], [0.0, 1.0, 0.0])],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    pts = spark.createDataFrame(
+        [("a", 0.2, 0.2)], "url string, lat double, lon double"
+    ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pip_join_multipolygon(pts, rings, strategy="bogus")

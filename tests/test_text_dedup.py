@@ -187,3 +187,54 @@ def test_lsh_tune_operating_points():
     import pytest as _p
     with _p.raises(ValueError):
         lsh_tune(32, 0.0)
+
+
+def test_lsh_bands_from_array_identical_to_long_form(docs):
+    """The shuffle-free wide-form banding must be bit-identical to the
+    long-form groupBy banding for every (num_hashes, num_bands) combo in
+    use."""
+    from osm_spark.text.dedup import lsh_bands_from_array, minhash_array
+
+    for nh, nb in [(32, 4), (32, 16), (8, 4)]:
+        long_form = sorted(
+            map(tuple, lsh_bands(minhash_signatures(docs, nh), nb).collect())
+        )
+        wide_form = sorted(
+            map(tuple, lsh_bands_from_array(minhash_array(docs, nh), nb, nh).collect())
+        )
+        assert wide_form == long_form, (nh, nb)
+
+
+def test_lsh_bands_from_array_plan_has_no_shuffle(docs):
+    from osm_spark.text.dedup import lsh_bands_from_array, minhash_array
+
+    plan = (
+        lsh_bands_from_array(minhash_array(docs, 32), 4, 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one exchange: the signature aggregation's doc-keyed
+    # shuffle; banding itself adds none
+    assert plan.count("Exchange") == 1
+
+
+def test_jaccard_signature_prune_identical_results(docs, pydocs):
+    """The agreement prune must not change the refined output (the prune
+    margin is a recall guard, not an approximation knob)."""
+    from osm_spark.text.dedup import lsh_bands_from_array, minhash_array
+
+    sigs = minhash_array(docs, 32)
+    pairs = lsh_candidate_pairs(lsh_bands_from_array(sigs, 4, 32))
+    unpruned = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, pairs, threshold=0.8).collect()
+    )
+    pruned = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, pairs, threshold=0.8, signatures=sigs
+        ).collect()
+    )
+    assert pruned == unpruned
+    # ... and the prune actually removes candidate work at this corpus
+    kept = jaccard_pairs(docs, pairs, threshold=0.8, signatures=sigs, prune_margin=0.3)
+    assert kept.count() == len(unpruned)
