@@ -299,3 +299,66 @@ def hex_disk_udf(res: int = DEFAULT_RES, k: int = 1):
         return pd.Series(list(grid))
 
     return _udf
+
+
+def h3_available() -> bool:
+    """True when the real `h3` library (Uber H3 bindings) is importable."""
+    try:
+        import h3  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def h3_cell_udf(res: int = DEFAULT_RES):
+    """Real-H3 encode behind the same (lat, lon) → long signature as
+    ``hex_cell_expr`` / ``hex_cell_udf``.
+
+    The engine-local grid is the default everywhere (pure codegen, no
+    dependency); this hook exists because H3/S2 library version drift is
+    a named interop risk (SURVEY.md §7): where cell ids must match an
+    external H3 dataset, swap this in at the encode sites and every
+    downstream equi-join/groupBy works unchanged — cell ids are opaque
+    longs to the rest of the engine. NOTE: real H3 ids live in a
+    different id space than the engine-local ids (both are 64-bit, both
+    resolution-tagged); never mix the two spaces in one join, and
+    rebuild any persisted covering index when switching backends.
+
+    Raises ImportError at build time when `h3` is absent (no silent
+    fallback — a mixed-id-space join must be impossible to create by
+    accident).
+    """
+    import h3  # hard import: fail loudly, see docstring
+
+    from pyspark.sql.types import LongType as _Long
+
+    # h3 v4 returns hex strings, v3 ints — normalize once, not per row
+    _str_ids = isinstance(h3.latlng_to_cell(0.0, 0.0, 0), str)
+
+    @F.pandas_udf(_Long())
+    def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        def enc(la: float, lo: float):
+            if la != la or lo != lo:  # NaN
+                return None
+            c = h3.latlng_to_cell(float(la), float(lo), res)
+            return int(c, 16) if _str_ids else c
+
+        return pd.Series([enc(la, lo) for la, lo in zip(lat, lon)], dtype="object")
+
+    return _udf
+
+
+def hex_cell_backend(
+    lat: Column | str, lon: Column | str, res: int = DEFAULT_RES, backend: str = "native"
+) -> Column:
+    """Backend-dispatched encode with the ``hex_cell_expr`` signature:
+    'native' → the codegen engine grid (default), 'h3' → real Uber H3
+    ids via ``h3_cell_udf`` (requires the library; import-guarded)."""
+    if backend == "native":
+        return hex_cell_expr(lat, lon, res)
+    if backend == "h3":
+        la = F.col(lat) if isinstance(lat, str) else lat
+        lo = F.col(lon) if isinstance(lon, str) else lon
+        return h3_cell_udf(res)(la, lo)
+    raise ValueError(f"unknown hex backend: {backend!r}")

@@ -198,3 +198,44 @@ def test_s2_cell_cols_matches_numpy(spark):
     assert (got == exp).all()
     # all six faces exercised
     assert len({int(v) >> 5 >> 26 for v in got}) == 6
+
+
+def test_hex_cell_backend_dispatch(spark):
+    """'native' backend ≡ hex_cell_expr; 'h3' is import-guarded (green
+    with the library, clean ImportError without — never a silent
+    fallback into a mixed id space)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.hexgrid import (
+        h3_available,
+        hex_cell_backend,
+        hex_cell_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(10.05, 20.05), (-33.9, 151.2), (51.5, -0.1)], "lat double, lon double"
+    )
+    native = df.select(
+        hex_cell_backend("lat", "lon", 9, "native").alias("a"),
+        hex_cell_expr("lat", "lon", 9).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in native)
+    with _pytest.raises(ValueError):
+        hex_cell_backend("lat", "lon", 9, "s2ish")
+    if h3_available():
+        rows = df.select(
+            hex_cell_backend("lat", "lon", 9, "h3").alias("c")
+        ).collect()
+        import h3 as _h3
+
+        want = [
+            _h3.latlng_to_cell(10.05, 20.05, 9),
+            _h3.latlng_to_cell(-33.9, 151.2, 9),
+            _h3.latlng_to_cell(51.5, -0.1, 9),
+        ]
+        want = [int(w, 16) if isinstance(w, str) else w for w in want]
+        assert [r.c for r in rows] == want
+    else:
+        with _pytest.raises(ImportError):
+            hex_cell_backend("lat", "lon", 9, "h3")
