@@ -36,6 +36,12 @@ PAGES_MULT = int(os.environ.get("SPARK_GRAFT_PAGES_MULT", "200"))
 # At 1M pages the whole pipeline now finishes in ~5 s on 16 cores and
 # those fixed costs dominate the ratio.
 SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "2000"))
+# Timed passes per parallelism for --scaling (steady state = min of all).
+# High-parallelism configs JIT-compile 4x the code paths concurrently and
+# need more passes to converge: at local[32] walls were still descending
+# on pass 4 (39.9 -> 26.5 -> 19.0 -> 17.0), understating efficiency.
+# All walls are always reported so convergence is visible.
+SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "4"))
 
 
 def force(df) -> int:
@@ -214,7 +220,7 @@ def run_flagship_once(cpus: int) -> dict:
     # in its first seconds — the scaling rule is about steady-state
     # throughput. All walls reported for transparency.
     walls = []
-    for _ in range(4):
+    for _ in range(SCALE_PASSES):
         t0 = time.monotonic()
         force(pip_join(extract_points(pages), polygons, way_cells, strategy="broadcast"))
         walls.append(round(time.monotonic() - t0, 3))
