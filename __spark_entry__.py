@@ -287,8 +287,11 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates refined by exact token-set Jaccard ≥ 0.8. The wide
     signature array feeds banding AND the agreement prune that drops
     chance band collisions before the token arrays attach (recall-safe
-    margin — see jaccard_pairs; result identical to the unpruned oracle,
-    driver-gated)."""
+    margin + truncated prune digests — see jaccard_pairs; result
+    identical to the unpruned oracle, driver-gated). The candidate
+    dedup shuffle doubles as the refine's width-setting exchange
+    (num_partitions + pre_partitioned), so the pair list is exchanged
+    once, not twice."""
     from osm_spark.text.dedup import (
         jaccard_pairs,
         lsh_bands_from_array,
@@ -299,10 +302,13 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_array(d, 32)
+    par = spark.sparkContext.defaultParallelism * 2
     pairs = lsh_candidate_pairs(
-        lsh_bands_from_array(sigs, lsh_tune(32, 0.8), 32)
+        lsh_bands_from_array(sigs, lsh_tune(32, 0.8), 32), num_partitions=par
     )
-    return jaccard_pairs(d, pairs, threshold=0.8, signatures=sigs)
+    return jaccard_pairs(
+        d, pairs, threshold=0.8, signatures=sigs, pre_partitioned=True
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,7 +218,7 @@ def lsh_bands_from_array(
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing ≥1 band bucket.
 
     Equi self-join on (band, band_hash): Spark hashes both sides on the
@@ -226,6 +226,15 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     a hot bucket (thousands of near-identical docs) quadratically
     explodes its own partition only; AQE skew-split handles that, and the
     distinct collapses multi-band matches map-side.
+
+    ``num_partitions`` makes the dedup shuffle double as the
+    width-setting exchange for the refine that usually follows: the raw
+    pairs hash-repartition on (doc_a, doc_b) at that width and the
+    distinct reuses the partitioning, so ``jaccard_pairs(...,
+    pre_partitioned=True)`` needs no second exchange of the pair list.
+    (Without it, AQE coalesces the distinct output by BYTES — candidate
+    pairs are 16-byte rows carrying ~10³ set-ops each, so the refine
+    collapses to 1-2 tasks; see jaccard_pairs.)
     """
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_hash"
@@ -233,12 +242,14 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), "band", "band_hash"
     )
-    return (
+    raw = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if num_partitions:
+        raw = raw.repartition(num_partitions, "doc_a", "doc_b")
+    return raw.distinct()
 
 
 def jaccard_pairs(
@@ -250,6 +261,8 @@ def jaccard_pairs(
     shingle: Column | None = None,
     signatures: DataFrame | None = None,
     prune_margin: float = 0.3,
+    prune_hash_chars: int = 8,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Exact Jaccard refine over candidate pairs.
 
@@ -274,17 +287,38 @@ def jaccard_pairs(
     the prune removes. Signature rows are ~num_hashes·33 B — an order
     of magnitude lighter than token arrays.
 
+    The prune compares digests truncated to ``prune_hash_chars`` hex
+    chars (default 8 → 32 bits/hash): truncation can only make DISTINCT
+    digests collide (p ≈ 2⁻³² per hash, slightly inflating the agreement
+    estimate), never split equal ones — strictly recall-safe, and the
+    prune-join payload shrinks 4× vs full md5 hex (measured ~15 % off
+    the whole refine at sf0.1, where dense near-dup clusters make the
+    prune itself the overhead). Set 0 to compare full digests.
+
     The pair list is explicitly repartitioned to cluster parallelism
     first: AQE coalesces post-shuffle partitions by BYTES, and candidate
     pairs are 16-byte rows that each carry ~10³ set-intersection ops —
     byte-sized coalescing collapsed the refine to 1-2 tasks (measured
     4× the whole query's wall). The extra shuffle moves only the skinny
-    id pairs; the CPU-heavy refine then runs at full width.
+    id pairs; the CPU-heavy refine then runs at full width. Callers that
+    already width-partitioned the pair list on (doc_a, doc_b) — e.g.
+    ``lsh_candidate_pairs(..., num_partitions=par)`` — pass
+    ``pre_partitioned=True`` to skip the redundant exchange (Catalyst
+    keeps user-requested repartitions even when the child partitioning
+    already matches; measured two full pair-list exchanges → one).
     """
     sh = shingle if shingle is not None else tokens(text_col)
-    par = pairs.sparkSession.sparkContext.defaultParallelism * 2
-    pairs = pairs.repartition(par, "doc_a", "doc_b")
+    if not pre_partitioned:
+        par = pairs.sparkSession.sparkContext.defaultParallelism * 2
+        pairs = pairs.repartition(par, "doc_a", "doc_b")
     if signatures is not None:
+        if prune_hash_chars:
+            signatures = signatures.select(
+                "doc_id",
+                F.transform(
+                    "sig", lambda h: F.substring(h, 1, prune_hash_chars)
+                ).alias("sig"),
+            )
         sa = signatures.select(
             F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sig_a")
         )

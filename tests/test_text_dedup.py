@@ -238,3 +238,47 @@ def test_jaccard_signature_prune_identical_results(docs, pydocs):
     # ... and the prune actually removes candidate work at this corpus
     kept = jaccard_pairs(docs, pairs, threshold=0.8, signatures=sigs, prune_margin=0.3)
     assert kept.count() == len(unpruned)
+    # truncated prune digests (default 8 hex chars) and full digests
+    # agree: truncation only ever inflates the agreement estimate
+    full_digest = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, pairs, threshold=0.8, signatures=sigs, prune_hash_chars=0
+        ).collect()
+    )
+    assert full_digest == unpruned
+
+
+def test_jaccard_pre_partitioned_single_exchange(docs):
+    """lsh_candidate_pairs(num_partitions) + pre_partitioned=True must
+    (a) give identical output to the default two-exchange shape and
+    (b) exchange the pair list once: the dedup shuffle doubles as the
+    refine's width-setting exchange."""
+    from osm_spark.text.dedup import lsh_bands_from_array, minhash_array
+
+    sigs = minhash_array(docs, 32)
+    bands = lsh_bands_from_array(sigs, 4, 32)
+    default = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, lsh_candidate_pairs(bands), threshold=0.8, signatures=sigs
+        ).collect()
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    fused_df = jaccard_pairs(
+        docs,
+        lsh_candidate_pairs(bands, num_partitions=par),
+        threshold=0.8,
+        signatures=sigs,
+        pre_partitioned=True,
+    )
+    # plan: exactly one hashpartitioning exchange on (doc_a, doc_b) —
+    # the fused dedup/width shuffle; the default shape carries two.
+    # Taken BEFORE the action: the AQE final plan prints a materialized
+    # shuffle stage and its reuse reference as two identical Exchange
+    # lines.
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    n_pair_exchanges = plan.count("hashpartitioning(doc_a")
+    assert n_pair_exchanges == 1, plan
+    fused = sorted((r.doc_a, r.doc_b, r.jaccard) for r in fused_df.collect())
+    assert fused == default
