@@ -1409,6 +1409,71 @@ def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contours(density_raster(points, 12), threshold=1.0)
 
 
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents token stream (budget 256):
+    every document's pack id + offset from an EXACT global running
+    token count, computed as a distributed two-phase prefix sum
+    (bucketed parallel windows + broadcast prefix offsets) instead of
+    the single-partition global window the oracle SQL uses — identical
+    output, partition-parallel plan (osm_spark/text/packing.py)."""
+    from osm_spark.text.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256)
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota (cap 20 docs/source) by salted-
+    digest rank — reproducible curation sampling, independent of
+    partitioning and cluster size (osm_spark/text/sampling.py)."""
+    from osm_spark.text.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return quota_sample(d, "source", 20, "doc_id").select(
+        "doc_id", "source", "rk"
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% Bernoulli-by-key corpus sample: pure filter on
+    a salted digest threshold — pushes to the scan, no shuffle, same
+    membership on any engine (osm_spark/text/sampling.py)."""
+    from osm_spark.text.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PII scrub (emails -> IPv4s -> +phone forms) with
+    per-category counts and the md5 of the scrubbed text; patterns are
+    Java-regex/RE2 common dialect so the oracle replays them exactly
+    (osm_spark/text/redact.py)."""
+    from osm_spark.text.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return redact_pii(d).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted_fp"
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate word-3-gram fraction) — the
+    boilerplate/spam signal of the standard quality recipe, pure Column
+    sequence+slice n-grams (osm_spark/text/analysis.py)."""
+    from osm_spark.text.analysis import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    total, distinct, ratio = repetition_stats("text", 3)
+    return d.select(
+        "doc_id",
+        total.alias("n_3grams"),
+        distinct.alias("distinct_3grams"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1467,8 +1532,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_trail": q_audit_trail,
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
-        # --- rows-only (pytest-golden-verified; each has a driver-gated
-        # twin above: simhash, pip_pairs, knn_pairs) ---
+        # --- tail: outside the driver's 50-entry gate window. The first
+        # five DO ship exact oracle_sql twins (verified by
+        # tools/check_oracle.py locally); the last three are the
+        # rows-only operators whose driver-gated twins run the same
+        # engine code above (simhash, pip_pairs, knn_pairs) ---
+        "pack_sequences": q_pack_sequences,
+        "quota_sample": q_quota_sample,
+        "hash_sample": q_hash_sample,
+        "redact_pii": q_redact_pii,
+        "repetition_ratio": q_repetition_ratio,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2150,5 +2223,88 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(g_click, false)
                        OR (coalesce(g_view, false) AND coalesce(g_purchase, false)) AS earnt
             FROM p
+        """,
+        # --- tail queries (outside the driver's 50-entry window; exact
+        # twins kept for tools/check_oracle.py and judge replay) ---
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       SUM(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens,
+                   CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+                   CAST((cum - n_tok) % 256 AS BIGINT) AS pack_offset,
+                   CAST((CASE WHEN n_tok > 0 THEN (cum - 1) // 256
+                              ELSE (cum - n_tok) // 256 END)
+                        - (cum - n_tok) // 256 + 1 AS BIGINT) AS n_packs_spanned
+            FROM c
+        """,
+        "quota_sample": """
+            SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 20
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5('s1:' || CAST(doc_id AS VARCHAR))
+                  < '40000000000000000000000000000000'
+        """,
+        "redact_pii": """
+            WITH s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t1,
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                       regexp_replace(t1,
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_emails, n_ips,
+                       CAST(len(regexp_extract_all(t2,
+                           '\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones,
+                       regexp_replace(t2, '\+[0-9][0-9 ()-]{6,}[0-9]',
+                           '<PHONE>', 'g') AS t3
+                FROM s2
+            )
+            SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS redacted_fp
+            FROM s3
+        """,
+        "repetition_ratio": """
+            WITH w AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS total,
+                       list_transform(range(1, len(ws) - 1),
+                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS grams
+                FROM w
+            )
+            SELECT doc_id, total AS n_3grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+                   CASE WHEN total <= 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(grams))
+                                   / CAST(total AS DOUBLE), 6)
+                   END AS repetition_ratio
+            FROM g
         """,
     }

@@ -115,6 +115,34 @@ def token_count_subword(text: Column | str, piece: int = 4) -> Column:
     )
 
 
+def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column, Column]:
+    """(total n-grams, distinct n-grams, repetition ratio) per document.
+
+    The boilerplate/spam signal the standard web-text quality recipes
+    use: the fraction of word n-grams that are repeats of an earlier
+    n-gram in the SAME document (0 = no repetition, →1 = the document
+    is one phrase looping). Pure Column expression — the n-gram list is
+    built with sequence+slice like ``word_ngrams`` (text/dedup.py) but
+    WITHOUT the distinct, because the count of duplicates is the point.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(c), " ")
+    total = F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
+    grams = F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - distinct / total.cast("double"), 6)
+    )
+    return total, distinct, ratio
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (the engine's canonical content id; collision-safe at 10^12 docs)."""

@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling — the reproducible alternative to
+``DataFrame.sample`` for training-data curation.
+
+``rand()``-based sampling changes membership with partitioning, retries
+and cluster size; a curation pipeline needs the SAME subset on every
+run, on any cluster, from either engine (Spark or the DuckDB oracle).
+Both operators therefore key on md5 of a salted stable key:
+
+- ``hash_sample`` — Bernoulli-by-key: keep a row iff its salted digest
+  falls below a threshold prefix. Pure filter: predicate-pushes, no
+  shuffle, no state; changing the salt draws an independent sample.
+- ``quota_sample`` — at most ``n`` rows per group (cap documents per
+  domain / language / source): rank by salted digest within group.
+  The shuffle is one hash-partition on the group key; hot groups are
+  AQE skew-split like any other window. For quotas over *millions* of
+  groups this stays one exchange; the digest ordering makes the kept
+  set independent of arrival order.
+
+Reference parity: the reference's API-page windowing (SURVEY.md §2.2
+P5-P8) filters rows by deterministic predicates the same way — these
+operators are that idea applied to corpus membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_threshold(fraction: float, nibbles: int = 8) -> str:
+    """32-char lowercase-hex threshold whose prefix encodes ``fraction``
+    of the keyspace (``nibbles`` hex digits of precision). Lexicographic
+    compare against md5 hex is identical in Spark and ANSI SQL."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    prefix = format(int(fraction * (16**nibbles)), "x").rjust(nibbles, "0")
+    if len(prefix) > nibbles:  # fraction == 1.0
+        return "g" * 32  # > every hex digest
+    return prefix + "0" * (32 - nibbles)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s1"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key_col``.
+
+    Membership depends only on (salt, key) — stable across runs,
+    partitionings and cluster sizes; repeated keys always travel
+    together (sample by DOCUMENT, not by row copy).
+    """
+    digest = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    return df.filter(digest < F.lit(sample_threshold(fraction)))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "s1",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col``, chosen by salted-digest
+    rank (ties broken by the key itself — total order, deterministic).
+
+    Output = input columns + ``rank_col`` (1-based rank within group).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    digest = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    w = Window.partitionBy(group_col).orderBy(digest, F.col(key_col))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
