@@ -1,5 +1,6 @@
 """Text-processing layer: dedup (exact / MinHash-LSH / SimHash / n-gram
-Jaccard), language-ID, quality scoring, token counting, fingerprinting.
+Jaccard), language-ID, quality scoring, token counting, fingerprinting,
+sequence packing, deterministic sampling and PII redaction.
 
 All hot-path logic is pure Column expressions (JVM-side, whole-stage
 codegen); the only pandas UDF is the 64-bit SimHash fast path.
@@ -18,9 +19,13 @@ from osm_spark.text.dedup import (
 from osm_spark.text.analysis import (
     language_id,
     quality_features,
+    repetition_stats,
     token_count_subword,
     fingerprint,
 )
+from osm_spark.text.packing import global_cumsum, pack_sequences
+from osm_spark.text.redact import redact_pii
+from osm_spark.text.sampling import hash_sample, quota_sample
 
 __all__ = [
     "exact_dedup",
@@ -33,6 +38,12 @@ __all__ = [
     "word_ngrams",
     "language_id",
     "quality_features",
+    "repetition_stats",
     "token_count_subword",
     "fingerprint",
+    "global_cumsum",
+    "pack_sequences",
+    "redact_pii",
+    "hash_sample",
+    "quota_sample",
 ]
