@@ -286,9 +286,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates refined by exact token-set Jaccard ≥ 0.8. The wide
     signature array feeds banding AND the agreement prune that drops
-    chance band collisions before the token arrays attach (recall-safe
-    margin + truncated prune digests — see jaccard_pairs; result
-    identical to the unpruned oracle, driver-gated). The candidate
+    chance band collisions before the token arrays attach (one-sided
+    margin, false-drop probability ~1e-6 per exactly-boundary pair and
+    super-exponentially smaller above threshold — see jaccard_pairs;
+    verified hash-identical to the unpruned oracle on the gated
+    corpora). The candidate
     dedup shuffle doubles as the refine's width-setting exchange
     (num_partitions + pre_partitioned), so the pair list is exchanged
     once, not twice."""
@@ -2260,7 +2262,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5('s1:' || CAST(doc_id AS VARCHAR))
                   < '40000000000000000000000000000000'
         """,
-        "redact_pii": """
+        "redact_pii": r"""
             WITH s1 AS (
                 SELECT doc_id,
                        CAST(len(regexp_extract_all(text,

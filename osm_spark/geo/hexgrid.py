@@ -333,15 +333,23 @@ def h3_cell_udf(res: int = DEFAULT_RES):
 
     from pyspark.sql.types import LongType as _Long
 
-    # h3 v4 returns hex strings, v3 ints — normalize once, not per row
-    _str_ids = isinstance(h3.latlng_to_cell(0.0, 0.0, 0), str)
+    # v4 renamed the encode: latlng_to_cell; v3 calls it geo_to_h3. Both
+    # take (lat, lng, res) and return hex strings in the default API
+    # (int-returning variants live under h3.api.basic_int) — resolve the
+    # name once and normalize the id form once, not per row.
+    _encode = getattr(h3, "latlng_to_cell", None) or getattr(h3, "geo_to_h3", None)
+    if _encode is None:
+        raise ImportError(
+            "h3 module has neither latlng_to_cell (v4) nor geo_to_h3 (v3)"
+        )
+    _str_ids = isinstance(_encode(0.0, 0.0, 0), str)
 
     @F.pandas_udf(_Long())
     def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
         def enc(la: float, lo: float):
             if la != la or lo != lo:  # NaN
                 return None
-            c = h3.latlng_to_cell(float(la), float(lo), res)
+            c = _encode(float(la), float(lo), res)
             return int(c, 16) if _str_ids else c
 
         return pd.Series([enc(la, lo) for la, lo in zip(lat, lon)], dtype="object")

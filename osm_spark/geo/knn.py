@@ -267,13 +267,14 @@ def knn_join(
     - ``'auto'`` (default): with ``n_cells`` (a catalog stat — the
       distinct-cell count of the points table), choose by the
       ``phase2_strategy`` size estimate without running anything.
-      Without it, leave the join unhinted and let AQE decide from the
-      *measured* phase-1 output at runtime — the candidate-set size is
-      only knowable after phase 1 runs, and AQE's runtime stat is
+      Without it, plan the shuffle-hash join and let AQE upgrade from
+      the *measured* phase-1 output at runtime — the candidate-set size
+      is only knowable after phase 1 runs, and AQE's runtime stat is
       strictly better than a static guess: it converts the join to
-      broadcast when the materialized size is under the threshold and
-      keeps the shuffle otherwise (with a local shuffle read on the
-      points side in the broadcast case).
+      broadcast when the materialized size is under the threshold (the
+      points then read their own shuffle output locally) and keeps the
+      shuffle-hash plan otherwise. The hint matters: unhinted, the
+      static planner picks SortMergeJoin and SORTS the points side.
 
     In every phase-2 variant the per-cell candidate set arrives as an
     ARRAY and the top-k is transform → array_sort → slice → posexplode —
@@ -315,7 +316,16 @@ def knn_join(
         # sort over the points.
         joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
     elif phase2 == "aqe":
-        joined = pts.join(cand_sets, "pcell")
+        # Keep the shuffle_hash hint even on the AQE path: unhinted, the
+        # static planner falls back to SortMergeJoin (cand_sets is an
+        # aggregate with no usable stats) and SORTS the 10^12-row points
+        # side — and for candidate tables between the session's
+        # autoBroadcastJoinThreshold and PHASE2_BROADCAST_MAX_BYTES AQE
+        # never rescues it. With the hint the worst case is the intended
+        # shuffle-hash plan, and AQE still upgrades to broadcast when the
+        # measured phase-1 output is small (points read their own shuffle
+        # output locally in that case).
+        joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
     else:
         raise ValueError(f"unknown knn_join phase2 strategy: {phase2!r}")
     scored = joined.withColumn(

@@ -122,20 +122,16 @@ def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column, Co
     use: the fraction of word n-grams that are repeats of an earlier
     n-gram in the SAME document (0 = no repetition, →1 = the document
     is one phrase looping). Pure Column expression — the n-gram list is
-    built with sequence+slice like ``word_ngrams`` (text/dedup.py) but
-    WITHOUT the distinct, because the count of duplicates is the point.
+    ``word_ngrams(distinct=False)`` (text/dedup.py: one shared
+    construction incl. the short-doc guard), because the count of
+    duplicates is the point.
     """
+    from osm_spark.text.dedup import word_ngrams
+
     c = F.col(text) if isinstance(text, str) else text
     words = F.split(F.lower(c), " ")
     total = F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
-    grams = F.when(
-        F.size(words) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
-    )
+    grams = word_ngrams(c, n, distinct=False)
     distinct = F.size(F.array_distinct(grams)).cast("long")
     ratio = F.when(total <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - distinct / total.cast("double"), 6)

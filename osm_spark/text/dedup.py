@@ -43,23 +43,24 @@ def tokens(text: Column | str) -> Column:
     return F.array_distinct(F.split(F.lower(c), " "))
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, space-joined.
+def word_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles, space-joined (distinct by default; pass
+    ``distinct=False`` to keep repeats — e.g. repetition scoring counts
+    the duplicates).
 
     ``sequence(1, size-n+1)`` indexed ``slice`` keeps this a pure Column
     expression (no explode until the caller wants one).
     """
     c = F.col(text) if isinstance(text, str) else text
     words = F.split(F.lower(c), " ")
-    # sequence(1, 0) would run *descending* in Spark — guard short docs.
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
+    if distinct:
+        grams = F.array_distinct(grams)
+    # sequence(1, 0) would run *descending* in Spark — guard short docs.
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +213,22 @@ def lsh_bands_from_array(
     for b in range(num_bands):
         seeds = range(b, num_hashes, num_bands)
         h = F.md5(F.concat_ws(",", *[F.element_at("sig", s + 1) for s in seeds]))
+        if b == 0:
+            # enforce the contract instead of assuming it: element_at past
+            # the array end yields NULL and concat_ws silently DROPS it,
+            # so a sig built with a different num_hashes would otherwise
+            # band-hash a truncated signature with no error
+            h = F.when(F.size("sig") == num_hashes, h).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "lsh_bands_from_array: signature width "
+                        ),
+                        F.size("sig").cast("string"),
+                        F.lit(f" != num_hashes={num_hashes}"),
+                    )
+                )
+            )
         structs.append(F.struct(F.lit(b).alias("band"), h.alias("band_hash")))
     return signatures.select(
         "doc_id", F.explode(F.array(*structs)).alias("bh")
@@ -278,14 +295,20 @@ def jaccard_pairs(
     pairs whose estimate falls below ``threshold − prune_margin`` are
     dropped BEFORE the token arrays attach — the heavy joins and the
     set-intersection math then run only on plausibly-passing pairs. The
-    margin is a one-sided recall guard: with n=32 hashes a true-Jaccard
-    = threshold pair has agreement ~ Binomial(32, t)/32, and at the
-    default margin 0.3 the drop probability is Φ(−0.3·√32/σ) ≈ 1e-6 per
-    boundary pair (≈4.7σ at t=0.8) — negligible even at 10^9 candidate
-    pairs, while the pairs the band join admits *by chance* (one lucky
-    band out of many, true Jaccard well below t) are exactly the ones
-    the prune removes. Signature rows are ~num_hashes·33 B — an order
-    of magnitude lighter than token arrays.
+    margin is a one-sided recall guard, and the guarantee is
+    PROBABILISTIC, not absolute: a true pair at Jaccard exactly =
+    threshold has agreement ~ Binomial(n, t)/n, so with n=32 and the
+    default margin 0.3 its drop probability is ≈1e-6 (≈4.7σ at t=0.8);
+    the probability decays super-exponentially for pairs above the
+    threshold, so realistic passing pairs (J ≫ t) are effectively never
+    dropped, but across ~10^9 exactly-boundary pairs some drops WOULD
+    occur — callers needing unconditional equality with the unpruned
+    refine pass ``signatures=None`` (the gated query's equality is
+    verified hash-exact on its corpora, where no boundary pair trips).
+    The pairs the band join admits *by chance* (one lucky band out of
+    many, true Jaccard well below t) are exactly the ones the prune
+    removes. Signature rows are ~num_hashes·33 B — an order of magnitude
+    lighter than token arrays.
 
     The prune compares digests truncated to ``prune_hash_chars`` hex
     chars (default 8 → 32 bits/hash): truncation can only make DISTINCT

@@ -24,9 +24,10 @@ distributed prefix sum:
 
 cum(row) = offset(bucket) + within-bucket running sum — exact, and
 every heavy stage is partition-parallel. Cost: one quantile-sketch job
-+ one tiny totals aggregate before the main pass; callers packing an
-expensive upstream should persist/checkpoint it first (the lineage
-layer's stage boundary is the natural place).
++ one tiny totals aggregate before the main pass; the input projection
+is persisted internally (one upstream materialization, cached reads —
+see ``global_cumsum``), with the lineage layer's stage boundary as the
+alternative for callers that manage their own checkpoints.
 
 Reference parity: the reference has no packing, but its level-fold /
 started-stage bucketing (SURVEY.md §2.4 A6/A7, lib/osm/badge.rb:574-720)
@@ -46,14 +47,26 @@ def global_cumsum(
     value_col: str,
     cum_col: str = "cum",
     num_buckets: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Exact running sum of ``value_col`` in ascending ``order_col``
     order, without a single-partition global window.
 
     ``order_col`` must be unique (it is the total order); values must be
     non-negative longs. Output = input columns + ``cum_col``.
+
+    The input feeds THREE jobs (quantile sketch, per-bucket totals, the
+    output plan), so by default it is persisted here — one upstream
+    materialization plus cached reads instead of recomputing the
+    upstream three times (and a guarantee the three passes see the same
+    rows even if the upstream were nondeterministic). Pass
+    ``persist_input=False`` when the caller already persisted or
+    checkpointed it (e.g. a lineage stage boundary); the cache is left
+    for LRU/caller cleanup, as the output plan reads it lazily.
     """
     spark = df.sparkSession
+    if persist_input:
+        df = df.persist()
     nb = num_buckets or spark.sparkContext.defaultParallelism * 2
     qs = [i / nb for i in range(1, nb)]
     # Sketch error shifts boundaries, which only changes bucket balance;

@@ -157,6 +157,18 @@ def test_knn_phase2_plan_shapes(spark, points):
     assert shuffle_plan.count("hashpartitioning(pcell") >= 2
 
 
+def test_knn_default_auto_plan_never_sorts_points(spark, points):
+    """auto with no catalog stat (the default call) must NOT fall back to
+    an unhinted SortMergeJoin — that would sort the 10^12-row points
+    side. The AQE path carries the shuffle_hash hint."""
+    nodes = synth_nodes(spark)
+    plan = (
+        knn_join(points, nodes, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_knn_phase2_rejects_unknown(spark, points):
     with pytest.raises(ValueError):
         knn_join(points, synth_nodes(spark), k=3, phase2="nope").collect()

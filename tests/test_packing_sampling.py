@@ -173,6 +173,47 @@ def test_redact_pii_truth_table(spark):
         assert r.redacted_fp == hashlib.md5(red.encode()).hexdigest()
 
 
+def test_redact_oracle_sql_parity_on_crafted_pii(spark, tmp_path):
+    """Run the ACTUAL oracle_sql()['redact_pii'] through DuckDB against
+    the Spark operator on a crafted corpus that contains every PII
+    category — the driver testdata has none, so without this fixture an
+    oracle-side regex corruption (e.g. '\\b' escape-processed to a
+    backspace in a non-raw Python string) passes the gate silently."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org now"),
+        (2, "hosts 10.0.0.1 8.8.8.8 and 256.1.1.1 too"),
+        (3, "ring +44 20 7946 0958 or +1 (555) 000-1111"),
+        (4, "mixed a@b.co 1.2.3.4 +49 89 123456 end"),
+        (5, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    parquet = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(parquet)
+    from osm_spark.text.redact import redact_pii
+
+    got = sorted(
+        (r.doc_id, r.n_emails, r.n_ips, r.n_phones, r.redacted_fp)
+        for r in redact_pii(df)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_fp")
+        .collect()
+    )
+    # sanity: the fixture actually exercises every category
+    assert sum(g[1] for g in got) >= 3 and sum(g[2] for g in got) >= 4
+    assert sum(g[3] for g in got) >= 3
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{parquet}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(entry.oracle_sql()["redact_pii"]).fetchall()
+    )
+    assert got == want
+
+
 def test_redact_patterns_java_python_agree():
     # the same strings through Python's re (a third dialect) — guards the
     # common-dialect claim the oracle relies on

@@ -217,6 +217,17 @@ def test_lsh_bands_from_array_plan_has_no_shuffle(docs):
     assert plan.count("Exchange") == 1
 
 
+def test_lsh_bands_from_array_rejects_width_mismatch(docs):
+    """A signature built with a different num_hashes must raise, not
+    silently band-hash a truncated signature (element_at past the end is
+    NULL and concat_ws drops NULLs without error)."""
+    from osm_spark.text.dedup import lsh_bands_from_array, minhash_array
+
+    sigs16 = minhash_array(docs, 16)
+    with pytest.raises(Exception, match="signature width"):
+        lsh_bands_from_array(sigs16, 4, 32).collect()
+
+
 def test_jaccard_signature_prune_identical_results(docs, pydocs):
     """The agreement prune must not change the refined output (the prune
     margin is a recall guard, not an approximation knob)."""
