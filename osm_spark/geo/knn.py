@@ -267,14 +267,16 @@ def knn_join(
     - ``'auto'`` (default): with ``n_cells`` (a catalog stat — the
       distinct-cell count of the points table), choose by the
       ``phase2_strategy`` size estimate without running anything.
-      Without it, plan the shuffle-hash join and let AQE upgrade from
-      the *measured* phase-1 output at runtime — the candidate-set size
-      is only knowable after phase 1 runs, and AQE's runtime stat is
-      strictly better than a static guess: it converts the join to
-      broadcast when the materialized size is under the threshold (the
-      points then read their own shuffle output locally) and keeps the
-      shuffle-hash plan otherwise. The hint matters: unhinted, the
-      static planner picks SortMergeJoin and SORTS the points side.
+      Without any stat, the join is PINNED shuffle-hash: join-strategy
+      hints precede size-based selection in JoinSelection — at static
+      planning AND at AQE re-planning — so a hinted join never upgrades
+      to broadcast; that upgrade is deliberately traded away. Unhinted,
+      the static planner picks SortMergeJoin (the aggregate has no
+      usable stats) and the worst case SORTS the 10^12-row points side;
+      hinted, the worst case is the intended shuffle-hash plan, and the
+      best case loses only the network fetch of a shuffle the points
+      side has already written. Callers who want the broadcast plan
+      supply the stat (``n_cells``) or pass ``phase2='broadcast'``.
 
     In every phase-2 variant the per-cell candidate set arrives as an
     ARRAY and the top-k is transform → array_sort → slice → posexplode —
@@ -316,15 +318,14 @@ def knn_join(
         # sort over the points.
         joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
     elif phase2 == "aqe":
-        # Keep the shuffle_hash hint even on the AQE path: unhinted, the
-        # static planner falls back to SortMergeJoin (cand_sets is an
-        # aggregate with no usable stats) and SORTS the 10^12-row points
-        # side — and for candidate tables between the session's
-        # autoBroadcastJoinThreshold and PHASE2_BROADCAST_MAX_BYTES AQE
-        # never rescues it. With the hint the worst case is the intended
-        # shuffle-hash plan, and AQE still upgrades to broadcast when the
-        # measured phase-1 output is small (points read their own shuffle
-        # output locally in that case).
+        # The hint PINS shuffle-hash (strategy hints precede size-based
+        # selection, including at AQE re-planning — no broadcast upgrade
+        # will happen). Deliberate: unhinted, the static planner falls
+        # back to SortMergeJoin (cand_sets is an aggregate with no
+        # usable stats) and the worst case sorts the 10^12-row points
+        # side; pinned, the worst case is the intended shuffle-hash plan
+        # and the best case loses only the network fetch of an
+        # already-written shuffle. See the docstring trade-off.
         joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
     else:
         raise ValueError(f"unknown knn_join phase2 strategy: {phase2!r}")

@@ -129,9 +129,10 @@ def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column, Co
     from osm_spark.text.dedup import word_ngrams
 
     c = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.lower(c), " ")
-    total = F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("long")
     grams = word_ngrams(c, n, distinct=False)
+    # total derives from the SAME gram construction (short-doc guard
+    # included) — no parallel re-derivation to drift out of sync
+    total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
     ratio = F.when(total <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - distinct / total.cast("double"), 6)

@@ -24,10 +24,11 @@ distributed prefix sum:
 
 cum(row) = offset(bucket) + within-bucket running sum — exact, and
 every heavy stage is partition-parallel. Cost: one quantile-sketch job
-+ one tiny totals aggregate before the main pass; the input projection
-is persisted internally (one upstream materialization, cached reads —
-see ``global_cumsum``), with the lineage layer's stage boundary as the
-alternative for callers that manage their own checkpoints.
++ one tiny totals aggregate before the main pass; the input is
+persisted across the two stat jobs and unpersisted before return (no
+cache leak — see ``global_cumsum``), with ``persist_input=False`` +
+the lineage layer's stage boundary as the alternative for callers that
+manage their own checkpoints.
 
 Reference parity: the reference has no packing, but its level-fold /
 started-stage bucketing (SURVEY.md §2.4 A6/A7, lib/osm/badge.rb:574-720)
@@ -56,13 +57,16 @@ def global_cumsum(
     non-negative longs. Output = input columns + ``cum_col``.
 
     The input feeds THREE jobs (quantile sketch, per-bucket totals, the
-    output plan), so by default it is persisted here — one upstream
-    materialization plus cached reads instead of recomputing the
-    upstream three times (and a guarantee the three passes see the same
-    rows even if the upstream were nondeterministic). Pass
-    ``persist_input=False`` when the caller already persisted or
-    checkpointed it (e.g. a lineage stage boundary); the cache is left
-    for LRU/caller cleanup, as the output plan reads it lazily.
+    output plan), so by default it is persisted across the two
+    driver-side stat jobs and unpersisted before returning — two
+    upstream materializations total (one into cache for both stats, one
+    when the caller executes the output) and NO cache left behind (an
+    internal never-unpersisted cache would leak per call for the
+    session's lifetime). Pass ``persist_input=False`` when the caller
+    already persisted or checkpointed the input (e.g. a lineage stage
+    boundary) — that also makes it ONE materialization, and is the
+    right call for nondeterministic upstreams, where the stats and the
+    output pass must see identical rows.
     """
     spark = df.sparkSession
     if persist_input:
@@ -89,6 +93,10 @@ def global_cumsum(
     for b in sorted(totals):
         offsets.append((b, acc))
         acc += int(totals[b] or 0)
+    if persist_input:
+        # both stat jobs are done; the output plan recomputes the input
+        # once at caller-execution time rather than leaking a cache
+        df.unpersist()
     off_df = spark.createDataFrame(offsets, "_bkt int, _off long")
     w = (
         Window.partitionBy("_bkt")
@@ -108,6 +116,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count: Column | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Assign each document its slot in the budget-sliced token stream.
 
@@ -129,7 +138,13 @@ def pack_sequences(
         else F.size(F.split(F.col(text_col), " ")).cast("long")
     )
     with_tok = docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tok"))
-    cum = global_cumsum(with_tok, "doc_id", "n_tok", cum_col="cum_tokens")
+    cum = global_cumsum(
+        with_tok,
+        "doc_id",
+        "n_tok",
+        cum_col="cum_tokens",
+        persist_input=persist_input,
+    )
     start = F.col("cum_tokens") - F.col("n_tok")
     b = F.lit(int(budget)).cast("long")
     end_incl = F.when(F.col("n_tok") > 0, F.col("cum_tokens") - 1).otherwise(start)
