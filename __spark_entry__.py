@@ -1437,6 +1437,24 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source keep fractions (1.0 / 0.5 /
+    0.25, unknown sources fall to the 0.1 default) via the same salted
+    digest-threshold membership as hash_sample — one map-stage filter,
+    no shuffle (osm_spark/text/sampling.py)."""
+    from osm_spark.text.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {
+        **{f"src{i}": 1.0 for i in range(5)},
+        **{f"src{i}": 0.5 for i in range(5, 10)},
+        **{f"src{i}": 0.25 for i in range(10, 15)},
+    }
+    return mixture_sample(
+        d, "source", weights, "doc_id", default_fraction=0.1
+    ).select("doc_id", "source", "lang")
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~25% Bernoulli-by-key corpus sample: pure filter on
     a salted digest threshold — pushes to the scan, no shuffle, same
@@ -1542,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quota_sample": q_quota_sample,
         "hash_sample": q_hash_sample,
+        "mixture_sample": q_mixture_sample,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2256,6 +2275,19 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 20
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE md5('s1:' || CAST(doc_id AS VARCHAR)) <
+                CASE
+                    WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 'gggggggggggggggggggggggggggggggg'
+                    WHEN source IN ('src5','src6','src7','src8','src9')
+                        THEN '80000000000000000000000000000000'
+                    WHEN source IN ('src10','src11','src12','src13','src14')
+                        THEN '40000000000000000000000000000000'
+                    ELSE '19999999000000000000000000000000'
+                END
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

@@ -25,7 +25,7 @@ from osm_spark.text.analysis import (
 )
 from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
-from osm_spark.text.sampling import hash_sample, quota_sample
+from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
 
 __all__ = [
     "exact_dedup",
@@ -45,5 +45,6 @@ __all__ = [
     "pack_sequences",
     "redact_pii",
     "hash_sample",
+    "mixture_sample",
     "quota_sample",
 ]

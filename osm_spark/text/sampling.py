@@ -52,6 +52,36 @@ def hash_sample(
     return df.filter(digest < F.lit(sample_threshold(fraction)))
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "s1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Weighted source mixing: keep ~``fractions[group]`` of each group
+    (corpus-mixing weights — upsample wiki, downsample crawl), same
+    salted-digest membership as ``hash_sample`` so the mixture is
+    reproducible on any engine and nested across weight increases.
+
+    The per-group threshold is a LITERAL map (mixing weights are
+    pipeline config, not data), so the whole operator is one map-stage
+    filter: no shuffle, no join, no stats pass. Groups absent from
+    ``fractions`` fall back to ``default_fraction`` (0.0 = drop unknown
+    sources — the safe curation default).
+    """
+    thresholds = {g: sample_threshold(f) for g, f in fractions.items()}
+    m = F.create_map(
+        *[F.lit(x) for gt in sorted(thresholds.items()) for x in gt]
+    )
+    thr = F.coalesce(
+        m.getItem(F.col(group_col)), F.lit(sample_threshold(default_fraction))
+    )
+    digest = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    return df.filter(digest < thr)
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -115,6 +115,37 @@ def test_hash_sample_matches_python_and_nests(docs):
     assert other != s25
 
 
+def test_mixture_sample_membership_and_default(docs):
+    from osm_spark.text.sampling import mixture_sample
+
+    srcs = sorted({r.source for r in docs.select("source").distinct().collect()})
+    assert len(srcs) >= 3
+    weights = {srcs[0]: 1.0, srcs[1]: 0.5}  # others -> default 0.0
+    kept = {
+        (r.doc_id, r.source)
+        for r in mixture_sample(docs, "source", weights, "doc_id").collect()
+    }
+    # python replication
+    want = set()
+    for r in docs.select("doc_id", "source").collect():
+        f = weights.get(r.source, 0.0)
+        if hashlib.md5(f"s1:{r.doc_id}".encode()).hexdigest() < sample_threshold(f):
+            want.add((r.doc_id, r.source))
+    assert kept == want
+    # weight 1.0 keeps the whole group; absent groups drop entirely
+    n_src0 = docs.filter(F.col("source") == srcs[0]).count()
+    assert sum(1 for _, s in kept if s == srcs[0]) == n_src0
+    assert all(s in (srcs[0], srcs[1]) for _, s in kept)
+    # raising a group's weight only ADDS members (nested thresholds)
+    kept2 = {
+        (r.doc_id, r.source)
+        for r in mixture_sample(
+            docs, "source", {**weights, srcs[1]: 0.9}, "doc_id"
+        ).collect()
+    }
+    assert kept <= kept2
+
+
 def test_quota_sample_caps_and_is_partitioning_invariant(docs):
     out = quota_sample(docs, "source", 5, "doc_id").select(
         "doc_id", "source", "rk"
