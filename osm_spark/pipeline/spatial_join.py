@@ -3,8 +3,10 @@
 Plan shape (SURVEY.md §2.10, informed by Raster Intervals SIGMOD'23's
 filter-then-refine decomposition):
 
-1. **extract**: pages.text → (lat, lon) via the pinned regex Arrow UDF,
-   encode to hex cell (res 9) + S2 (level 13). One ArrowEvalPython pass.
+1. **extract**: pages.text → (lat, lon) via the pinned regex, encode to
+   hex cell (res 9) + S2 (level 13). One ArrowEvalPython pass by default,
+   or a zero-Python Generate-barrier form (``engine="jvm"``) — bit-exact
+   parity, see ``extract_points``.
 2. **prejoin**: equi join ``points.h3_9 == way_cells.cell``. The polygon
    covering is the *small* side — broadcast when under threshold, else a
    shuffle hash join with **explicit per-cell salting** for hot cells
@@ -46,19 +48,40 @@ def extract_points(
     res: int = DEFAULT_RES,
     s2_level: int = 13,
     with_s2: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """pages → page_points(url, lat, lon, h3_9[, s2_13]); rows without a
     coordinate are dropped (they can never join).
 
-    Extraction runs as ONE vectorized Arrow UDF pass (pandas str.extract,
-    C regex): besides being fast, the Python eval node is a
-    project-collapse barrier, so the downstream hex encode (pure Column,
-    codegen) reads plain lat/lon attributes instead of having the regex
-    tree inlined into every one of its ~8 references — the expression
-    blowup that made the all-Column form ~10× slower end-to-end.
+    Two engines, bit-identical output (parity-tested):
+
+    - ``engine="arrow"`` (default): ONE vectorized Arrow UDF pass (pandas
+      str.extract, C regex). Besides being fast, the Python eval node is
+      a project-collapse barrier, so the downstream hex encode (pure
+      Column, codegen) reads plain lat/lon attributes instead of having
+      the regex tree inlined into every one of its ~8 references — the
+      expression blowup that made the naive all-Column form ~10× slower
+      end-to-end.
+    - ``engine="jvm"``: zero-Python form using ``explode(array(...))``
+      Generate barriers in place of the Arrow node. GenerateExec
+      materializes its generator output once per row, so CollapseProject
+      cannot clone the regex / parse / hex-encode subtrees into their
+      downstream references — the same once-per-row guarantee the Arrow
+      barrier gives, at zero serialization cost. Measured (BENCH.md
+      finding #10): full-PIP-pipeline parity with the Arrow engine at
+      every size/parallelism tried (within host noise), extract-only
+      ~2× faster at local[32] on pipe-floor-dominated inputs; kept
+      non-default because the Arrow form is the oracle-gated path, but
+      it is the form to prefer on real clusters where Python workers
+      are the scarce resource.
+
     ``with_s2`` adds the S2 cell column; off by default so join paths
     that key on h3 alone never pay for it.
     """
+    if engine == "jvm":
+        return _extract_points_jvm(pages, res, s2_level, with_s2)
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
     # Extraction + row-drop run as ONE vectorized mapInPandas pass
     # (pandas str.extract, C regex). The single Python node is a hard
     # optimizer barrier in BOTH directions: an all-Column formulation was
@@ -97,6 +120,57 @@ def extract_points(
     )
     if with_s2:
         # codegen chain (s2_cell_cols) — no second Arrow round trip
+        out = s2_cell_cols(out, level=s2_level, out="s2_13")
+    return out
+
+
+def _extract_points_jvm(
+    pages: DataFrame, res: int, s2_level: int, with_s2: bool
+) -> DataFrame:
+    """Zero-Python extraction via stacked Generate barriers.
+
+    Three barriers, each pinning one expensive subtree to exactly one
+    evaluation per row:
+
+    1. the raw regex match (group 0) — one full-text regex scan;
+    2. the parsed (lat, lon) struct — substring parse of the <=64-char
+       match, referenced dozens of times by the PIP refine lambdas;
+    3. the hex cell id — the ~40-op encode chain, referenced by the
+       prejoin hash on both candidate paths.
+
+    Barrier 2/3 cost is negligible (the exploded arrays are 1-element and
+    the attributes are scalars); without them CollapseProject re-inlines
+    the subtree into every reference — the measured 3× regression of the
+    array-form kNN experiment (BENCH.md finding #8), JVM edition.
+    Semantics match the Arrow engine exactly: same COORD_REGEX first
+    match, same domain filter, strtod on both sides (parity-tested
+    bit-exact in tests/test_pipeline.py).
+    """
+    m_rows = pages.select(
+        "url",
+        F.explode(F.array(F.regexp_extract(F.col("text"), COORD_REGEX, 0))).alias(
+            "m"
+        ),
+    ).where(F.col("m") != "")
+    body = F.substring(F.col("m"), 5, 64)  # strip the 'geo:' prefix
+    parsed = m_rows.select(
+        "url",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.substring_index(body, ",", 1).cast("double").alias("lat"),
+                    F.substring_index(body, ",", -1).cast("double").alias("lon"),
+                )
+            )
+        ).alias("c"),
+    ).where((F.abs(F.col("c.lat")) <= 90.0) & (F.abs(F.col("c.lon")) <= 180.0))
+    out = parsed.select(
+        "url",
+        F.col("c.lat").alias("lat"),
+        F.col("c.lon").alias("lon"),
+        F.explode(F.array(hex_cell_expr("c.lat", "c.lon", res))).alias("h3_9"),
+    )
+    if with_s2:
         out = s2_cell_cols(out, level=s2_level, out="s2_13")
     return out
 

@@ -75,6 +75,25 @@ def test_extraction_matches_python_oracle(pages, points):
     assert 0.5 < len(got) / 500 < 0.7
 
 
+def test_jvm_extract_engine_bit_exact_parity(pages, points):
+    """engine='jvm' (Generate-barrier, zero Python) must match the Arrow
+    engine bit-for-bit: same rows, same doubles (strtod both sides),
+    same hex cell ids. BENCH.md finding #10."""
+    jvm = extract_points(pages, engine="jvm")
+    assert jvm.columns == points.columns
+    a = sorted(map(tuple, points.collect()))
+    j = sorted(map(tuple, jvm.collect()))
+    assert a == j
+
+
+def test_jvm_extract_engine_with_s2_and_bad_engine(spark, pages):
+    jvm = extract_points(pages, with_s2=True, engine="jvm")
+    arrow = extract_points(pages, with_s2=True, engine="arrow")
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+    with pytest.raises(ValueError, match="engine"):
+        extract_points(pages, engine="pandas")
+
+
 def oracle_pip(points_rows, polys_pdf):
     """Pure-Python/numpy PIP oracle over all (point, polygon) pairs."""
     exp = set()

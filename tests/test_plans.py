@@ -53,6 +53,36 @@ def test_pip_broadcast_path_never_shuffles_points(spark, sf_small_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_jvm_extract_is_zero_python_and_barriers_hold(spark, sf_small_dir):
+    """engine='jvm' must plan with no Python eval node at all, keep the
+    Generate barriers (so the regex/parse/hex subtrees evaluate once per
+    row instead of being CollapseProject-cloned into every reference),
+    and still feed the broadcast PIP path without shuffling pages."""
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import extract_points, pip_join_broadcast
+
+    pages = synth_pages(spark, sf_small_dir)
+    pts = extract_points(pages, engine="jvm")
+    plan = _plan(pts)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert plan.count("Generate explode") == 3
+    # exactly one full-text regex eval in the whole plan
+    assert plan.count("regexp_extract") == 1
+
+    polygons = synth_polygons(spark)
+    out = pip_join_broadcast(pts, polygons, build_way_cells(polygons))
+    jplan = _plan(out)
+    assert jplan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in jplan
+    # the big (pages) side is Python-free; the single MapInPandas is the
+    # polygon-covering generator on the broadcast (dim) side
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in jplan
+    assert jplan.count("MapInPandas") == 1
+
+
 def test_exact_dedup_shuffles_hash_not_text(spark, sf_small_dir):
     """The dedup shuffle key is the 16-byte md5, never the document text:
     the partial aggregate below the exchange already projects the hash."""
