@@ -1494,6 +1494,24 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word 5-gram
+    with a benchmark set (synthesized deterministically as the 240-char
+    prefix of every 41st document — eval items drawn from the same
+    distribution). Benchmark gram keys broadcast; the corpus's only
+    exchange is the per-doc partial-aggregated count
+    (osm_spark/text/decontam.py)."""
+    from osm_spark.text.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 41 == 0).select(
+        F.substring("text", 1, 240).alias("text")
+    )
+    return decontaminate(d, bench, n=5).select(
+        "doc_id", "n_grams", "n_hits", "contaminated"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1553,7 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
         # --- tail: outside the driver's 50-entry gate window. The first
-        # five DO ship exact oracle_sql twins (verified by
+        # seven DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
         # rows-only operators whose driver-gated twins run the same
         # engine code above (simhash, pip_pairs, knn_pairs) ---
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
+        "decontaminate": q_decontaminate,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2340,5 +2359,42 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(total AS DOUBLE), 6)
                    END AS repetition_ratio
             FROM g
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT substr(text, 1, 240) AS btext
+                FROM documents WHERE doc_id % 41 = 0
+            ), bw AS (
+                SELECT string_split(lower(btext), ' ') AS ws FROM bench
+            ), bg AS (
+                SELECT DISTINCT md5(g) AS gram_key
+                FROM bw, unnest(list_distinct(list_transform(
+                         range(1, len(ws) - 3),
+                         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                        ws[i+3], ws[i+4])))) AS t(g)
+                WHERE len(ws) >= 5
+            ), dw AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ), dg AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct(list_transform(
+                                range(1, len(ws) - 3),
+                                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                               ws[i+3], ws[i+4])))
+                       END AS grams
+                FROM dw
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS g FROM dg) e
+                JOIN bg ON md5(e.g) = bg.gram_key
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.grams) AS INT) AS n_grams,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM dg d LEFT JOIN hits h USING (doc_id)
         """,
     }

@@ -1,6 +1,7 @@
 """Text-processing layer: dedup (exact / MinHash-LSH / SimHash / n-gram
 Jaccard), language-ID, quality scoring, token counting, fingerprinting,
-sequence packing, deterministic sampling and PII redaction.
+sequence packing, deterministic sampling, PII redaction and benchmark
+decontamination.
 
 All hot-path logic is pure Column expressions (JVM-side, whole-stage
 codegen); the only pandas UDF is the 64-bit SimHash fast path.
@@ -23,6 +24,7 @@ from osm_spark.text.analysis import (
     token_count_subword,
     fingerprint,
 )
+from osm_spark.text.decontam import benchmark_gram_keys, decontaminate
 from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
 from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
@@ -41,6 +43,8 @@ __all__ = [
     "repetition_stats",
     "token_count_subword",
     "fingerprint",
+    "benchmark_gram_keys",
+    "decontaminate",
     "global_cumsum",
     "pack_sequences",
     "redact_pii",

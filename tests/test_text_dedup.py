@@ -293,3 +293,71 @@ def test_jaccard_pre_partitioned_single_exchange(docs):
     assert n_pair_exchanges == 1, plan
     fused = sorted((r.doc_a, r.doc_b, r.jaccard) for r in fused_df.collect())
     assert fused == default
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _grams(text: str, n: int) -> set[str]:
+    ws = text.lower().split(" ")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_decontaminate_vs_python_oracle(spark, docs, pydocs):
+    from osm_spark.text.decontam import decontaminate
+
+    bench = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.substring("text", 1, 240).alias("text")
+    )
+    bench_grams = set()
+    for did, text in pydocs.items():
+        if did % 41 == 0:
+            bench_grams |= _grams(text[:240], 5)
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert set(got) == set(pydocs)
+    any_contaminated = any_clean = False
+    for did, text in pydocs.items():
+        g = _grams(text, 5)
+        hits = len(g & bench_grams)
+        assert got[did] == (len(g), hits, hits > 0), did
+        any_contaminated |= hits > 0
+        any_clean |= hits == 0
+    # the fixture exercises both outcomes
+    assert any_contaminated and any_clean
+    # every benchmark source doc is trivially contaminated (>=5 words)
+    for did in pydocs:
+        if did % 41 == 0 and len(pydocs[did].split(" ")) >= 5:
+            assert got[did][2], did
+
+
+def test_decontaminate_short_doc_and_plan(spark, docs):
+    from osm_spark.text.decontam import decontaminate
+
+    short = spark.createDataFrame(
+        [(1, "only four words here"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontaminate(short, bench, n=5).collect()
+    }
+    # 4-word doc: zero grams, kept, clean; 6-word doc: 2 grams, 1 hit
+    assert got == {1: (0, 0, False), 2: (2, 1, True)}
+
+    # membership join is a broadcast; the corpus's only exchange is the
+    # per-doc aggregate
+    plan = (
+        decontaminate(docs, docs.limit(5), n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
