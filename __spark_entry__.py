@@ -1512,6 +1512,51 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization (osm_spark/functions/urls.py):
+    lowercase scheme/host, strip default ports / fragments / tracking
+    params, pure Column, dialect-common regex (no backrefs). Messy URLs
+    synthesized deterministically from doc_id — the same CASE runs in
+    the oracle."""
+    from osm_spark.functions.urls import canonical_url, url_domain, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    u = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/p/"), i,
+                F.lit("?utm_source=feed&id="), i, F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("https://news.example.org/a/"), i,
+                F.lit("?id="), i, F.lit("&utm_campaign=x&ref=kept"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("HTTPS://CDN.Example.net:443/i/"), i, F.lit(".jpg#frag")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://example.com/p/"), i, F.lit("?")),
+        )
+        .otherwise(F.concat(F.lit("not a url "), i))
+    )
+    w = d.select("doc_id", u.alias("url"))
+    return w.select(
+        "doc_id",
+        "url",
+        canonical_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+        url_domain("url").alias("domain"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1571,7 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
         # --- tail: outside the driver's 50-entry gate window. The first
-        # seven DO ship exact oracle_sql twins (verified by
+        # eight DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
         # rows-only operators whose driver-gated twins run the same
         # engine code above (simhash, pip_pairs, knn_pairs) ---
@@ -1582,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "decontaminate": q_decontaminate,
+        "canonical_url": q_canonical_url,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2396,5 +2442,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM dg d LEFT JOIN hits h USING (doc_id)
+        """,
+        # raw string: regex backslashes must reach DuckDB verbatim (the
+        # redact_pii lesson)
+        "canonical_url": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'HTTP://Example.COM:80/p/' || doc_id
+                                     || '?utm_source=feed&id=' || doc_id || '#top'
+                         WHEN 1 THEN 'https://news.example.org/a/' || doc_id
+                                     || '?id=' || doc_id || '&utm_campaign=x&ref=kept'
+                         WHEN 2 THEN 'HTTPS://CDN.Example.net:443/i/' || doc_id
+                                     || '.jpg#frag'
+                         WHEN 3 THEN 'http://example.com/p/' || doc_id || '?'
+                         ELSE 'not a url ' || doc_id
+                       END AS url
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, url, trim(url) AS u FROM src
+            ), s2 AS (
+                SELECT *,
+                    lower(regexp_extract(u,
+                        '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(u,
+                        '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)) AS hostport
+                FROM s1
+            ), s3 AS (
+                SELECT *,
+                    regexp_replace(
+                        substr(u, length(scheme) + 3 + length(hostport) + 1),
+                        '#.*', '') AS tail,
+                    CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+                              THEN substr(hostport, 1, length(hostport) - 3)
+                         WHEN scheme = 'https' AND ends_with(hostport, ':443')
+                              THEN substr(hostport, 1, length(hostport) - 4)
+                         ELSE hostport END AS chost
+                FROM s2
+            ), s4 AS (
+                SELECT *, regexp_extract(tail, '^([^?]*)', 1) AS cpath FROM s3
+            ), s5 AS (
+                SELECT *,
+                    COALESCE(list_aggregate(list_filter(
+                        string_split(substr(tail, length(cpath) + 2), '&'),
+                        t -> NOT regexp_matches(t,
+                                 '^(utm_[a-zA-Z0-9_]*|fbclid|gclid)=')
+                             AND t <> ''),
+                        'string_agg', '&'), '') AS new_query
+                FROM s4
+            )
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN u
+                        ELSE scheme || '://' || chost || cpath ||
+                             CASE WHEN new_query <> '' THEN '?' || new_query
+                                  ELSE '' END
+                   END AS canon_url,
+                   regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                   regexp_extract(regexp_extract(hostport, '^([^:]*)', 1),
+                                  '([^.]+\.[^.]+)$', 1) AS domain
+            FROM s5
         """,
     }
