@@ -1557,6 +1557,133 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table: each
+    page links to 3 affine-hash neighbours mod the corpus size (the
+    Common-Crawl link-graph stand-in; same arithmetic replays in SQL).
+    Vertex count rides along via a 1-row cross join — no driver scalar."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    base = d.select("doc_id").crossJoin(n)
+    edge = lambda a, b: base.select(  # noqa: E731
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * a + b) % F.col("n_docs")).alias("dst"),
+    )
+    return edge(7, 1).unionByName(edge(13, 5)).unionByName(edge(31, 11))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic link graph (osm_spark/graph/pagerank.py):
+    3 iterations of the exact fixed-point integer recurrence, so the
+    oracle's unrolled SQL replay hash-matches bit for bit (no float-sum
+    order dependence)."""
+    from osm_spark.graph.pagerank import pagerank
+
+    pr = pagerank(_link_graph(spark, sf_dir), n_iter=3)
+    return pr.select("id", "rank_scaled")
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (osm_spark/graph/components.py) over a
+    deterministic chain+shortcut graph: runs of 10 consecutive doc_ids
+    linked in a path (diameter 9 — exercises the pointer jump), with
+    every 17th doc adding a shortcut edge that merges runs. The oracle is
+    a DuckDB recursive transitive closure — converged min-labels are
+    round-count-independent, so the iterative algorithm IS SQL-checkable."""
+    from osm_spark.graph.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    chain = d.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 1).alias("b")
+    )
+    shortcut = (
+        d.where(F.col("doc_id") % 17 == 0)
+        .crossJoin(n)
+        .select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 3 + 2) % F.col("n_docs")).alias("b"),
+        )
+    )
+    return connected_components(chain.unionByName(shortcut))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonicalize messy synthetic URLs (97 pages per
+    canonical target collide across tracking-param / default-port /
+    fragment variants), then keep the longest document per canonical URL
+    (tie: min doc_id) — the standard keep-best-version crawl dedup."""
+    from osm_spark.functions.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    slot = (F.col("doc_id") % 97).cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTP://Example.COM:80/page/"), slot, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://example.com/page/"), slot, F.lit("?utm_source=x")),
+        )
+        .otherwise(F.concat(F.lit("http://example.com/page/"), slot))
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", F.length("text").alias("n_chars"), raw.alias("url"))
+        .withColumn("canon_url", canonical_url("url"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("canon_url")))
+        .where(F.col("rn") == 1)
+        .select(
+            "canon_url",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_len"),
+            "n_dups",
+        )
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus profile over synthetic multi-host
+    URLs: doc count, distinct hosts, token mass, mean doc length — the
+    domain-level quality table a crawl curation pipeline keys on."""
+    from osm_spark.functions.urls import url_domain, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".site"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example"),
+    )
+    u = F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id").cast("string"))
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            u.alias("url"),
+            F.length("text").alias("n_chars"),
+            toks.alias("n_tokens"),
+        )
+        .select(
+            url_domain("url").alias("domain"),
+            url_host("url").alias("host"),
+            "n_chars",
+            "n_tokens",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("double")) / F.count("*"), 4
+            ).alias("mean_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1616,7 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
         # --- tail: outside the driver's 50-entry gate window. The first
-        # eight DO ship exact oracle_sql twins (verified by
+        # twelve DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
         # rows-only operators whose driver-gated twins run the same
         # engine code above (simhash, pip_pairs, knn_pairs) ---
@@ -1628,6 +1755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "decontaminate": q_decontaminate,
         "canonical_url": q_canonical_url,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2501,5 +2632,136 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(regexp_extract(hostport, '^([^:]*)', 1),
                                   '([^.]+\.[^.]+)$', 1) AS domain
             FROM s5
+        """,
+        # Unrolled replay of the exact fixed-point recurrence
+        # (graph/pagerank.py): integer mul / integer div / long sums only,
+        # so the hash matches bit for bit. DuckDB's `//` and Spark's `div`
+        # agree on non-negative longs. CASTs pin DuckDB's HUGEINT sums
+        # back to BIGINT (values < 2^63 by construction).
+        "pagerank": """
+            WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+            edges AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+            ),
+            verts AS (SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            nv AS (SELECT count(*) AS n_v FROM verts),
+            deg AS (SELECT src AS id, count(*) AS out_deg
+                    FROM edges GROUP BY src),
+            r0 AS (SELECT id, 1000000000000 // n_v AS r FROM verts, nv),
+            d0 AS (SELECT CAST(COALESCE(SUM(CASE WHEN d.id IS NULL
+                                THEN r.r END), 0) AS BIGINT) AS dang
+                   FROM r0 r LEFT JOIN deg d USING (id)),
+            s0 AS (SELECT e.dst AS id,
+                          CAST(SUM((85 * r.r) // (100 * d.out_deg))
+                               AS BIGINT) AS in_sum
+                   FROM edges e JOIN r0 r ON r.id = e.src
+                                JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT v.id,
+                          CAST(15000000000000 // (100 * nv.n_v)
+                               + COALESCE(s.in_sum, 0)
+                               + (85 * dd.dang) // (100 * nv.n_v)
+                               AS BIGINT) AS r
+                   FROM verts v LEFT JOIN s0 s USING (id), nv, d0 dd),
+            d1 AS (SELECT CAST(COALESCE(SUM(CASE WHEN d.id IS NULL
+                                THEN r.r END), 0) AS BIGINT) AS dang
+                   FROM r1 r LEFT JOIN deg d USING (id)),
+            s1 AS (SELECT e.dst AS id,
+                          CAST(SUM((85 * r.r) // (100 * d.out_deg))
+                               AS BIGINT) AS in_sum
+                   FROM edges e JOIN r1 r ON r.id = e.src
+                                JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT v.id,
+                          CAST(15000000000000 // (100 * nv.n_v)
+                               + COALESCE(s.in_sum, 0)
+                               + (85 * dd.dang) // (100 * nv.n_v)
+                               AS BIGINT) AS r
+                   FROM verts v LEFT JOIN s1 s USING (id), nv, d1 dd),
+            d2 AS (SELECT CAST(COALESCE(SUM(CASE WHEN d.id IS NULL
+                                THEN r.r END), 0) AS BIGINT) AS dang
+                   FROM r2 r LEFT JOIN deg d USING (id)),
+            s2 AS (SELECT e.dst AS id,
+                          CAST(SUM((85 * r.r) // (100 * d.out_deg))
+                               AS BIGINT) AS in_sum
+                   FROM edges e JOIN r2 r ON r.id = e.src
+                                JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT v.id,
+                          CAST(15000000000000 // (100 * nv.n_v)
+                               + COALESCE(s.in_sum, 0)
+                               + (85 * dd.dang) // (100 * nv.n_v)
+                               AS BIGINT) AS r
+                   FROM verts v LEFT JOIN s2 s USING (id), nv, d2 dd)
+            SELECT id, r AS rank_scaled FROM r3
+        """,
+        # Transitive-closure oracle: the iterative min-label algorithm
+        # converges to the exact min id per component, which is what the
+        # recursion computes — round-count-independent, so an iterative
+        # Spark algorithm gets a full SQL gate.
+        "connected_components": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS n_docs FROM documents),
+            pairs AS (
+                SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+                WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 2) % n_docs
+                FROM documents, nn WHERE doc_id % 17 = 0
+            ),
+            sym AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            verts AS (SELECT DISTINCT u AS id FROM sym),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT s.u, reach.r FROM sym s JOIN reach ON reach.id = s.v
+            )
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        # Ground-truth oracle: the canonical form of each synthetic
+        # variant is known by construction, so the SQL states it directly
+        # instead of replaying the regex chain — Spark's canonical_url
+        # must reproduce it exactly (the regex chain itself is gated by
+        # the canonical_url query).
+        "url_dedup": """
+            WITH scored AS (
+                SELECT 'http://example.com/page/' || (doc_id % 97)
+                           AS canon_url,
+                       doc_id, length(text) AS n_chars
+                FROM documents
+            ), ranked AS (
+                SELECT canon_url, doc_id AS keeper_id,
+                       n_chars AS keeper_len,
+                       ROW_NUMBER() OVER (PARTITION BY canon_url
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY canon_url) AS n_dups
+                FROM scored
+            )
+            SELECT canon_url, keeper_id, keeper_len, n_dups
+            FROM ranked WHERE rn = 1
+        """,
+        "domain_stats": """
+            WITH d AS (
+                SELECT 'site' || (doc_id % 3) || '.example' AS domain,
+                       'h' || (doc_id % 7) || '.site' || (doc_id % 3)
+                           || '.example' AS host,
+                       length(text) AS n_chars,
+                       length(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            )
+            SELECT domain,
+                   count(*) AS n_docs,
+                   count(DISTINCT host) AS n_hosts,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(SUM(CAST(n_chars AS DOUBLE)) / count(*), 4)
+                       AS mean_chars
+            FROM d GROUP BY domain
         """,
     }

@@ -1,0 +1,139 @@
+"""Connected components by min-label propagation with pointer jumping.
+
+The dedup-clustering step of a web-corpus pipeline: near-duplicate
+candidate PAIRS (from LSH / SimHash blocking, text/dedup.py) form an
+undirected graph; each connected component is one duplicate cluster and
+keeps one canonical document. Mirrors the reference's grouped-assembly
+idiom (ways grouped from member lists, lib/osm/way.rb — SURVEY §2.3 J3)
+at cluster granularity.
+
+Algorithm
+---------
+Synchronous min-label propagation, accelerated by pointer jumping:
+
+    label(v) ← min(label(v), min_{u∈Γ(v)} label(u))   # neighbor min
+    label(v) ← label(label(v))                        # pointer jump
+
+Plain propagation needs O(diameter) rounds; the jump step composes the
+label mapping with itself each round, so convergence is O(log diameter)
+— a 100-vertex path closes in ~7 rounds, not 99 (tests pin this). Each
+round is three hash exchanges over (id, label) pairs — 16 bytes/vertex,
+never the edge payload twice — with map-side min combiners, then one
+short-circuit count action on the changed set. Each round's labels are
+lineage-truncated (graph/iterate.py): the round plan references the
+previous labels three times, so without truncation the logical plan
+grows 3^rounds — the Catalyst-cloning landmine, observed as a 2 GiB
+plan string at round 10.
+
+Convergence is to the exact minimum vertex id per component, so the
+result is independent of round count and replayable by any transitive-
+closure oracle (DuckDB ``WITH RECURSIVE``), float-free and hash-exact.
+
+Duplicate-cluster graphs (LSH bands over near-identical docs) are
+near-cliques: diameter ≤ 3, so 2-3 rounds in practice. Adversarial
+chain-shaped graphs are the pointer-jump case. ``max_iter`` bounds
+pathology; hitting it raises rather than returning a wrong answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.graph.iterate import truncate_lineage
+
+
+def _symmetrize(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    return fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) — component = min vertex id reachable from id.
+
+    ``pairs`` is an undirected edge list (self-loops and duplicates
+    tolerated); isolated vertices don't appear (no edges → no row); union
+    the full vertex set back in afterwards if needed (dedup_clusters
+    does).
+    """
+    edges = truncate_lineage(_symmetrize(pairs, a, b))
+    labels = truncate_lineage(
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("comp", "nbr_comp").alias("comp"))
+        )
+        # pointer jump: comp ← label(comp)
+        jump = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
+        )
+        new_labels = truncate_lineage(
+            stepped.join(jump, "comp", "left")
+            .select("id", F.least("comp", "jump_comp").alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("comp").alias("component"))
+
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} "
+        "rounds (diameter > 2^max_iter is not a real graph; check input)"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Cluster near-duplicate pairs and elect one keeper per cluster.
+
+    Returns one row per document in ``docs``: (doc_id, cluster_id,
+    is_keeper, cluster_size). Documents in no pair are their own
+    singleton cluster. Keeper = min doc_id in the cluster (deterministic;
+    swap the election by joining your own score before the window).
+    """
+    comp = connected_components(pairs, a=a, b=b)
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+            "cluster_size",
+        )
+    )

@@ -1,0 +1,143 @@
+"""Distributed PageRank in exact fixed-point integer arithmetic.
+
+Re-expresses the reference's "which elements matter" ranking idiom (the
+member/badge leaderboards built from grouped counts, e.g.
+lib/osm/badges.rb:23-63) as the canonical web-graph workload over a
+Common-Crawl-style link graph: rank = (1-d)/N + d·Σ rank(u)/deg(u).
+
+Why integer fixed-point
+-----------------------
+Float PageRank sums per-target contributions, and float addition is not
+associative — Spark's partial-aggregation order differs run to run and
+differs from any oracle, so a hash-exact correctness gate is impossible
+with doubles. Instead ranks are scaled longs (``scale`` = 1e12):
+
+    r0(v)      = scale div N
+    contrib(e) = (d_num · r(src)) div (d_den · out_deg(src))
+    r'(v)      = ((d_den - d_num) · scale) div (d_den · N)
+                 + Σ contrib  [+ dangling term]
+
+Every step is integer multiply / integer ``div`` / long sum — exact,
+order-independent, and replayable verbatim in any SQL engine (DuckDB's
+``//``), so the driver's value-hash gate holds bit-for-bit. Max
+intermediate is d_num·scale ≈ 8.5e13 ≪ 2^63. The quantization error is
+≤ N·(1/scale) per iteration — 1e-12 relative, far below float noise.
+
+Scale notes (10^12-page design point)
+-------------------------------------
+Each iteration is the classic two-exchange pattern: ranks hash-join to
+edges on ``src`` (shuffle of the rank table — N rows of 16 bytes, never
+the edge payload if edges are pre-partitioned by src), then a groupBy
+``dst`` with map-side partial sums (the long-sum combiner collapses each
+partition's contributions before the exchange). Nothing is collected to
+the driver: N and the dangling mass are 1-row aggregates cross-joined
+back (broadcast of a scalar). Ranks are lineage-truncated every
+iteration (graph/iterate.py) — the recurrence references the previous
+rank table twice (contributions + dangling mass), so an untruncated
+plan doubles per iteration; vertex/degree tables are materialized once
+up front instead of being recomputed from the edge list every round.
+Persist the edge table before calling when it is expensive to rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.graph.iterate import truncate_lineage
+
+SCALE = 10**12
+
+
+def vertex_ids(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct vertex ids appearing at either endpoint (column ``id``)."""
+    return (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """Out-degree per source (columns ``id``, ``out_deg``); multigraph
+    edges count with multiplicity, matching the contribution split."""
+    return edges.groupBy(F.col(src).alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank after ``n_iter`` synchronous iterations.
+
+    Returns (id, rank_scaled, rank): ``rank_scaled`` is the exact long
+    (the correctness-gate column), ``rank`` its float rendering
+    (rank_scaled / scale).
+
+    Dangling vertices (no out-edges) redistribute their damped mass
+    uniformly: t = (d_num · Σ_dangling r) div (d_den · N), added to every
+    vertex — total mass stays ≈ scale instead of leaking.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    verts = truncate_lineage(vertex_ids(edges, src, dst))
+    deg = truncate_lineage(out_degrees(edges, src))
+    n_v = truncate_lineage(verts.agg(F.count("*").alias("n_v")))  # 1 row
+
+    # r0 = scale div N
+    ranks = verts.crossJoin(n_v).select(
+        "id", F.expr(f"{scale}L div n_v").alias("r")
+    )
+    base_num = (damping_den - damping_num) * scale
+
+    for _ in range(n_iter):
+        rd = ranks.join(deg, "id", "left")
+        # damped mass of dangling vertices, as a 1-row scalar
+        dang = rd.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg").isNull(), F.col("r"))), F.lit(0)
+            ).alias("dang_sum")
+        )
+        # shuffle_hash: build on the small (vertex) side — an unhinted
+        # AQE plan may pick sort-merge and sort the EDGE side every
+        # iteration (the kNN phase-2 lesson, geo/knn.py:319)
+        contrib = (
+            edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
+            .join(rd.where(F.col("out_deg").isNotNull()).hint("shuffle_hash"), "id")
+            .select(
+                F.col("_dst").alias("id"),
+                F.expr(
+                    f"({damping_num}L * r) div ({damping_den}L * out_deg)"
+                ).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = truncate_lineage(
+            verts.join(contrib, "id", "left")
+            .crossJoin(n_v)
+            .crossJoin(dang)
+            .select(
+                "id",
+                (
+                    F.expr(f"{base_num}L div ({damping_den}L * n_v)")
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                    + F.expr(
+                        f"({damping_num}L * dang_sum) div ({damping_den}L * n_v)"
+                    )
+                ).alias("r"),
+            )
+        )
+
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / float(scale), 12).alias("rank"),
+    )

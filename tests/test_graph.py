@@ -1,0 +1,155 @@
+"""Web-graph operators vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.graph.components import connected_components, dedup_clusters
+from osm_spark.graph.pagerank import SCALE, out_degrees, pagerank, vertex_ids
+
+
+def _py_pagerank(edges, n_iter, scale=SCALE, num=85, den=100):
+    """Reference replay of the exact integer recurrence."""
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: scale // n for v in verts}
+    base = ((den - num) * scale) // (den * n)
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in verts if v not in deg)
+        nxt = {v: base + (num * dang) // (den * n) for v in verts}
+        for s, d in edges:
+            nxt[d] += (num * r[s]) // (den * deg[s])
+        r = nxt
+    return r
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.fixture()
+def star_chain_edges():
+    # star 0->{1,2,3}, chain 10->11->12, dangling sink 12, cycle 20<->21
+    return [
+        (0, 1), (0, 2), (0, 3),
+        (10, 11), (11, 12),
+        (20, 21), (21, 20),
+        (1, 0),  # back edge so 0 isn't rank-starved
+    ]
+
+
+def test_pagerank_matches_integer_oracle(spark, star_chain_edges):
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    got = {
+        r.id: r.rank_scaled
+        for r in pagerank(df, n_iter=4).collect()
+    }
+    want = _py_pagerank(star_chain_edges, n_iter=4)
+    assert got == want
+
+
+def test_pagerank_conserves_mass_with_dangling(spark, star_chain_edges):
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    n = vertex_ids(df).count()
+    for it in (0, 1, 3):
+        total = (
+            pagerank(df, n_iter=it)
+            .agg(F.sum("rank_scaled").alias("t"))
+            .collect()[0]
+            .t
+        )
+        # exact mass minus bounded div-truncation loss (< 2 per vertex/iter)
+        assert SCALE - 2 * n * (it + 1) <= total <= SCALE
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    # everyone links to 0; 0 links to 1
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.id: r.rank_scaled for r in pagerank(df, n_iter=5).collect()}
+    assert rows[0] == max(rows.values())
+    assert rows[1] > rows[2]  # 1 inherits 0's mass
+
+
+def test_out_degrees_multigraph(spark):
+    df = spark.createDataFrame([(1, 2), (1, 2), (1, 3)], "src long, dst long")
+    assert {r.id: r.out_deg for r in out_degrees(df).collect()} == {1: 3}
+
+
+def test_components_vs_union_find(spark):
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 10),              # dup + reversed
+        (20, 20),                        # self loop
+        (30, 31), (32, 33), (31, 32),    # merged later
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_components_path_graph_pointer_jump(spark):
+    """100-vertex path: plain propagation needs 99 rounds; pointer
+    jumping must close it in <= 10 (O(log diameter))."""
+    pairs = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = connected_components(df, max_iter=10)
+    rows = got.collect()
+    assert len(rows) == 101
+    assert {r.component for r in rows} == {0}
+
+
+def test_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_on_jaccard_pairs(spark, sf_small_dir):
+    """End-to-end: LSH candidates -> jaccard refine -> clusters, vs a
+    union-find oracle over the same (already exactness-gated) pairs."""
+    from osm_spark.text.dedup import (
+        jaccard_pairs,
+        lsh_bands_from_array,
+        lsh_candidate_pairs,
+        lsh_tune,
+        minhash_array,
+    )
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    sigs = minhash_array(docs, 32)
+    pairs = jaccard_pairs(
+        docs,
+        lsh_candidate_pairs(lsh_bands_from_array(sigs, lsh_tune(32, 0.8), 32)),
+        threshold=0.8,
+        signatures=sigs,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    got = dedup_clusters(docs, pairs).collect()
+
+    uf = _union_find([(r.a, r.b) for r in pairs.collect()])
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    by_id = {r.doc_id: r for r in got}
+    for d, r in by_id.items():
+        assert r.cluster_id == uf.get(d, d)
+        assert r.is_keeper == (r.cluster_id == d)
+    # keeper count == cluster count; sizes sum to n_docs
+    assert sum(r.is_keeper for r in got) == len({r.cluster_id for r in got})
+    assert sum(r.cluster_size for r in got if r.is_keeper) == n_docs
