@@ -48,6 +48,31 @@ def _symmetrize(pairs: DataFrame, a: str, b: str) -> DataFrame:
     return fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
 
+def _round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagation round: neighbor-min then pointer jump
+    (untruncated — the loop wraps it in truncate_lineage; tests
+    plan-audit this directly). All equi-joins hint shuffle_hash: at web
+    scale these are large-table joins whose output is consumed once, so
+    sort-merge would pay a per-round re-sort for nothing."""
+    nbr_min = (
+        edges.join(labels.hint("shuffle_hash"), edges["v"] == labels["id"])
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("comp").alias("nbr_comp"))
+    )
+    stepped = (
+        labels.join(nbr_min.hint("shuffle_hash"), "id", "left")
+        .select("id", F.least("comp", "nbr_comp").alias("comp"))
+    )
+    # pointer jump: comp ← label(comp)
+    jump = labels.select(
+        F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
+    )
+    return (
+        stepped.join(jump.hint("shuffle_hash"), "comp", "left")
+        .select("id", F.least("comp", "jump_comp").alias("comp"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",
@@ -69,23 +94,7 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least("comp", "nbr_comp").alias("comp"))
-        )
-        # pointer jump: comp ← label(comp)
-        jump = labels.select(
-            F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
-        )
-        new_labels = truncate_lineage(
-            stepped.join(jump, "comp", "left")
-            .select("id", F.least("comp", "jump_comp").alias("comp"))
-        )
+        new_labels = truncate_lineage(_round(edges, labels))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

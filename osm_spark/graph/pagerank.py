@@ -66,6 +66,62 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     )
 
 
+def _step(
+    edges: DataFrame,
+    verts: DataFrame,
+    deg: DataFrame,
+    n_v: DataFrame,
+    ranks: DataFrame,
+    src: str,
+    dst: str,
+    damping_num: int,
+    damping_den: int,
+    base_num: int,
+) -> DataFrame:
+    """One synchronous PageRank iteration (untruncated — the loop wraps
+    it in truncate_lineage; tests plan-audit this directly)."""
+    # every join below hints shuffle_hash: at web scale these are all
+    # large-table equi-joins, and sort-merge would re-sort each side
+    # every iteration for no reuse (the output is consumed once)
+    rd = ranks.join(deg.hint("shuffle_hash"), "id", "left")
+    # damped mass of dangling vertices, as a 1-row scalar
+    dang = rd.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("out_deg").isNull(), F.col("r"))), F.lit(0)
+        ).alias("dang_sum")
+    )
+    # shuffle_hash: build on the small (vertex) side — an unhinted AQE
+    # plan may pick sort-merge and sort the EDGE side every iteration
+    # (the kNN phase-2 lesson, geo/knn.py:319)
+    contrib = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
+        .join(rd.where(F.col("out_deg").isNotNull()).hint("shuffle_hash"), "id")
+        .select(
+            F.col("_dst").alias("id"),
+            F.expr(
+                f"({damping_num}L * r) div ({damping_den}L * out_deg)"
+            ).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+    return (
+        verts.join(contrib.hint("shuffle_hash"), "id", "left")
+        .crossJoin(n_v)
+        .crossJoin(dang)
+        .select(
+            "id",
+            (
+                F.expr(f"{base_num}L div ({damping_den}L * n_v)")
+                + F.coalesce(F.col("in_sum"), F.lit(0))
+                + F.expr(
+                    f"({damping_num}L * dang_sum) div ({damping_den}L * n_v)"
+                )
+            ).alias("r"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -98,41 +154,10 @@ def pagerank(
     base_num = (damping_den - damping_num) * scale
 
     for _ in range(n_iter):
-        rd = ranks.join(deg, "id", "left")
-        # damped mass of dangling vertices, as a 1-row scalar
-        dang = rd.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg").isNull(), F.col("r"))), F.lit(0)
-            ).alias("dang_sum")
-        )
-        # shuffle_hash: build on the small (vertex) side — an unhinted
-        # AQE plan may pick sort-merge and sort the EDGE side every
-        # iteration (the kNN phase-2 lesson, geo/knn.py:319)
-        contrib = (
-            edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
-            .join(rd.where(F.col("out_deg").isNotNull()).hint("shuffle_hash"), "id")
-            .select(
-                F.col("_dst").alias("id"),
-                F.expr(
-                    f"({damping_num}L * r) div ({damping_den}L * out_deg)"
-                ).alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
         ranks = truncate_lineage(
-            verts.join(contrib, "id", "left")
-            .crossJoin(n_v)
-            .crossJoin(dang)
-            .select(
-                "id",
-                (
-                    F.expr(f"{base_num}L div ({damping_den}L * n_v)")
-                    + F.coalesce(F.col("in_sum"), F.lit(0))
-                    + F.expr(
-                        f"({damping_num}L * dang_sum) div ({damping_den}L * n_v)"
-                    )
-                ).alias("r"),
+            _step(
+                edges, verts, deg, n_v, ranks,
+                src, dst, damping_num, damping_den, base_num,
             )
         )
 

@@ -117,3 +117,48 @@ def test_whole_stage_codegen_covers_hex_encode(spark, sf_med_dir):
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pagerank_step_hash_joins_edges_without_sorting(spark):
+    """One PageRank iteration must hash-join the edge side (shuffle_hash
+    hint) — an unhinted plan picks sort-merge and re-sorts the edge
+    table every iteration. The 1-row scalar cross joins (vertex count,
+    dangling mass) must broadcast, never CartesianProduct."""
+    from osm_spark.graph.pagerank import (
+        SCALE,
+        _step,
+        out_degrees,
+        vertex_ids,
+    )
+
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 1000).alias("dst")
+    )
+    verts = vertex_ids(edges)
+    deg = out_degrees(edges)
+    n_v = verts.agg(F.count("*").alias("n_v"))
+    ranks = verts.crossJoin(n_v).select(
+        "id", F.expr(f"{SCALE}L div n_v").alias("r")
+    )
+    plan = _plan(_step(edges, verts, deg, n_v, ranks, "src", "dst", 85, 100, 15 * SCALE))
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_components_round_hash_joins_without_sorting(spark):
+    """One label-propagation round: every equi-join hash-joins (no
+    per-round re-sort of vertex/edge tables), no cartesian."""
+    from osm_spark.graph.components import _round, _symmetrize
+
+    pairs = spark.range(0, 500).select(
+        F.col("id").alias("a"), ((F.col("id") * 3 + 1) % 500).alias("b")
+    )
+    edges = _symmetrize(pairs, "a", "b")
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    plan = _plan(_round(edges, labels))
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
