@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_spark.graph.iterate import truncate_lineage
+from osm_spark.graph.iterate import drop_truncated, truncate_lineage
 
 SCALE = 10**12
 
@@ -154,12 +154,14 @@ def pagerank(
     base_num = (damping_den - damping_num) * scale
 
     for _ in range(n_iter):
-        ranks = truncate_lineage(
+        new_ranks = truncate_lineage(
             _step(
                 edges, verts, deg, n_v, ranks,
                 src, dst, damping_num, damping_den, base_num,
             )
         )
+        drop_truncated(ranks)  # superseded round (no-op on the r0 plan)
+        ranks = new_ranks
 
     return ranks.select(
         "id",
