@@ -1684,6 +1684,29 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-global line dedup (osm_spark/text/lines.py):
+    documents are re-lined into 8-word windows (the corpus text is
+    single-line; the same windowing replays in the oracle), then every
+    occurrence of a duplicated line is dropped except the globally
+    first by (doc_id, line_no), and cleaned text reassembled. The small
+    shared vocabulary makes cross-document line collisions common, so
+    the keep-first path is exercised hard."""
+    from osm_spark.text.lines import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.greatest(F.lit(1), F.ceil(F.size(ws) / F.lit(8))).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    return line_dedup(d.select("doc_id", lined.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1742,8 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_trail": q_audit_trail,
         "sms_credits": q_sms_credits,
         "flexi_collation": q_flexi_collation,
-        # --- tail: outside the driver's 50-entry gate window. The first
-        # twelve DO ship exact oracle_sql twins (verified by
+        # --- tail: outside the driver's 50-entry gate window. All but
+        # the last three DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
         # rows-only operators whose driver-gated twins run the same
         # engine code above (simhash, pip_pairs, knn_pairs) ---
@@ -1759,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
+        "line_dedup": q_line_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2763,5 +2787,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CAST(n_chars AS DOUBLE)) / count(*), 4)
                        AS mean_chars
             FROM d GROUP BY domain
+        """,
+        # keep-first is decided by min (doc_id, line_no) — deterministic
+        # and round-independent, so a window replay is an exact oracle
+        # for the corpus-global dedup (osm_spark/text/lines.py)
+        "line_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), l AS (
+                SELECT doc_id, i::BIGINT AS line_no,
+                       array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS line
+                FROM w, UNNEST(range(greatest(1, (len(ws)+7)//8))) AS t(i)
+            ), k AS (
+                SELECT doc_id, line_no, line,
+                       row_number() OVER (
+                           PARTITION BY md5(line) ORDER BY doc_id, line_no
+                       ) AS rn
+                FROM l
+            ), a AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           FILTER (WHERE rn = 1) AS clean_text,
+                       count(*) AS n_lines,
+                       count(*) FILTER (WHERE rn = 1) AS n_kept
+                FROM k GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_lines, 0) AS n_lines,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
     }
