@@ -1632,7 +1632,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     return (
-        d.select("doc_id", F.length("text").alias("n_chars"), raw.alias("url"))
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            raw.alias("url"),
+        )
         .withColumn("canon_url", canonical_url("url"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_dups", F.count("*").over(Window.partitionBy("canon_url")))
@@ -1705,6 +1709,18 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     return line_dedup(d.select("doc_id", lined.alias("text")))
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM document scoring (osm_spark/text/lm.py)
+    — the CCNet perplexity-filter analog. Per-word Laplace log-probs
+    are quantized to micro-nat LONGS before summing, so the per-doc
+    aggregate is order-independent and the corpus-global model is
+    value-hash replayable in SQL."""
+    from osm_spark.text.lm import lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_score(d.select("doc_id", "text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1783,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "line_dedup": q_line_dedup,
+        "lm_score": q_lm_score,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2817,5 +2834,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_lines, 0) AS n_lines,
                    coalesce(a.n_kept, 0) AS n_kept
             FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        # per-word log-probs quantized to micro-nat longs make the
+        # per-doc sum order-independent (osm_spark/text/lm.py); the
+        # double inside ln() is built from integers only, so it is
+        # bit-identical across engines
+        "lm_score": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\s+')) AS word
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, word FROM t WHERE word <> ''
+            ), v AS (
+                SELECT word, count(*) AS c FROM tk GROUP BY word
+            ), s AS (
+                SELECT CAST(sum(c) AS BIGINT) AS total,
+                       count(*) AS v_size
+                FROM v
+            ), lw AS (
+                SELECT tk.doc_id,
+                       CAST(round(ln((v.c + 1)::DOUBLE
+                                     / (s.total + s.v_size)::DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS lw
+                FROM tk JOIN v USING (word) CROSS JOIN s
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(lw) AS BIGINT) AS sum_logp_micro,
+                   round(CAST(sum(lw) AS DOUBLE) / 1000000.0 / count(*), 6)
+                       AS mean_logp
+            FROM lw GROUP BY doc_id
         """,
     }

@@ -241,6 +241,76 @@ def run_flagship_once(cpus: int) -> dict:
             "pages_per_sec": round(n / wall, 1)}
 
 
+def run_graph_once(cpus: int) -> dict:
+    """Subprocess body for --graph-scaling: fixed-round PageRank at one
+    parallelism level. Pure JVM (no Python workers anywhere in the
+    plan), iterative, shuffle-dominated — the opposite corner of the
+    flagship pipeline's profile, so the scaling evidence covers both.
+    """
+    from osm_spark.graph.iterate import drop_truncated, truncate_lineage
+    from osm_spark.graph.pagerank import pagerank
+    from osm_spark.session import get_spark
+
+    n_verts = int(os.environ.get("SPARK_GRAFT_GRAPH_VERTS", "2000000"))
+    n_iter = int(os.environ.get("SPARK_GRAFT_GRAPH_ITERS", "5"))
+    spark = get_spark(app_name=f"gscale{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    # deterministic 3-out-degree affine link graph (same family as the
+    # gated pagerank query), materialized once so passes time iteration
+    base = spark.range(n_verts).select(F.col("id").alias("src"))
+    edges = truncate_lineage(
+        base.select("src", ((F.col("src") * 7 + 1) % n_verts).alias("dst"))
+        .unionByName(
+            base.select("src", ((F.col("src") * 13 + 5) % n_verts).alias("dst"))
+        )
+        .unionByName(
+            base.select("src", ((F.col("src") * 31 + 11) % n_verts).alias("dst"))
+        )
+    )
+    n_edges = edges.count()
+    walls = []
+    for _ in range(SCALE_PASSES):
+        t0 = time.monotonic()
+        force(pagerank(edges, n_iter=n_iter))
+        walls.append(round(time.monotonic() - t0, 3))
+    wall = min(walls)
+    drop_truncated(edges)
+    spark.stop()
+    return {
+        "cpus": cpus, "verts": n_verts, "edges": n_edges, "iters": n_iter,
+        "wall_sec": wall, "all_walls": walls,
+        "edge_iters_per_sec": round(n_edges * n_iter / wall, 1),
+    }
+
+
+def run_graph_scaling() -> dict:
+    """N vs 4N parallelism for the iterative graph workload (PageRank,
+    fixed rounds) on identical input. Same protocol as --scaling:
+    fresh subprocess per level, steady state = min of SCALE_PASSES.
+    Pair from SPARK_GRAFT_SCALE_CPUS (default 2,8)."""
+    pair = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8").split(",")
+    ]
+    out = {}
+    for cpus in pair:
+        r = subprocess.run(
+            [sys.executable, __file__, "--one-graph-scale", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+    lo, hi = out[f"local[{pair[0]}]"], out[f"local[{pair[1]}]"]
+    ratio = pair[1] / pair[0]
+    out["scaling_efficiency"] = round(
+        (hi["edge_iters_per_sec"] / lo["edge_iters_per_sec"]) / ratio, 3
+    )
+    return out
+
+
 def run_scaling() -> dict:
     """N vs 4N parallelism on identical input (the north_rule evidence).
 
@@ -289,5 +359,9 @@ if __name__ == "__main__":
         print(json.dumps(run_flagship_once(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--one-graph-scale":
+        print(json.dumps(run_graph_once(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--graph-scaling":
+        print(json.dumps(run_graph_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -1,0 +1,123 @@
+"""Corpus-trained unigram LM document scoring (perplexity-filter analog).
+
+CCNet ranks web documents by language-model perplexity and keeps the
+low-perplexity (fluent) tail. The container has no KenLM, so the model
+here is the honest distributed core of that pipeline: a unigram LM
+trained FROM the corpus (two-pass: count → score), which is the
+standard first-stage quality signal and the exact shape a 5-gram LM
+join would take. Re-expresses the reference's derived-quality-flag
+idiom (SURVEY §2.2 P11) as a corpus-global model.
+
+Exactness
+---------
+Float log-prob SUMS are order-dependent (Spark's partial aggregation
+order varies run to run), so a naive implementation can never be
+value-hash gated — the same trap fixed-point PageRank avoids
+(graph/pagerank.py). Per-word log-probs are therefore quantized to
+MICRO-NATS as longs at the word level:
+
+    lw(word) = round(ln((c + 1) / (total + V)) * 1e6)    # Laplace
+
+(c = corpus count, total = token mass, V = vocab size — all integers,
+so the double inside ln() is bit-identical in any engine). Long sums
+are associative: per-doc totals are exact and replayable. The only
+cross-engine risk is ln() differing in its last ulp exactly at a
+0.5 micro-nat rounding boundary (~1e-10 per word) — the same accepted
+trade as the cosine oracle's round-6.
+
+Scale design (10^12-doc design point)
+-------------------------------------
+- Pass 1 (train): one shuffle of (word) with map-side combine — each
+  partition pre-reduces to its distinct words, so the exchange carries
+  the per-partition vocabulary, not the token stream.
+- total/V ride as a 1-row cross join (broadcast of two scalars), never
+  a driver collect.
+- Pass 2 (score): tokens join vocab on word. Web-corpus vocabularies
+  (billions of distinct tokens with URLs/typos) can exceed the
+  broadcast ceiling, so the join strategy is explicit: 'broadcast' for
+  bounded vocabularies, 'shuffle' (shuffle_hash, build on the vocab
+  side) past it, 'auto' decides from the vocab row count — one cheap
+  count() over the already-combined aggregate, the catalog-statistic
+  analog (same role as pip_join's strategy probe).
+- Zipf skew: the head word ("the") concentrates its shuffle key on the
+  shuffle path; AQE skew-join splitting handles the probe side, and
+  the per-doc re-aggregation is on doc_id, which is uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# vocab rows below this broadcast; above, shuffle_hash (Spark's default
+# autoBroadcastJoinThreshold is byte-based; rows are the honest unit
+# for a two-column dictionary table)
+AUTO_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, word) — whitespace tokens, one row per occurrence."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+
+
+def train_unigram(tokens: DataFrame) -> DataFrame:
+    """(word, c) corpus counts — map-side combined, one shuffle."""
+    return tokens.groupBy("word").agg(F.count("*").alias("c"))
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_join: str = "auto",
+) -> DataFrame:
+    """Per-document unigram LM score over the corpus's own model.
+
+    Returns (id, n_tokens, sum_logp_micro, mean_logp): sum_logp_micro
+    is the exact long sum of Laplace-smoothed per-word log-probs in
+    micro-nats (the value-hash gate column); mean_logp its double
+    rendering rounded to 6 decimals. More negative = less fluent under
+    the corpus model; rank ascending to find boilerplate/gibberish.
+    Documents with zero tokens are absent (their score is undefined);
+    left-join from the source table if every row must come back.
+    """
+    if vocab_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"vocab_join must be auto|broadcast|shuffle, got {vocab_join!r}")
+    toks = tokenize(docs, id_col, text_col)
+    vocab = train_unigram(toks)
+    stats = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v_size")
+    )
+    if vocab_join == "auto":
+        vocab_join = (
+            "broadcast" if vocab.count() <= AUTO_BROADCAST_MAX_VOCAB else "shuffle"
+        )
+    hinted = F.broadcast(vocab) if vocab_join == "broadcast" else vocab.hint("shuffle_hash")
+    lw = F.round(
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("total") + F.col("v_size")).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        toks.join(hinted, "word")
+        .crossJoin(stats)
+        .select(id_col, lw.alias("lw"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lw").alias("sum_logp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_logp_micro",
+            F.round(
+                F.col("sum_logp_micro") / F.lit(1e6) / F.col("n_tokens"), 6
+            ).alias("mean_logp"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Unigram LM scoring (osm_spark/text/lm.py) vs a python replay."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from osm_spark.text.lm import lm_score, tokenize, train_unigram
+
+
+def _py_lm(docs: list[tuple[int, str]]):
+    toks = [(d, w) for d, t in docs for w in t.split() if w]
+    counts: dict[str, int] = {}
+    for _, w in toks:
+        counts[w] = counts.get(w, 0) + 1
+    total, v = sum(counts.values()), len(counts)
+    out: dict[int, tuple[int, int, float]] = {}
+    for d, _ in docs:
+        ws = [w for dd, w in toks if dd == d]
+        if not ws:
+            continue
+        s = sum(
+            int(round(math.log((counts[w] + 1) / (total + v)) * 1e6))
+            for w in ws
+        )
+        out[d] = (len(ws), s, round(s / 1e6 / len(ws), 6))
+    return out
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the the the the"),          # head-word heavy: high prob
+    (3, "zyx qwv unique tokens"),    # tail words: low prob
+    (4, "the cat"),
+    (5, ""),                          # zero tokens: absent from output
+]
+
+
+def test_lm_score_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_logp_micro, r.mean_logp)
+        for r in lm_score(df).collect()
+    }
+    assert got == _py_lm(DOCS)
+    assert 5 not in got
+
+
+def test_lm_score_ranks_fluent_above_gibberish(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    m = {r.doc_id: r.mean_logp for r in lm_score(df).collect()}
+    assert m[2] > m[1] > m[3]  # head words > mixed > all-tail
+
+
+def test_lm_score_shuffle_path_identical_to_broadcast(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = sorted(map(tuple, lm_score(df, vocab_join="broadcast").collect()))
+    s = sorted(map(tuple, lm_score(df, vocab_join="shuffle").collect()))
+    assert b == s
+
+
+def test_lm_score_rejects_bad_strategy(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_join"):
+        lm_score(df, vocab_join="sortmerge")
+
+
+def test_train_unigram_counts(spark):
+    df = spark.createDataFrame([(1, "a b a"), (2, "b")], "doc_id long, text string")
+    got = {r.word: r.c for r in train_unigram(tokenize(df)).collect()}
+    assert got == {"a": 2, "b": 2}
