@@ -36,7 +36,18 @@ iteration (graph/iterate.py) — the recurrence references the previous
 rank table twice (contributions + dangling mass), so an untruncated
 plan doubles per iteration; vertex/degree tables are materialized once
 up front instead of being recomputed from the edge list every round.
-Persist the edge table before calling when it is expensive to rescan.
+
+**Bucket the edge table by ``src``** (pipeline/bucketing.py) before
+calling: a plain parquet edge list has no partitioning Catalyst can
+see, so EVERY iteration re-exchanges all |E| edge rows into the
+contribution join. A bucketed scan exposes HashPartitioning(src), the
+per-iteration ShuffledHashJoin consumes it with no Exchange above the
+edge scan (pinned by tests/test_plans.py), and iteration shuffle
+volume drops from O(|E|) to O(|V|) — at a trillion-edge web graph the
+difference between reshuffling the crawl every round and reshuffling
+one rank column. Bucket count must equal the iteration shuffle width
+(``spark.sql.shuffle.partitions``): on a mismatch Catalyst's
+DisableUnnecessaryBucketedScan re-exchanges anyway.
 """
 
 from __future__ import annotations
@@ -79,13 +90,23 @@ def _step(
     base_num: int,
 ) -> DataFrame:
     """One synchronous PageRank iteration (untruncated — the loop wraps
-    it in truncate_lineage; tests plan-audit this directly)."""
+    it in truncate_lineage; tests plan-audit this directly).
+
+    ``ranks`` carries ``out_deg`` alongside ``r`` (attached once at
+    init, re-attached in the output projection), so the iteration body
+    never joins ranks to the degree table: the dangling mass is a pure
+    scan-aggregate over the materialized rank leaf, and the plan's only
+    |V|-sized joins are contrib and the deg re-attach — measured, the
+    old form's ranks⋈deg appeared TWICE per round (the dangling and
+    contribution branches each recomputed it; Catalyst does not
+    deduplicate shared subtrees) and cost ~20% of the iteration."""
     # every join below hints shuffle_hash: at web scale these are all
     # large-table equi-joins, and sort-merge would re-sort each side
     # every iteration for no reuse (the output is consumed once)
-    rd = ranks.join(deg.hint("shuffle_hash"), "id", "left")
-    # damped mass of dangling vertices, as a 1-row scalar
-    dang = rd.agg(
+    #
+    # damped mass of dangling vertices, as a 1-row scalar — a scan-agg
+    # over the rank leaf, no join
+    dang = ranks.agg(
         F.coalesce(
             F.sum(F.when(F.col("out_deg").isNull(), F.col("r"))), F.lit(0)
         ).alias("dang_sum")
@@ -95,7 +116,12 @@ def _step(
     # (the kNN phase-2 lesson, geo/knn.py:319)
     contrib = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
-        .join(rd.where(F.col("out_deg").isNotNull()).hint("shuffle_hash"), "id")
+        .join(
+            ranks.where(F.col("out_deg").isNotNull())
+            .select("id", "r", "out_deg")
+            .hint("shuffle_hash"),
+            "id",
+        )
         .select(
             F.col("_dst").alias("id"),
             F.expr(
@@ -107,6 +133,7 @@ def _step(
     )
     return (
         verts.join(contrib.hint("shuffle_hash"), "id", "left")
+        .join(deg.hint("shuffle_hash"), "id", "left")
         .crossJoin(n_v)
         .crossJoin(dang)
         .select(
@@ -118,6 +145,7 @@ def _step(
                     f"({damping_num}L * dang_sum) div ({damping_den}L * n_v)"
                 )
             ).alias("r"),
+            "out_deg",
         )
     )
 
@@ -147,9 +175,12 @@ def pagerank(
     deg = truncate_lineage(out_degrees(edges, src))
     n_v = truncate_lineage(verts.agg(F.count("*").alias("n_v")))  # 1 row
 
-    # r0 = scale div N
-    ranks = verts.crossJoin(n_v).select(
-        "id", F.expr(f"{scale}L div n_v").alias("r")
+    # r0 = scale div N, with out_deg attached once (see _step: the
+    # rank table carries its degree so iterations never re-join it)
+    ranks = (
+        verts.crossJoin(n_v)
+        .join(deg.hint("shuffle_hash"), "id", "left")
+        .select("id", F.expr(f"{scale}L div n_v").alias("r"), "out_deg")
     )
     base_num = (damping_den - damping_num) * scale
 

@@ -137,13 +137,65 @@ def test_pagerank_step_hash_joins_edges_without_sorting(spark):
     verts = vertex_ids(edges)
     deg = out_degrees(edges)
     n_v = verts.agg(F.count("*").alias("n_v"))
-    ranks = verts.crossJoin(n_v).select(
-        "id", F.expr(f"{SCALE}L div n_v").alias("r")
+    ranks = (
+        verts.crossJoin(n_v)
+        .join(deg.hint("shuffle_hash"), "id", "left")
+        .select("id", F.expr(f"{SCALE}L div n_v").alias("r"), "out_deg")
     )
     plan = _plan(_step(edges, verts, deg, n_v, ranks, "src", "dst", 85, 100, 15 * SCALE))
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_bucketed_edges_join_without_exchange(spark, tmp_path):
+    """A src-bucketed edge table exposes HashPartitioning(src), so the
+    per-iteration contribution join must consume the edge scan with NO
+    Exchange above it — iteration shuffle volume drops from O(|E|) to
+    O(|V|), the planet-scale iteration pattern (pagerank.py docstring)."""
+    from osm_spark.graph.pagerank import SCALE, _step, out_degrees, vertex_ids
+
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 1000).alias("dst")
+    )
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS _t_pr_edges_b")
+    # a fresh metastore can't see a stale managed-table dir left by a
+    # previous session — remove the location itself
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/_t_pr_edges_b", ignore_errors=True)
+    # bucket count MUST equal the iteration shuffle width (8 in the test
+    # session) — otherwise the join's required partitioning differs and
+    # Catalyst disables the bucketed scan and re-exchanges anyway
+    edges.write.bucketBy(8, "src").mode("overwrite").saveAsTable("_t_pr_edges_b")
+    try:
+        from osm_spark.graph.iterate import truncate_lineage
+
+        def step_plan(e):
+            # verts/deg/n_v/ranks are parquet leaves exactly as inside
+            # pagerank() (truncated once up front)
+            verts = truncate_lineage(vertex_ids(e))
+            deg = truncate_lineage(out_degrees(e))
+            n_v = truncate_lineage(verts.agg(F.count("*").alias("n_v")))
+            ranks = truncate_lineage(
+                verts.crossJoin(n_v)
+                .join(deg.hint("shuffle_hash"), "id", "left")
+                .select("id", F.expr(f"{SCALE}L div n_v").alias("r"), "out_deg")
+            )
+            return _plan(
+                _step(e, verts, deg, n_v, ranks, "src", "dst", 85, 100, 15 * SCALE)
+            )
+
+        bucketed = step_plan(spark.table("_t_pr_edges_b"))
+        plain = step_plan(truncate_lineage(edges))
+        assert "Bucketed: true" in bucketed
+        # the contribution join consumes the bucketed scan's
+        # HashPartitioning(src) — one exchange (the per-iteration edge
+        # reshuffle) disappears relative to an unpartitioned edge leaf
+        assert bucketed.count("Exchange") < plain.count("Exchange"), bucketed
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _t_pr_edges_b")
 
 
 def test_components_round_hash_joins_without_sorting(spark):
