@@ -1723,6 +1723,115 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d.select("doc_id", "text"))
 
 
+def _route_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-trace-style polylines as a closed-form function of c_custkey:
+    40 routes, vertex order = key order, x drifts 0.01/step with ±0.004
+    hash noise on both axes. Every op (int mul/mod, int/double divide)
+    is mirrored in ``_route_verts_sql`` with the same IEEE op order —
+    DECIMAL literal traps avoided by writing drift as ``i / 100.0``
+    (int × 0.01 is DECIMAL in DuckDB; int ÷ 1000.0 is DOUBLE)."""
+    c = _t(spark, sf_dir, "customer")
+    rid = (F.col("c_custkey") % 40).cast("long")
+    w = Window.partitionBy(F.col("c_custkey") % 40).orderBy("c_custkey")
+    i = (F.row_number().over(w) - 1).cast("int")
+    base = c.select(F.col("c_custkey"), rid.alias("line_id"), i.alias("i"))
+    x = (
+        F.col("i") / F.lit(100.0)
+        + (F.col("c_custkey") * 2654435761 % 2001 - 1000) / 1000.0 * 0.004
+    )
+    y = (F.col("c_custkey") * 40503 % 2001 - 1000) / 1000.0 * 0.004
+    return base.select("line_id", F.col("i").alias("pos"), x.alias("x"), y.alias("y"))
+
+
+def _route_verts_sql() -> str:
+    return """
+        SELECT c_custkey % 40 AS rid,
+               CAST(row_number() OVER (PARTITION BY c_custkey % 40
+                                       ORDER BY c_custkey) - 1 AS INT) AS i,
+               (row_number() OVER (PARTITION BY c_custkey % 40
+                                   ORDER BY c_custkey) - 1) / 100.0
+                 + (c_custkey * 2654435761 % 2001 - 1000) / 1000.0 * 0.004 AS x,
+               (c_custkey * 40503 % 2001 - 1000) / 1000.0 * 0.004 AS y
+        FROM customer
+    """
+
+
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 raster→vector companion: exact Douglas-Peucker polyline
+    simplification (osm_spark/geo/simplify.py) over 40 synthesized
+    GPS-trace routes, vs a DuckDB recursive-CTE replay of the same
+    splits (same squared-distance op order, same lowest-index
+    tie-break). One Arrow pass, no shuffle after assembly."""
+    _prep(spark)
+    from osm_spark.geo.simplify import assemble_lines, simplify_lines
+
+    lines = assemble_lines(_route_verts(spark, sf_dir))
+    return simplify_lines(lines, epsilon=0.003)
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 third cell index: base-32 geohash (prefix-ordered — the
+    Iceberg partition/sort-key form) as pure Column codegen over the
+    same bit-parity point synthesis the PIP/kNN gates use, aggregated
+    per cell with its precision-4 parent via prefix truncation."""
+    from osm_spark.geo.geohash import geohash_expr
+
+    pts = _sql_points(spark, sf_dir)
+    return (
+        pts.select(
+            F.col("url").cast("long").alias("point_id"),
+            geohash_expr("lat", "lon", 6).alias("gh6"),
+        )
+        .groupBy("gh6")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("point_id").alias("first_point"),
+        )
+        .withColumn("gh4", F.substring("gh6", 1, 4))
+    )
+
+
+def q_way_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measurement (osm_spark/geo/measure.py): per-way ring
+    perimeter (haversine fold, closing edge included) and equirect
+    shoelace area as zero-shuffle zero-UDF array folds, vs the DuckDB
+    list_reduce replay in the same fold order. Trig-bearing outputs
+    round to 3 decimals (the haversine_distance convention)."""
+    from osm_spark.geo.measure import way_geometry_stats
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    stats = way_geometry_stats(synth_polygons(spark))
+    return stats.select(
+        "way_id",
+        "n_vertices",
+        F.round("mean_lat", 6).alias("mean_lat"),
+        F.round("perimeter_m", 3).alias("perimeter_m"),
+        F.round("area_m2", 3).alias("area_m2"),
+    )
+
+
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram profile (osm_spark/text/ngrams.py): corpus count +
+    document frequency per bigram in ONE exchange (occurrence and
+    per-doc-distinct rows union before a single map-side-combined
+    aggregation)."""
+    from osm_spark.text.ngrams import ngram_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_counts(d.select("doc_id", "text"), n=2, min_count=5)
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards
+    (osm_spark/text/sharding.py): shard + position are pure functions
+    of md5(salt:doc_id), byte-stable across runs, cluster sizes and
+    engines — one exchange total."""
+    from osm_spark.text.sharding import shard_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_assign(d.select("doc_id"), "doc_id", n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1800,6 +1909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "line_dedup": q_line_dedup,
         "lm_score": q_lm_score,
+        "simplify_lines": q_simplify_lines,
+        "geohash_cells": q_geohash_cells,
+        "way_geometry": q_way_geometry,
+        "ngram_stats": q_ngram_stats,
+        "global_shuffle": q_global_shuffle,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2866,4 +2980,69 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_logp
             FROM lw GROUP BY doc_id
         """,
+        "simplify_lines": _simplify_lines_oracle(),
+        "geohash_cells": _geohash_cells_oracle(),
+        "way_geometry": _way_geometry_oracle(),
+        "ngram_stats": _ngram_stats_oracle(),
+        "global_shuffle": _global_shuffle_oracle(),
     }
+
+
+def _simplify_lines_oracle() -> str:
+    from osm_spark.geo.simplify import simplify_sql_oracle
+
+    return simplify_sql_oracle(_route_verts_sql(), eps2=0.003 * 0.003)
+
+
+def _geohash_cells_oracle() -> str:
+    from osm_spark.geo.geohash import geohash_sql
+
+    gh6 = geohash_sql("lat", "lon", 6)
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        cells AS (
+            SELECT point_id, {gh6} AS gh6 FROM pts
+        )
+        SELECT gh6,
+               count(*) AS n_points,
+               min(point_id) AS first_point,
+               substr(gh6, 1, 4) AS gh4
+        FROM cells
+        GROUP BY gh6
+    """
+
+
+def _way_geometry_oracle() -> str:
+    from osm_spark.geo.measure import way_geometry_stats_sql
+
+    inner = way_geometry_stats_sql("polys")
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (
+            VALUES {_polygons_values_sql()}
+        ),
+        polys AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        stats AS ({inner})
+        SELECT way_id,
+               CAST(n_vertices AS INT) AS n_vertices,
+               round(mean_lat, 6) AS mean_lat,
+               round(perimeter_m, 3) AS perimeter_m,
+               round(area_m2, 3) AS area_m2
+        FROM stats
+    """
+
+
+def _ngram_stats_oracle() -> str:
+    from osm_spark.text.ngrams import ngram_counts_sql
+
+    return ngram_counts_sql("documents", n=2, min_count=5)
+
+
+def _global_shuffle_oracle() -> str:
+    from osm_spark.text.sharding import shard_assign_sql
+
+    return shard_assign_sql("(SELECT doc_id FROM documents) d", "doc_id", 8)

@@ -1,0 +1,149 @@
+"""Geometry measurement — perimeter and area per way polygon, pure Column.
+
+The reference exposes way geometries only as ordered node lists
+(`lib/osm/way.rb`; SURVEY.md §1.4) and leaves measurement to callers;
+an analytics engine needs it as a first-class operator (filter ways by
+area, rank by perimeter, density = pages / m²). Both metrics are
+closed-form folds over the vertex arrays that ``assemble_way_polygons``
+produces:
+
+- ``perimeter_m``: sum of haversine edge lengths around the ring
+  (closing edge included) — same haversine as ``geo.knn`` / the
+  driver-gated ``haversine_distance`` query.
+- ``area_m2``: planar shoelace on an equirectangular projection scaled
+  at the ring's mean latitude (|Σ x_i·y_{i+1} − x_{i+1}·y_i| / 2 with
+  x = lon·M_LON·cos(mean lat), y = lat·M_LAT). Exact for the small
+  (≤ few km) rings OSM ways describe; absolute value makes it winding-
+  order independent.
+
+Scale design: zero shuffle, zero UDF — both folds are ``F.aggregate``
+over the arrays already on the row, whole-stage codegen, pipelined over
+the scan. The fold order is explicitly sequential (left→right) and the
+SQL oracle replays it with ``list_reduce`` in the same order, so sums
+are IEEE bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R_M = 6371000.0
+M_PER_DEG_LAT = 110574.0  # meters per degree latitude (spherical mean)
+M_PER_DEG_LON_EQ = 111320.0  # meters per degree longitude at the equator
+
+
+def _hav_edge(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine meters between two points — op order mirrored in SQL."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(a))
+
+
+def way_geometry_stats(
+    polygons: DataFrame,
+    id_col: str = "way_id",
+    lat_col: str = "vlat",
+    lon_col: str = "vlon",
+) -> DataFrame:
+    """(way_id, n_vertices, mean_lat, perimeter_m, area_m2) per ring.
+
+    Input rings are OPEN (closing vertex not repeated — the
+    ``way_polygons`` convention); the closing edge is added here via
+    index wraparound.
+    """
+    vlat, vlon = F.col(lat_col), F.col(lon_col)
+    n = F.size(vlat)
+    idx = F.sequence(F.lit(1), n)  # 1-based vertex positions
+    # wraparound successor: i -> i % n + 1
+    nxt = lambda i: (i % n) + 1  # noqa: E731
+
+    mean_lat = F.aggregate(
+        vlat, F.lit(0.0), lambda acc, v: acc + v
+    ) / n.cast("double")
+
+    perimeter = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + _hav_edge(
+            F.element_at(vlat, i.cast("int")),
+            F.element_at(vlon, i.cast("int")),
+            F.element_at(vlat, nxt(i).cast("int")),
+            F.element_at(vlon, nxt(i).cast("int")),
+        ),
+    )
+
+    kx = F.lit(M_PER_DEG_LON_EQ) * F.cos(F.radians(mean_lat))
+    ky = F.lit(M_PER_DEG_LAT)
+    # Shoelace in degree space, scaled once at the end (cross terms
+    # factor as kx*ky * (x_i*y_j - x_j*y_i)). Coordinates are CENTERED
+    # on vertex 1 first: shoelace is translation-invariant, but on raw
+    # lon/lat the ±|lon·lat| ~ 5000 cross terms cancel to ~1e-3, which
+    # amplifies any last-ulp engine difference (e.g. compiler FMA
+    # contraction in the oracle) by ~10^6×. Centered terms are ~1e-3
+    # with no cancellation, so both engines agree to ~1e-8 m².
+    x0 = F.element_at(vlon, 1)
+    y0 = F.element_at(vlat, 1)
+    cx = lambda i: F.element_at(vlon, i) - x0  # noqa: E731
+    cy = lambda i: F.element_at(vlat, i) - y0  # noqa: E731
+    shoelace = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            cx(i.cast("int")) * cy(nxt(i).cast("int"))
+            - cx(nxt(i).cast("int")) * cy(i.cast("int"))
+        ),
+    )
+    area = F.abs(shoelace) / F.lit(2.0) * kx * ky
+
+    return polygons.select(
+        F.col(id_col),
+        n.alias("n_vertices"),
+        mean_lat.alias("mean_lat"),
+        perimeter.alias("perimeter_m"),
+        area.alias("area_m2"),
+    )
+
+
+def way_geometry_stats_sql(verts_table: str = "polys") -> str:
+    """DuckDB replay over ``{verts_table}(way_id, vlat list, vlon list)``.
+
+    ``list_reduce`` folds left→right exactly like ``F.aggregate``; the
+    per-edge expressions use the same IEEE op order as ``_hav_edge`` /
+    the shoelace fold above, so results are bit-identical.
+    """
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt("
+        "sin(radians(vlat[((i % nn) + 1)] - vlat[i]) / 2)"
+        " * sin(radians(vlat[((i % nn) + 1)] - vlat[i]) / 2)"
+        " + cos(radians(vlat[i])) * cos(radians(vlat[((i % nn) + 1)]))"
+        " * sin(radians(vlon[((i % nn) + 1)] - vlon[i]) / 2)"
+        " * sin(radians(vlon[((i % nn) + 1)] - vlon[i]) / 2)))"
+    )
+    cross = (
+        "((vlon[i] - vlon[1]) * (vlat[((i % nn) + 1)] - vlat[1])"
+        " - (vlon[((i % nn) + 1)] - vlon[1]) * (vlat[i] - vlat[1]))"
+    )
+    return f"""
+        SELECT way_id,
+               nn AS n_vertices,
+               mean_lat,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
+                   i -> {hav})), (acc, v) -> acc + v) AS perimeter_m,
+               abs(list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
+                   i -> {cross})), (acc, v) -> acc + v)) / 2.0
+                 * (111320.0 * cos(radians(mean_lat))) * 110574.0 AS area_m2
+        FROM (
+            SELECT way_id, vlat, vlon, len(vlat) AS nn,
+                   list_reduce(list_prepend(0.0, vlat), (acc, v) -> acc + v)
+                     / CAST(len(vlat) AS DOUBLE) AS mean_lat
+            FROM {verts_table}
+        )
+    """

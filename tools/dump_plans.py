@@ -113,6 +113,28 @@ def main() -> None:
             "ReadSchema holds only the six touched columns.",
             entry.q_pricing_summary(spark, SF),
         ),
+        (
+            "polyline simplification — one Arrow pass, zero shuffle",
+            "Douglas-Peucker over per-line vertex arrays: the only "
+            "exchange is the upstream assembly groupBy (absent when the "
+            "geometry arrives assembled); simplification itself is a "
+            "single MapInPandas node pipelined over its input.",
+            entry.q_simplify_lines(spark, SF),
+        ),
+        (
+            "geohash cells — pure-codegen cell index + one aggregation",
+            "The 35-bit interleave is a WholeStageCodegen integer chain "
+            "(no UDF, no exchange before the partial aggregate); the only "
+            "shuffle is the final count-per-cell hash aggregation.",
+            entry.q_geohash_cells(spark, SF),
+        ),
+        (
+            "deterministic shard shuffle — one exchange total",
+            "Shard assignment is a pure projection; the position window "
+            "hash-partitions on shard once. No driver state, no "
+            "SinglePartition node.",
+            entry.q_global_shuffle(spark, SF),
+        ),
     ]
 
     out = [
