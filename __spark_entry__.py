@@ -1832,6 +1832,37 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assign(d.select("doc_id"), "doc_id", n_shards=8)
 
 
+def q_viewport_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport (bbox) query through the geohash-prefix prune
+    (osm_spark/geo/geohash.py cover_bbox/viewport_filter): the covering
+    IN-list prunes partitions/row-groups ahead of the exact lat/lon
+    refine. The oracle is the PLAIN bbox filter — equality proves the
+    covering's superset guarantee drops nothing."""
+    from osm_spark.geo.geohash import geohash_expr, viewport_filter
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "gh4", geohash_expr("lat", "lon", 4)
+    )
+    out = viewport_filter(
+        pts, 51.4874, 51.5274, -0.1478, -0.1078, gh_col="gh4", precision=4
+    )
+    return out.select(F.col("url").cast("long").alias("point_id"), "lat", "lon")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (osm_spark/text/ranking.py): per-doc
+    score over a fixed query, per-term scores quantized to micro-units
+    so the per-doc sum is order-independent and hash-gateable (the
+    lm_score pattern)."""
+    from osm_spark.text.ranking import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d.select("doc_id", "text"), _BM25_TERMS)
+
+
+_BM25_TERMS = ["order", "fast", "part", "zzz-absent-term"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1914,6 +1945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_geometry": q_way_geometry,
         "ngram_stats": q_ngram_stats,
         "global_shuffle": q_global_shuffle,
+        "viewport_points": q_viewport_points,
+        "bm25_search": q_bm25_search,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2985,7 +3018,27 @@ def oracle_sql() -> dict[str, str]:
         "way_geometry": _way_geometry_oracle(),
         "ngram_stats": _ngram_stats_oracle(),
         "global_shuffle": _global_shuffle_oracle(),
+        "viewport_points": _viewport_points_oracle(),
+        "bm25_search": _bm25_search_oracle(),
     }
+
+
+def _viewport_points_oracle() -> str:
+    # plain exact bbox — NO prefix prune: equality proves the covering
+    # is a true superset
+    return f"""
+        WITH pts AS ({_sql_points_oracle()})
+        SELECT point_id, lat, lon
+        FROM pts
+        WHERE lat >= CAST(51.4874 AS DOUBLE) AND lat <= CAST(51.5274 AS DOUBLE)
+          AND lon >= CAST(-0.1478 AS DOUBLE) AND lon <= CAST(-0.1078 AS DOUBLE)
+    """
+
+
+def _bm25_search_oracle() -> str:
+    from osm_spark.text.ranking import bm25_scores_sql
+
+    return bm25_scores_sql("documents", _BM25_TERMS)
 
 
 def _simplify_lines_oracle() -> str:

@@ -18,6 +18,11 @@ from osm_spark.geo.hexgrid import (  # noqa: F401
 )
 from osm_spark.geo.s2 import s2_cell, s2_cell_udf  # noqa: F401
 from osm_spark.geo.tiles import tile_xy  # noqa: F401
-from osm_spark.geo.geohash import geohash_expr, geohash_sql  # noqa: F401
+from osm_spark.geo.geohash import (  # noqa: F401
+    cover_bbox,
+    geohash_expr,
+    geohash_sql,
+    viewport_filter,
+)
 from osm_spark.geo.measure import way_geometry_stats  # noqa: F401
 from osm_spark.geo.simplify import assemble_lines, simplify_lines  # noqa: F401

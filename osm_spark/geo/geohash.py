@@ -18,6 +18,8 @@ oracle replays it bit-exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -100,3 +102,111 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
         idx = " + ".join(bits)
         parts.append(f"substr('{ALPHABET}', CAST({idx} AS INT) + 1, 1)")
     return "(" + " || ".join(parts) + ")"
+
+
+def _encode_ints(ilat: int, ilon: int, precision: int) -> str:
+    """Geohash string from pre-quantized integer cell coordinates."""
+    _, _, chars = _bit_layout(precision)
+    out = []
+    for spec in chars:
+        idx = 0
+        for k, (axis, shift) in enumerate(spec):
+            src = ilon if axis == "lon" else ilat
+            idx += ((src >> shift) & 1) << (4 - k)
+        out.append(ALPHABET[idx])
+    return "".join(out)
+
+
+def cover_bbox(
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    precision: int,
+    max_cells: int = 4096,
+) -> list[str]:
+    """Every geohash cell at ``precision`` intersecting the bbox — the
+    prefix set a viewport query prunes its scan with.
+
+    Superset guarantee: quantization floors both corners, so the cell
+    ranges [ilat_min..ilat_max] × [ilon_min..ilon_max] cover every point
+    in the closed bbox. Driver-side pure Python over integers (the cell
+    count is the enumeration bound, independent of data size); raises if
+    the viewport needs more than ``max_cells`` cells — pick a coarser
+    precision instead of enumerating a continent at res 7.
+    """
+    if min_lat > max_lat or min_lon > max_lon:
+        raise ValueError("bbox corners out of order")
+    lonbits, latbits, _ = _bit_layout(precision)
+
+    def _q(v: float, lo: float, span: float, bits: int) -> int:
+        i = int(math.floor((v - lo) / span * float(1 << bits)))
+        return min(max(i, 0), (1 << bits) - 1)
+
+    la0 = _q(min_lat, -90.0, 180.0, latbits)
+    la1 = _q(max_lat, -90.0, 180.0, latbits)
+    lo0 = _q(min_lon, -180.0, 360.0, lonbits)
+    lo1 = _q(max_lon, -180.0, 360.0, lonbits)
+    n = (la1 - la0 + 1) * (lo1 - lo0 + 1)
+    if n > max_cells:
+        raise ValueError(
+            f"bbox covers {n} cells at precision {precision} "
+            f"(> max_cells={max_cells}); use a coarser precision"
+        )
+    return sorted(
+        _encode_ints(la, lo, precision)
+        for la in range(la0, la1 + 1)
+        for lo in range(lo0, lo1 + 1)
+    )
+
+
+def viewport_filter(
+    df,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    gh_col: str | None = None,
+    precision: int = 4,
+    gh_precision: int | None = None,
+):
+    """Exact bbox filter with a geohash-prefix prune in front.
+
+    When ``gh_col`` names a geohash column the table is partitioned or
+    sorted by, the covering-cell IN-list prunes partitions/row groups
+    BEFORE the exact lat/lon comparison runs — on a 10^12-row table laid
+    out by ``write_partitioned(..., ['gh4'])`` a city viewport touches a
+    handful of directories instead of the full scan. The exact predicate
+    keeps semantics independent of the prune (covering is a superset),
+    which is what the oracle checks.
+
+    ``gh_precision`` is the precision the COLUMN stores (defaults to
+    ``precision``). When the two are equal the prune is a direct
+    ``isin`` on the column — the form Catalyst turns into partition
+    pruning / parquet dictionary pushdown. When the column is finer, a
+    ``substring`` prefix compare is used instead: still a row filter,
+    but NOT partition-prunable (expression on the partition column) —
+    lay the table out at the precision you query, or pass the coarser
+    column.
+    """
+    exact = (
+        (F.col(lat_col) >= F.lit(min_lat))
+        & (F.col(lat_col) <= F.lit(max_lat))
+        & (F.col(lon_col) >= F.lit(min_lon))
+        & (F.col(lon_col) <= F.lit(max_lon))
+    )
+    if gh_col is not None:
+        cells = cover_bbox(min_lat, max_lat, min_lon, max_lon, precision)
+        if gh_precision is not None and gh_precision != precision:
+            if gh_precision < precision:
+                raise ValueError(
+                    f"gh_col stores precision {gh_precision} but the prune "
+                    f"needs {precision}; enumerate at <= {gh_precision}"
+                )
+            prune = F.substring(F.col(gh_col), 1, precision).isin(cells)
+        else:
+            prune = F.col(gh_col).isin(cells)
+        return df.filter(prune).filter(exact)
+    return df.filter(exact)

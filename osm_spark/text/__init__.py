@@ -29,10 +29,12 @@ from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
 from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
 from osm_spark.text.ngrams import ngram_counts
+from osm_spark.text.ranking import bm25_scores
 from osm_spark.text.sharding import shard_assign
 
 __all__ = [
     "ngram_counts",
+    "bm25_scores",
     "shard_assign",
     "exact_dedup",
     "minhash_signatures",
