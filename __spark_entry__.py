@@ -1863,6 +1863,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["order", "fast", "part", "zzz-absent-term"]
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints (osm_spark/text/winnow.py):
+    position-aware partial-overlap dedup primitive — any shared token
+    run ≥ k+w−1 yields a shared fingerprint. Row-local pure Column
+    (zero shuffle, zero UDF); hash array materialized behind one
+    Generate barrier so CollapseProject cannot clone the md5 array into
+    every window reference."""
+    from osm_spark.text.winnow import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d.select("doc_id", "text"), k=3, w=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1947,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
         "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -3020,7 +3034,14 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": _global_shuffle_oracle(),
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),
+        "winnow_fingerprints": _winnow_oracle(),
     }
+
+
+def _winnow_oracle() -> str:
+    from osm_spark.text.winnow import winnow_sql
+
+    return winnow_sql("documents", k=3, w=4)
 
 
 def _viewport_points_oracle() -> str:

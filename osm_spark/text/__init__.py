@@ -31,11 +31,13 @@ from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
 from osm_spark.text.ngrams import ngram_counts
 from osm_spark.text.ranking import bm25_scores
 from osm_spark.text.sharding import shard_assign
+from osm_spark.text.winnow import winnow_fingerprints
 
 __all__ = [
     "ngram_counts",
     "bm25_scores",
     "shard_assign",
+    "winnow_fingerprints",
     "exact_dedup",
     "minhash_signatures",
     "lsh_bands",
