@@ -1876,6 +1876,42 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d.select("doc_id", "text"), k=3, w=4)
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (osm_spark/pipeline/links.py): pages-shaped
+    rows with deterministic anchors synthesized from documents (same
+    closed form in the oracle); every doc gets one absolute link, every
+    3rd a RELATIVE link (must be filtered), every 2nd a second absolute
+    link. Pure-Column decode + regexp_extract_all + Generate — the
+    front of the pagerank pipeline."""
+    from osm_spark.pipeline.links import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="https://example.org/p/'),
+        ((did * 7) % 500).cast("string"),
+        F.lit('">l1</a>'),
+        F.when(did % 3 == 0, F.lit('<a href="/relative/path">rel</a>')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="https://example.org/p/'),
+                ((did * 13) % 500).cast("string"),
+                F.lit('">l2</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.org/p/"), did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_links(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
     evaluates the first 50 entries, so all 50 oracle-gated queries come
@@ -1961,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewport_points": q_viewport_points,
         "bm25_search": q_bm25_search,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "extract_links": q_extract_links,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -3035,7 +3072,27 @@ def oracle_sql() -> dict[str, str]:
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
+        "extract_links": _extract_links_oracle(),
     }
+
+
+def _extract_links_oracle() -> str:
+    from osm_spark.pipeline.links import extract_links_sql
+
+    pages = """(
+        SELECT 'https://example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a class="x" href="https://example.org/p/'
+               || CAST((doc_id * 7) % 500 AS VARCHAR) || '">l1</a>'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN '<a href="/relative/path">rel</a>' ELSE '' END)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '<a href="https://example.org/p/'
+                             || CAST((doc_id * 13) % 500 AS VARCHAR) || '">l2</a>'
+                        ELSE '' END)
+               || text || '</body></html>' AS html
+        FROM documents
+    ) pages"""
+    return extract_links_sql(pages)
 
 
 def _winnow_oracle() -> str:
