@@ -1844,7 +1844,8 @@ def q_viewport_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gh4", geohash_expr("lat", "lon", 4)
     )
     out = viewport_filter(
-        pts, 51.4874, 51.5274, -0.1478, -0.1078, gh_col="gh4", precision=4
+        pts, 51.4874, 51.5274, -0.1478, -0.1078,
+        gh_col="gh4", precision=4, gh_precision=4,
     )
     return out.select(F.col("url").cast("long").alias("point_id"), "lat", "lon")
 

@@ -55,13 +55,22 @@ def geohash_expr(lat_col: str | Column, lon_col: str | Column, precision: int) -
     lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
     lon = F.col(lon_col) if isinstance(lon_col, str) else lon_col
     lonbits, latbits, chars = _bit_layout(precision)
-    ilon = F.least(
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lonbits))).cast("long"),
-        F.lit((1 << lonbits) - 1),
+    # clamp BOTH edges: below-range inputs would quantize negative and
+    # shiftright would sign-extend every extracted bit to 1, emitting a
+    # wrong-but-plausible cell id (cover_bbox's _q clamps both ends too)
+    ilon = F.greatest(
+        F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lonbits))).cast("long"),
+            F.lit((1 << lonbits) - 1),
+        ),
+        F.lit(0),
     )
-    ilat = F.least(
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << latbits))).cast("long"),
-        F.lit((1 << latbits) - 1),
+    ilat = F.greatest(
+        F.least(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << latbits))).cast("long"),
+            F.lit((1 << latbits) - 1),
+        ),
+        F.lit(0),
     )
     letters = F.array(*[F.lit(ch) for ch in ALPHABET])
     out = []
@@ -86,12 +95,12 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
     """
     lonbits, latbits, chars = _bit_layout(precision)
     ilon = (
-        f"least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * {float(1 << lonbits)!r}) "
-        f"AS BIGINT), {(1 << lonbits) - 1})"
+        f"greatest(least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * {float(1 << lonbits)!r}) "
+        f"AS BIGINT), {(1 << lonbits) - 1}), 0)"
     )
     ilat = (
-        f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * {float(1 << latbits)!r}) "
-        f"AS BIGINT), {(1 << latbits) - 1})"
+        f"greatest(least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * {float(1 << latbits)!r}) "
+        f"AS BIGINT), {(1 << latbits) - 1}), 0)"
     )
     parts = []
     for spec in chars:
@@ -198,13 +207,23 @@ def viewport_filter(
         & (F.col(lon_col) <= F.lit(max_lon))
     )
     if gh_col is not None:
+        # gh_precision is REQUIRED with gh_col: defaulting it would make
+        # a finer-than-`precision` column fail isin for EVERY row — a
+        # silent 0-row result instead of a loud error. (A row-level
+        # assert cannot catch this either: partition pruning would
+        # remove the offending rows before the assert runs.)
+        if gh_precision is None:
+            raise ValueError(
+                "viewport_filter: pass gh_precision (the precision the "
+                f"column {gh_col!r} stores) alongside gh_col"
+            )
+        if gh_precision < precision:
+            raise ValueError(
+                f"gh_col stores precision {gh_precision} but the prune "
+                f"needs {precision}; enumerate at <= {gh_precision}"
+            )
         cells = cover_bbox(min_lat, max_lat, min_lon, max_lon, precision)
-        if gh_precision is not None and gh_precision != precision:
-            if gh_precision < precision:
-                raise ValueError(
-                    f"gh_col stores precision {gh_precision} but the prune "
-                    f"needs {precision}; enumerate at <= {gh_precision}"
-                )
+        if gh_precision > precision:
             prune = F.substring(F.col(gh_col), 1, precision).isin(cells)
         else:
             prune = F.col(gh_col).isin(cells)

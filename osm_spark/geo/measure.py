@@ -103,12 +103,18 @@ def way_geometry_stats(
     )
     area = F.abs(shoelace) / F.lit(2.0) * kx * ky
 
+    # Degenerate-ring guard: an empty vertex array would hit sum/0 (an
+    # ANSI-mode DIVIDE_BY_ZERO job abort) and the F.sequence(1, 0)
+    # DESCENDS trap (see text/ngrams.py) in the folds. NULL out all
+    # derived stats instead — matching the oracle, which NULLs the same
+    # row rather than erroring.
+    ok = n >= 1
     return polygons.select(
         F.col(id_col),
         n.alias("n_vertices"),
-        mean_lat.alias("mean_lat"),
-        perimeter.alias("perimeter_m"),
-        area.alias("area_m2"),
+        F.when(ok, mean_lat).alias("mean_lat"),
+        F.when(ok, perimeter).alias("perimeter_m"),
+        F.when(ok, area).alias("area_m2"),
     )
 
 
@@ -135,15 +141,18 @@ def way_geometry_stats_sql(verts_table: str = "polys") -> str:
         SELECT way_id,
                nn AS n_vertices,
                mean_lat,
-               list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
-                   i -> {hav})), (acc, v) -> acc + v) AS perimeter_m,
-               abs(list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
-                   i -> {cross})), (acc, v) -> acc + v)) / 2.0
-                 * (111320.0 * cos(radians(mean_lat))) * 110574.0 AS area_m2
+               CASE WHEN nn >= 1 THEN
+                   list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
+                       i -> {hav})), (acc, v) -> acc + v) END AS perimeter_m,
+               CASE WHEN nn >= 1 THEN
+                   abs(list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),
+                       i -> {cross})), (acc, v) -> acc + v)) / 2.0
+                     * (111320.0 * cos(radians(mean_lat))) * 110574.0 END AS area_m2
         FROM (
             SELECT way_id, vlat, vlon, len(vlat) AS nn,
-                   list_reduce(list_prepend(0.0, vlat), (acc, v) -> acc + v)
-                     / CAST(len(vlat) AS DOUBLE) AS mean_lat
+                   CASE WHEN len(vlat) >= 1 THEN
+                       list_reduce(list_prepend(0.0, vlat), (acc, v) -> acc + v)
+                         / CAST(len(vlat) AS DOUBLE) END AS mean_lat
             FROM {verts_table}
         )
     """

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 # common-dialect pattern: an <a ...> tag's double-quoted href value.
 # [^>]* before href keeps attributes ahead of it; [^"]+ is the value.
-HREF_PATTERN = r'<a\s[^>]*href="([^"]+)"'
+# The whitespace class is EXPLICIT (not \s): Java's \s includes vertical
+# tab (\x0B) while RE2's does not, so \s would silently diverge between
+# the engine and the DuckDB oracle on pathological HTML.
+HREF_PATTERN = r'<a[ \t\n\r\f][^>]*href="([^"]+)"'
 
 
 def extract_links(
@@ -60,18 +63,22 @@ def extract_links_sql(
     pages_table: str, src_col: str = "url", html_col: str = "html",
     absolute_only: bool = True,
 ) -> str:
-    """DuckDB replay: same pattern, group 1, same absolute filter."""
+    """DuckDB replay: THE SAME pattern constant, group 1, same filter."""
     where = (
         "WHERE dst_url LIKE 'http://%' OR dst_url LIKE 'https://%'"
         if absolute_only
         else ""
     )
+    # DuckDB standard string literals pass backslashes through verbatim
+    # (no escape processing), so the \t\n\r\f sequences reach RE2 intact
+    # — embed the pattern constant as-is (it contains no single quotes)
+    pattern_sql = "'" + HREF_PATTERN + "'"
     return f"""
         SELECT {src_col} AS src_url, dst_url FROM (
             SELECT {src_col},
                    unnest(regexp_extract_all(
                        CAST({html_col} AS VARCHAR),
-                       '<a\\s[^>]*href="([^"]+)"', 1)) AS dst_url
+                       {pattern_sql}, 1)) AS dst_url
             FROM {pages_table}
         ) {where}
     """

@@ -43,20 +43,18 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
-    )
-    dl = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("dl"),
-    )
-    stats = docs.select(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(F.split(F.lower(F.col(text_col)), " "))).alias("avgdl"),
-    )
+    from osm_spark.text.analysis import _words
 
-    hits = toks.filter(F.col("term").isin(terms))
+    # one tokenization projection feeds hits, dl and the stats aggregate
+    # — the corpus is lowercased/split once, not three times
+    tokd = docs.select(F.col(id_col), _words(F.col(text_col)).alias("toks"))
+    dl = tokd.select(F.col(id_col), F.size("toks").alias("dl"))
+    stats = dl.select(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = tokd.select(
+        F.col(id_col), F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(terms))
     tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_t = hits.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")

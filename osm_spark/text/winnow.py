@@ -46,22 +46,16 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n_grams = F.size(toks) - (k - 1)
-    windows = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    grams = F.when(F.size(toks) >= k, windows).otherwise(
-        F.array().cast("array<string>")
-    )
+    from osm_spark.text.ngrams import _gram_arrays
+
+    # same tokenizer + k-gram windows (and the sequence(1,0)-descends
+    # guard) as the n-gram/decontamination keys — one definition to drift
+    grams, _ = _gram_arrays(F.col(text_col), k)
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
-    # Generate barrier: materialize the hash array once (see module doc)
+    # Generate barrier 1: materialize the hash array once (module doc)
     staged = docs.select(
         F.col(id_col), F.explode(F.array(hashes)).alias("h")
     )
@@ -69,31 +63,47 @@ def winnow_fingerprints(
     h = F.col("h")
     m = F.size(h)
     weff = F.least(F.lit(w), m)
-    win_min = lambda j: F.array_min(F.slice(h, j, weff))  # noqa: E731
-    # rightmost index of the window minimum: max over i of i·[h_i = min]
-    sel_pos = lambda j, mv: F.array_max(  # noqa: E731
+    mins_expr = F.when(
+        m >= 1,
         F.transform(
-            F.sequence(j, j + weff - 1),
-            lambda i: F.when(F.element_at(h, i.cast("int")) == mv, i).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.sequence(F.lit(1), m - weff + 1),
+            lambda j: F.array_min(F.slice(h, j, weff)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # Generate barrier 2: materialize per-window minima — referencing the
+    # min expression inside sel_pos would re-evaluate the O(w) slice scan
+    # for every one of the w compared elements (O(w²) per window)
+    staged2 = staged.select(
+        F.col(id_col), h, F.explode(F.array(mins_expr)).alias("mins")
+    )
+
+    mv = lambda j: F.element_at(F.col("mins"), j.cast("int"))  # noqa: E731
+    weff2 = F.least(F.lit(w), F.size(h))
+    # rightmost index of the window minimum: max over i of i·[h_i = min]
+    sel_pos = lambda j: F.array_max(  # noqa: E731
+        F.transform(
+            F.sequence(j, j + weff2 - 1),
+            lambda i: F.when(
+                F.element_at(h, i.cast("int")) == mv(j), i
+            ).otherwise(F.lit(0).cast("long")),
         )
     )
+    # guard: an empty mins array (doc shorter than k tokens) would make
+    # sequence(1, 0) DESCEND to [1, 0] and element_at error out
     fps = F.when(
-        m >= 1,
+        F.size(F.col("mins")) >= 1,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), m - weff + 1),
+                F.sequence(F.lit(1), F.size(F.col("mins"))),
                 lambda j: F.struct(
-                    sel_pos(j, win_min(j)).alias("pos"),
-                    win_min(j).alias("fp"),
+                    sel_pos(j).alias("pos"), mv(j).alias("fp")
                 ),
             )
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
 
     return (
-        staged.select(F.col(id_col), F.explode(fps).alias("s"))
+        staged2.select(F.col(id_col), F.explode(fps).alias("s"))
         .select(
             id_col,
             F.col("s.pos").cast("int").alias("pos"),

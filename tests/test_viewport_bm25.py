@@ -46,7 +46,8 @@ def test_viewport_filter_prune_equals_plain(spark):
     df = df.withColumn("gh4", geohash_expr("lat", "lon", 4))
     bbox = dict(min_lat=51.45, max_lat=51.55, min_lon=-0.2, max_lon=-0.05)
     plain = {r.pid for r in viewport_filter(df, **bbox).collect()}
-    pruned = {r.pid for r in viewport_filter(df, **bbox, gh_col="gh4").collect()}
+    pruned = {r.pid for r in viewport_filter(
+        df, **bbox, gh_col="gh4", gh_precision=4).collect()}
     assert plain == pruned and len(plain) > 0
     # finer column via substring path
     df6 = df.withColumn("gh6", geohash_expr("lat", "lon", 6))
@@ -55,6 +56,8 @@ def test_viewport_filter_prune_equals_plain(spark):
     assert sub == plain
     with pytest.raises(ValueError):
         viewport_filter(df, **bbox, gh_col="gh4", precision=6, gh_precision=4)
+    with pytest.raises(ValueError):  # gh_precision required with gh_col
+        viewport_filter(df, **bbox, gh_col="gh4")
 
 
 def test_viewport_partition_pruning_plan(spark, tmp_path):
@@ -71,7 +74,8 @@ def test_viewport_partition_pruning_plan(spark, tmp_path):
     write_partitioned(df, path, ["gh4"])
     table = spark.read.parquet(path)
     out = viewport_filter(
-        table, 51.45, 51.55, -0.2, -0.05, gh_col="gh4", precision=4
+        table, 51.45, 51.55, -0.2, -0.05, gh_col="gh4", precision=4,
+        gh_precision=4,
     )
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
