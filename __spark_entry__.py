@@ -1319,6 +1319,44 @@ def _knn_pairs_oracle(k: int = 3) -> str:
     """
 
 
+def _radius_pairs_oracle(radius_m: float = 1500.0) -> str:
+    """Brute-force DWithin (same haversine formula/op order as
+    ``haversine_m``). Pair-set output only — no float rides the hash."""
+    return f"""
+        WITH nodes0(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        nodes AS (
+            SELECT CAST(node_id AS BIGINT) AS node_id,
+                   CAST(nlat AS DOUBLE) AS nlat,
+                   CAST(nlon AS DOUBLE) AS nlon
+            FROM nodes0
+        ),
+        pts AS ({_sql_points_oracle()})
+        SELECT p.point_id, n.node_id
+        FROM pts p CROSS JOIN nodes n
+        WHERE 2.0 * 6371000.0 * asin(sqrt(
+                  pow(sin(radians(n.nlat - p.lat) / 2.0), 2)
+                + cos(radians(p.lat)) * cos(radians(n.nlat))
+                  * pow(sin(radians(n.nlon - p.lon) / 2.0), 2))) <= {radius_m!r}
+    """
+
+
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 radius (DWithin) join, driver-gated: node K-disk covering →
+    cell equi-join → exact haversine refine (geo/radius.py) vs a DuckDB
+    brute-force oracle. Runs the SHUFFLE path (the planet-scale form —
+    the broadcast path is pytest-proven identical); ring/res are planned
+    from the radius and the node-table latitude bound."""
+    _prep(spark)
+    from osm_spark.geo.radius import radius_join
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    out = radius_join(
+        _sql_points(spark, sf_dir), synth_nodes(spark), 1500.0, strategy="shuffle"
+    )
+    return out.select(F.col("url").cast("long").alias("point_id"), "node_id")
+
+
 def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 PIP join, driver-gated via the SALTED shuffle path: hex
     covering (mapInPandas), data-driven salt plan with a low hot-cell
@@ -1935,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_distance": q_haversine_distance,
         "pip_pairs": q_pip_pairs,
         "knn_pairs": q_knn_pairs,
+        "radius_pairs": q_radius_pairs,
         "way_assembly": q_way_assembly,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
@@ -2009,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_pairs": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
+        "radius_pairs": _radius_pairs_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

@@ -236,24 +236,29 @@ _DISK_MASK = (1 << 29) - 1
 def hex_disk_expr(cell: Column | str, res: int, k: int) -> Column:
     """Pure-Column k-disk: array<long> of all cells within grid distance k.
 
-    The offset table is a compile-time literal (3k(k+1)+1 entries), so the
-    whole expansion is codegen'd arithmetic — no Python on the kNN
-    candidate-generation path.
+    Because the id packs (q + 2^28) and (r + 2^28) into disjoint bit
+    fields (and |dq|,|dr| ≤ k can never borrow/carry across a 2^28-offset
+    field), the neighbor at (dq, dr) is the single addition
+    ``id + ((dq << 29) + dr)``. The offset table is therefore ONE literal
+    array<long> and the disk is ``transform(deltas, d -> cell + d)`` —
+    one lambda body in codegen regardless of k. The previous form
+    (3k(k+1)+1 separately inlined shift/or expressions) overflowed
+    janino's 64 KB method limit from ring 4 up when stacked under a join,
+    silently dropping the whole stage to interpreted mode (~8× slower).
+
+    ``res`` is unused (the resolution bits ride along in the addition);
+    kept so call sites read symmetrically with the other cell helpers.
     """
+    del res
     c = F.col(cell) if isinstance(cell, str) else cell
-    off = F.lit(int(_OFF))
-    q = F.shiftright(c, 29).bitwiseAND(F.lit(_DISK_MASK)) - off
-    r = c.bitwiseAND(F.lit(_DISK_MASK)) - off
-    res_bits = F.shiftleft(F.lit(res).cast("long"), 58)
-    cells = []
-    for dq in range(-k, k + 1):
-        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
-            cells.append(
-                res_bits.bitwiseOR(F.shiftleft(q + F.lit(dq) + off, 29)).bitwiseOR(
-                    r + F.lit(dr) + off
-                )
-            )
-    return F.array(*cells)
+    deltas = [
+        (dq << 29) + dr
+        for dq in range(-k, k + 1)
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
+    ]
+    return F.transform(
+        F.lit(deltas).cast("array<long>"), lambda d: c + d
+    )
 
 
 def hex_center_expr(cell: Column | str, res: int) -> Column:

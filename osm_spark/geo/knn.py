@@ -167,7 +167,17 @@ def cell_candidates_ring(
     cells = pts.select("pcell").distinct().withColumn(
         "ctr", hex_center_expr("pcell", res)
     )
-    node_cells = n.withColumn("ncell", hex_cell_expr("nlat", "nlon", res))
+    # Generate barrier: bind ncell ONCE. CollapseProject would inline the
+    # full hex_cell_expr into every one of the 3K(K+1)+1 disk entries
+    # (217 at ring 8), overflowing janino's method-size limit — codegen
+    # fails and the stage silently drops to interpreted mode (observed
+    # 16 s warm vs 2 s; same counter-move as geo/radius.py).
+    node_cells = n.select(
+        "node_id",
+        "nlat",
+        "nlon",
+        F.explode(F.array(hex_cell_expr("nlat", "nlon", res))).alias("ncell"),
+    )
     resolved_parts: list[DataFrame] = []
     remaining = cells
     for ring_k in rings:
