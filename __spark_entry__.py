@@ -1319,6 +1319,33 @@ def _knn_pairs_oracle(k: int = 3) -> str:
     """
 
 
+def _tile_clip_oracle(z: int = 13) -> str:
+    """Full replay of the Liang-Barsky slab clip (clip_tiles_sql) over
+    the polygon fixture rendered as VALUES."""
+    from osm_spark.geo.cliptiles import clip_tiles_sql
+
+    ways = (
+        "(SELECT CAST(way_id AS BIGINT) AS way_id,"
+        " CAST(vlat AS DOUBLE[]) AS vlat, CAST(vlon AS DOUBLE[]) AS vlon"
+        f" FROM (VALUES {_polygons_values_sql()})"
+        " poly0(way_id, vlat, vlon)) w"
+    )
+    return clip_tiles_sql(ways, z, closed=True)
+
+
+def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 vector-tile segment clipping, driver-gated: way rings →
+    per-tile clipped sub-segments in integer extent units
+    (geo/cliptiles.py — zero shuffle, zero UDF, one codegen pipeline) vs
+    a DuckDB replay of the identical projection + slab-clip arithmetic."""
+    _prep(spark)
+    from osm_spark.geo.cliptiles import clip_segments_to_tiles
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    return clip_segments_to_tiles(ways, z=13, closed=True)
+
+
 def _radius_pairs_oracle(radius_m: float = 1500.0) -> str:
     """Brute-force DWithin (same haversine formula/op order as
     ``haversine_m``). Pair-set output only — no float rides the hash."""
@@ -1973,7 +2000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_distance": q_haversine_distance,
         "pip_pairs": q_pip_pairs,
         "knn_pairs": q_knn_pairs,
-        "radius_pairs": q_radius_pairs,
         "way_assembly": q_way_assembly,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
@@ -2038,6 +2064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_links": q_extract_links,
+        "anchor_text": q_anchor_text,
+        "radius_pairs": q_radius_pairs,
+        "tile_clip": q_tile_clip,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2049,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_pairs": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
+        "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
@@ -3114,7 +3144,67 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_search_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
         "extract_links": _extract_links_oracle(),
+        "anchor_text": _anchor_text_oracle(),
     }
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (osm_spark/pipeline/links.py
+    ``anchor_stats``): the off-page relevance signal — per link target,
+    how often each normalized phrase links to it and from how many
+    distinct pages. Anchors carry mixed case and double spaces so the
+    lower/collapse/trim normalization is load-bearing; every 3rd doc
+    adds a relative link (filtered) and every 2nd a second anchor."""
+    from osm_spark.pipeline.links import anchor_stats
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="https://example.org/p/'),
+        ((did * 7) % 500).cast("string"),
+        F.lit('">See  Topic '),
+        (did % 7).cast("string"),
+        F.lit("</a>"),
+        F.when(did % 3 == 0, F.lit('<a href="/rel">Rel</a>')).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="https://example.org/p/'),
+                ((did * 13) % 500).cast("string"),
+                F.lit('"> topic '),
+                (did % 5).cast("string"),
+                F.lit(" </a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.org/p/"), did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return anchor_stats(pages)
+
+
+def _anchor_text_oracle() -> str:
+    from osm_spark.pipeline.links import anchor_stats_sql
+
+    pages = """(
+        SELECT 'https://example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a class="x" href="https://example.org/p/'
+               || CAST((doc_id * 7) % 500 AS VARCHAR) || '">See  Topic '
+               || CAST(doc_id % 7 AS VARCHAR) || '</a>'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN '<a href="/rel">Rel</a>' ELSE '' END)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '<a href="https://example.org/p/'
+                             || CAST((doc_id * 13) % 500 AS VARCHAR)
+                             || '"> topic ' || CAST(doc_id % 5 AS VARCHAR)
+                             || ' </a>'
+                        ELSE '' END)
+               || '</body></html>' AS html
+        FROM documents
+    ) pages"""
+    return anchor_stats_sql(pages)
 
 
 def _extract_links_oracle() -> str:

@@ -62,3 +62,53 @@ def test_links_to_pagerank_integration(spark):
     # the scheme-uppercased variants all collapse onto it
     expected = edges.filter(F.col("dst").contains("hub")).first().dst
     assert top["id"] == expected
+
+
+def test_extract_anchors_normalizes_and_aligns(spark):
+    from osm_spark.pipeline.links import anchor_stats, extract_anchors
+
+    pages = _pages(spark, [
+        ("a", '<a href="https://x.com/1">First  LINK</a>'
+              '<a href="/rel">skip</a>'
+              '<a class="c" href="https://x.com/2"> Second\tlink </a>'),
+        ("b", '<a href="https://x.com/1">first link</a><a href="https://x.com/3"></a>'),
+        ("c", "no anchors here"),
+    ])
+    got = {(r.src_url, r.dst_url, r.anchor) for r in extract_anchors(pages).collect()}
+    assert got == {
+        ("a", "https://x.com/1", "first link"),
+        ("a", "https://x.com/2", "second link"),
+        ("b", "https://x.com/1", "first link"),
+        ("b", "https://x.com/3", ""),
+    }
+    stats = {(r.dst_url, r.anchor): (r.n_links, r.n_sources)
+             for r in anchor_stats(pages).collect()}
+    # empty anchor dropped; shared phrase counted across two sources
+    assert stats == {
+        ("https://x.com/1", "first link"): (2, 2),
+        ("https://x.com/2", "second link"): (1, 1),
+    }
+
+
+def test_anchor_stats_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_spark.pipeline.links import anchor_stats, anchor_stats_sql
+
+    rows = [
+        (f"https://s{i}.com/",
+         f'<a href="https://t{i % 3}.com/">Topic  {i % 4}</a>'
+         + ('<a href="/r">Rel</a>' if i % 2 == 0 else ""))
+        for i in range(20)
+    ]
+    pages = _pages(spark, rows)
+    got = anchor_stats(pages).toPandas()
+    con = duckdb.connect()
+    con.register("pg", pd.DataFrame(
+        [(u, h) for u, h in rows], columns=["url", "html"]))
+    want = con.sql(anchor_stats_sql("pg")).df()
+    key = ["dst_url", "anchor", "n_links", "n_sources"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = want[key].sort_values(key).reset_index(drop=True)
+    assert len(a) > 0 and a.astype(str).equals(b.astype(str))
