@@ -2065,8 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
+        "host_graph": q_host_graph,
         "radius_pairs": q_radius_pairs,
         "tile_clip": q_tile_clip,
+        "zonal_counts": q_zonal_counts,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -3145,6 +3147,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_oracle(),
         "extract_links": _extract_links_oracle(),
         "anchor_text": _anchor_text_oracle(),
+        "host_graph": _host_graph_oracle(),
+        "zonal_counts": _zonal_counts_oracle(),
     }
 
 
@@ -3205,6 +3209,108 @@ def _anchor_text_oracle() -> str:
         FROM documents
     ) pages"""
     return anchor_stats_sql(pages)
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level web-graph rollup: pages → extract_links →
+    url_domain on both endpoints → one counted exchange on the domain
+    pair. The host-graph is the scale story of link analysis — 10^12
+    page edges collapse to ~10^7 domain pairs before PageRank runs.
+    Anchors carry a www. prefix and an explicit :80 port so the host
+    parsing (not just the regex capture) is load-bearing; the oracle
+    re-derives every edge from the synthesis closed form."""
+    from osm_spark.functions.urls import url_domain
+    from osm_spark.pipeline.links import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src_host = F.concat(
+        F.lit("h"), (did % 7).cast("string"),
+        F.lit(".site"), (did % 3).cast("string"), F.lit(".example"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://www.site'),
+        ((did * 7) % 5).cast("string"),
+        F.lit('.example/p/'),
+        ((did * 7) % 500).cast("string"),
+        F.lit('">a</a>'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="http://site'),
+                ((did * 13) % 5).cast("string"),
+                F.lit('.example:80/x">b</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), src_host, F.lit("/d/"), did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    edges = extract_links(pages)
+    return (
+        edges.select(
+            url_domain("src_url").alias("src_domain"),
+            url_domain("dst_url").alias("dst_domain"),
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _host_graph_oracle() -> str:
+    return """
+        WITH e AS (
+            SELECT 'site' || (doc_id % 3) || '.example' AS src_domain,
+                   'site' || ((doc_id * 7) % 5) || '.example' AS dst_domain
+            FROM documents
+            UNION ALL
+            SELECT 'site' || (doc_id % 3) || '.example',
+                   'site' || ((doc_id * 13) % 5) || '.example'
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT src_domain, dst_domain, count(*) AS n_links
+        FROM e GROUP BY src_domain, dst_domain
+    """
+
+
+def q_zonal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: page-point count per polygon (PIP join →
+    count per zone, zero-hit zones kept at 0) — the aggregate consumers
+    actually want from a spatial join. Runs the salted PIP path; the
+    polygon dim re-enters as a broadcast left join so empty zones
+    survive."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join_salted, salt_plan
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    polygons = synth_polygons(spark)
+    pairs = pip_join_salted(
+        pts, polygons, build_way_cells(polygons), salt_plan(pts, target=20)
+    )
+    counts = pairs.groupBy("way_id").agg(F.count("*").alias("n_points"))
+    return polygons.select("way_id").join(counts, "way_id", "left").select(
+        "way_id",
+        F.coalesce(F.col("n_points"), F.lit(0).cast("long")).alias("n_points"),
+    )
+
+
+def _zonal_counts_oracle() -> str:
+    return f"""
+        SELECT p.way_id, COALESCE(c.n_points, 0) AS n_points
+        FROM (SELECT DISTINCT CAST(way_id AS BIGINT) AS way_id
+              FROM (VALUES {_polygons_values_sql()})
+              poly0(way_id, vlat, vlon)) p
+        LEFT JOIN (SELECT way_id, count(*) AS n_points
+                   FROM ({_pip_pairs_oracle()}) hits
+                   GROUP BY way_id) c
+        USING (way_id)
+    """
 
 
 def _extract_links_oracle() -> str:

@@ -135,6 +135,32 @@ def main() -> None:
             "SinglePartition node.",
             entry.q_global_shuffle(spark, SF),
         ),
+        (
+            "radius (DWithin) join — shuffle path",
+            "Node K-disk candidates (packed-delta transform behind a "
+            "Generate barrier — one codegen loop body, BENCH.md finding "
+            "#13) SHUFFLE_HASH-join the points on the cell id: one "
+            "exchange per side, codegen haversine refine, no window or "
+            "sort over the big side.",
+            __import__("osm_spark.geo.radius", fromlist=["radius_join"]).radius_join(
+                points.select(F.col("url"), "lat", "lon"),
+                synth_nodes(spark),
+                1500.0,
+                strategy="shuffle",
+            ),
+        ),
+        (
+            "vector-tile segment clipping — zero exchange, zero Python",
+            "One codegen pipeline: segment explode → Mercator projection "
+            "behind a Generate barrier → guarded tile-cover explodes → "
+            "slab Liang-Barsky filter + extent quantization. No Exchange "
+            "node anywhere — scaling is linear in input splits.",
+            __import__(
+                "osm_spark.geo.cliptiles", fromlist=["clip_segments_to_tiles"]
+            ).clip_segments_to_tiles(
+                polygons.select("way_id", "vlat", "vlon"), z=13, closed=True
+            ),
+        ),
     ]
 
     out = [
