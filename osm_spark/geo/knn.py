@@ -145,6 +145,7 @@ def cell_candidates_ring(
     k: int,
     res: int,
     rings: tuple[int, ...] = (2, 4, 8),
+    materialize: bool = True,
 ) -> DataFrame:
     """Planet-scale phase 1: cell-disk equi-join instead of cells × nodes.
 
@@ -161,11 +162,27 @@ def cell_candidates_ring(
     the global kth, so the kept set is exactly the broadcast pre-pass's
     (tests assert set equality). Unresolved cells (sparse regions whose
     kth neighbor is far) escalate through doubling rings and finally fall
-    back to the broadcast pre-pass — the whole escalation is one lazy
-    plan, no driver-side counts.
+    back to the broadcast pre-pass.
+
+    ``materialize`` (default, the real path): each ring's kept rows and
+    the occupied-cell table are pinned with ``localCheckpoint`` — these
+    are *cells-scale* tables (occupied cells × (k+ε)), kilobytes per
+    million points, and without the pin every later ring's ``remaining``
+    left-anti RE-EXECUTES all previous rings' disk joins AND the
+    upstream point extraction (ring i recomputed rings 1..i−1: ~O(R²)
+    duplicate phase-1 work, and the 10^12-row extract ran once per ring
+    — measured 14 s → 4 s warm at sf0.01). No driver-side data moves;
+    the pins are scheduling barriers only. Inherited-stats caveat
+    (BENCH.md finding #12) does not bite here: every consumer of the
+    pinned frames is an explicitly hinted/broadcast join or a union.
+    ``materialize=False`` keeps the single lazy plan (used by the
+    plan-shape test; output is identical — tested).
     """
-    cells = pts.select("pcell").distinct().withColumn(
-        "ctr", hex_center_expr("pcell", res)
+    _pin = (lambda df: df.localCheckpoint()) if materialize else (lambda df: df)
+    cells = _pin(
+        pts.select("pcell").distinct().withColumn(
+            "ctr", hex_center_expr("pcell", res)
+        )
     )
     # Generate barrier: bind ncell ONCE. CollapseProject would inline the
     # full hex_cell_expr into every one of the 3K(K+1)+1 disk entries
@@ -216,13 +233,17 @@ def cell_candidates_ring(
         ok = (F.col("n_cand") >= k) & (
             F.col("kth_c") + F.lit(2.0 * circum_m(res)) <= guarantee_m
         )
-        resolved_parts.append(
+        kept = _pin(
             ranked.filter(ok)
             .filter(F.col("dist_c") <= F.col("kth_c") + F.lit(2.0 * circum_m(res)))
             .select("pcell", "node_id", "nlat", "nlon")
         )
-        resolved_cells = ranked.filter(ok).select("pcell").distinct()
-        remaining = remaining.join(resolved_cells, "pcell", "left_anti")
+        resolved_parts.append(kept)
+        # derive the resolved cells from the PINNED kept rows so the
+        # left-anti chain never re-executes the ring join above
+        remaining = remaining.join(
+            kept.select("pcell").distinct(), "pcell", "left_anti"
+        )
     # Sparse-region fallback: broadcast pre-pass for whatever is left
     # (lazy — an empty remainder costs one empty join).
     resolved_parts.append(cell_candidates(remaining.select("pcell"), n, k, res))

@@ -63,6 +63,12 @@ def test_ring_candidates_match_broadcast(spark, points):
         for r in cell_candidates_ring(pts, n, 3, 8).collect()
     }
     assert bc == ring
+    # the lazy (unpinned) form is the same computation
+    lazy = {
+        (r.pcell, r.node_id)
+        for r in cell_candidates_ring(pts, n, 3, 8, materialize=False).collect()
+    }
+    assert lazy == ring
 
 
 def test_ring_phase1_plan_is_equi_join(spark, points):
@@ -82,8 +88,13 @@ def test_ring_phase1_plan_is_equi_join(spark, points):
     pts = points.withColumn("pcell", hex_cell_expr("lat", "lon", 8))
     # Exclude the lazy sparse-region fallback (which IS the broadcast
     # pre-pass, and is empty on this fixture) by checking the ring rounds'
-    # plan shape: every ring join is a hash join on pcell.
-    plan = cell_candidates_ring(pts, n, 3, 8)._jdf.queryExecution().toString()
+    # plan shape: every ring join is a hash join on pcell. materialize
+    # off so the per-ring plans are visible in one tree (the pinned path
+    # executes the identical plans — output equality tested above).
+    plan = (
+        cell_candidates_ring(pts, n, 3, 8, materialize=False)
+        ._jdf.queryExecution().toString()
+    )
     assert "Generate explode" in plan  # node-side disk expansion
     assert plan.count("CartesianProduct") == 0
 
