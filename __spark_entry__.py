@@ -417,6 +417,104 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence (osm_spark/streaming/geofence.py): events
+    stream → closed-form positions → broadcast PIP prejoin + codegen
+    refine → watermarked tumbling counts per polygon, run availableNow
+    into a memory sink. The oracle replays brute-force PIP + date_trunc
+    in DuckDB — the streaming plan must equal the batch answer."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.pages import CITIES
+    from osm_spark.streaming.geofence import geofence_counts, run_stream_to_memory
+    from osm_spark.streaming.windowed import stream_events
+
+    ev = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    did = F.col("event_id")
+    city = (did % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    lat = clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    lon = clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    pts = ev.select(
+        F.col("ts"), lat.alias("lat"), lon.alias("lon")
+    ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    polygons = synth_polygons(spark)
+    out = geofence_counts(pts, polygons, build_way_cells(polygons))
+    return run_stream_to_memory(out)
+
+
+def _geofence_oracle() -> str:
+    """Brute-force PIP (same ray-cast replay as _pip_pairs_oracle) over
+    event positions, then date_trunc-hour zone counts."""
+    eps2 = repr(1e-12 * 1e-12)
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        pts AS (
+            SELECT event_id AS point_id, ts,
+                   ([{lats}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events
+        ),
+        ed AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ), e AS (
+            SELECT way_id,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM ed
+        ), c1 AS (
+            SELECT p.point_id, p.lat, p.lon, e.way_id, e.ax, e.ay, e.bx, e.by,
+                   e.bx - e.ax AS abx, e.by - e.ay AS aby,
+                   p.lon - e.ax AS apx, p.lat - e.ay AS apy
+            FROM pts p CROSS JOIN e
+        ), c2 AS (
+            SELECT *, abx * abx + aby * aby AS d,
+                   ((ay > lat) <> (by > lat))
+                   AND lon < abx * apy
+                       / (CASE WHEN aby = 0 THEN 1.0 ELSE aby END) + ax AS crossed
+            FROM c1
+        ), c3 AS (
+            SELECT *, CASE WHEN d > 0
+                           THEN (apx * abx + apy * aby)
+                                / (CASE WHEN d = 0 THEN 1.0 ELSE d END)
+                           ELSE 0.0 END AS t0
+            FROM c2
+        ), c4 AS (
+            SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3
+        ), c5 AS (
+            SELECT *, apx - t * abx AS dx, apy - t * aby AS dy FROM c4
+        ), hit AS (
+            SELECT point_id, way_id,
+                   SUM(CASE WHEN crossed THEN 1 ELSE 0 END) AS crossings,
+                   MAX(CASE WHEN dx * dx + dy * dy <= {eps2} THEN 1 ELSE 0 END) AS on_edge
+            FROM c5 GROUP BY point_id, way_id
+        )
+        SELECT date_trunc('hour', p.ts) AS window_start, h.way_id,
+               count(*) AS n_events
+        FROM (SELECT point_id, way_id FROM hit
+              WHERE crossings % 2 = 1 OR on_edge = 1) h
+        JOIN pts p USING (point_id)
+        GROUP BY 1, 2
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization (30 min), batch formulation of the
     stateful streaming operator."""
@@ -2069,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_pairs": q_radius_pairs,
         "tile_clip": q_tile_clip,
         "zonal_counts": q_zonal_counts,
+        "geofence_counts": q_geofence_counts,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -3149,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _anchor_text_oracle(),
         "host_graph": _host_graph_oracle(),
         "zonal_counts": _zonal_counts_oracle(),
+        "geofence_counts": _geofence_oracle(),
     }
 
 
