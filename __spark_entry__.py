@@ -1130,12 +1130,12 @@ def _sql_points_oracle() -> str:
     """
 
 
-def _polygons_values_sql() -> str:
+def _polygons_values_sql(n_per_city: int = 8, seed: int = 42) -> str:
     """way_polygons fixture rendered as SQL VALUES literals."""
     from osm_spark.pipeline.geometry import synth_polygons_pdf
 
     rows = []
-    for r in synth_polygons_pdf().itertuples():
+    for r in synth_polygons_pdf(n_per_city, seed).itertuples():
         vlat = ", ".join(repr(float(v)) for v in r.vlat)
         vlon = ", ".join(repr(float(v)) for v in r.vlon)
         rows.append(f"({r.way_id}, [{vlat}], [{vlon}])")
@@ -1480,6 +1480,133 @@ def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sql_points(spark, sf_dir), synth_nodes(spark), 1500.0, strategy="shuffle"
     )
     return out.select(F.col("url").cast("long").alias("point_id"), "node_id")
+
+
+def _raycast_hits_sql(pts: str, poly: str) -> str:
+    """Derived-table fragment: exact even-odd ray cast + boundary-eps
+    hits (same IEEE op order as ``pip_cover_expr``) of CTE ``pts``
+    (point_id, lat, lon) against CTE ``poly`` (way_id, vlat, vlon).
+    Yields (point_id, way_id)."""
+    eps2 = repr(1e-12 * 1e-12)
+    return f"""(
+        WITH ed_ AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM {poly}
+        ), e_ AS (
+            SELECT way_id,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM ed_
+        ), c1_ AS (
+            SELECT p.point_id, p.lat, p.lon, e_.way_id, e_.ax, e_.ay, e_.bx, e_.by,
+                   e_.bx - e_.ax AS abx, e_.by - e_.ay AS aby,
+                   p.lon - e_.ax AS apx, p.lat - e_.ay AS apy
+            FROM {pts} p CROSS JOIN e_
+        ), c2_ AS (
+            SELECT *, abx * abx + aby * aby AS d,
+                   ((ay > lat) <> (by > lat))
+                   AND lon < abx * apy
+                       / (CASE WHEN aby = 0 THEN 1.0 ELSE aby END) + ax AS crossed
+            FROM c1_
+        ), c3_ AS (
+            SELECT *, CASE WHEN d > 0
+                           THEN (apx * abx + apy * aby)
+                                / (CASE WHEN d = 0 THEN 1.0 ELSE d END)
+                           ELSE 0.0 END AS t0
+            FROM c2_
+        ), c4_ AS (
+            SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3_
+        ), c5_ AS (
+            SELECT *, apx - t * abx AS dx, apy - t * aby AS dy FROM c4_
+        ), hit_ AS (
+            SELECT point_id, way_id,
+                   SUM(CASE WHEN crossed THEN 1 ELSE 0 END) AS crossings,
+                   MAX(CASE WHEN dx * dx + dy * dy <= {eps2} THEN 1 ELSE 0 END) AS on_edge
+            FROM c5_ GROUP BY point_id, way_id
+        )
+        SELECT point_id, way_id FROM hit_
+        WHERE crossings % 2 = 1 OR on_edge = 1
+    )"""
+
+
+def _overlay_pairs_oracle() -> str:
+    """Brute-force polygon-intersects over every (A, B) pair — same
+    predicate arithmetic as ``polygons_intersect_expr`` (geo/overlay.py):
+    strict proper edge crossing (orientation products < 0) OR either
+    first vertex ray-cast-covered by the other ring."""
+    return f"""
+        WITH pa0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        pa AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM pa0
+        ),
+        pb0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql(n_per_city=5, seed=1234)}),
+        pb AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM pb0
+        ),
+        ea AS (
+            SELECT way_id AS a_id,
+                   vlon[CAST(i AS INT) + 1] AS p1x, vlat[CAST(i AS INT) + 1] AS p1y,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS p2x,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS p2y
+            FROM (SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM pa)
+        ),
+        eb AS (
+            SELECT way_id AS b_id,
+                   vlon[CAST(i AS INT) + 1] AS q1x, vlat[CAST(i AS INT) + 1] AS q1y,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS q2x,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS q2y
+            FROM (SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM pb)
+        ),
+        crossed AS (
+            SELECT a_id, b_id FROM ea CROSS JOIN eb
+            WHERE ((p2x - p1x) * (q1y - p1y) - (p2y - p1y) * (q1x - p1x))
+                * ((p2x - p1x) * (q2y - p1y) - (p2y - p1y) * (q2x - p1x)) < 0
+              AND ((q2x - q1x) * (p1y - q1y) - (q2y - q1y) * (p1x - q1x))
+                * ((q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)) < 0
+            GROUP BY a_id, b_id
+        ),
+        a0 AS (SELECT way_id AS point_id, vlat[1] AS lat, vlon[1] AS lon FROM pa),
+        b0 AS (SELECT way_id AS point_id, vlat[1] AS lat, vlon[1] AS lon FROM pb),
+        a_in_b AS (
+            SELECT point_id AS a_id, way_id AS b_id
+            FROM {_raycast_hits_sql("a0", "pb")} h
+        ),
+        b_in_a AS (
+            SELECT way_id AS a_id, point_id AS b_id
+            FROM {_raycast_hits_sql("b0", "pa")} h
+        )
+        SELECT DISTINCT a_id, b_id FROM (
+            SELECT * FROM crossed
+            UNION ALL SELECT * FROM a_in_b
+            UNION ALL SELECT * FROM b_in_a
+        )
+    """
+
+
+def q_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 polygon × polygon intersects (overlay) join, driver-gated
+    via the SHUFFLE path (the big×big planet form — broadcast is
+    pytest-proven identical): superset hex coverings equi-join on the
+    cell, pair list deduped before vertex arrays attach, pure-codegen
+    edge-cross + ray-cast containment refine (geo/overlay.py) vs a
+    DuckDB brute-force replay of the identical arithmetic."""
+    _prep(spark)
+    from osm_spark.geo.overlay import overlay_join
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+
+    pa = synth_polygons(spark)
+    pb = synth_polygons(spark, n_per_city=5, seed=1234)
+    return overlay_join(
+        pa, pb, build_way_cells(pa), build_way_cells(pb), strategy="shuffle"
+    )
 
 
 def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2168,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clip": q_tile_clip,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
+        "overlay_pairs": q_overlay_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2179,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_pairs": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
+        "overlay_pairs": _overlay_pairs_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),

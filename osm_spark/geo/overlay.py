@@ -1,0 +1,171 @@
+"""Polygon × polygon intersects (overlay) join — the fourth classic
+spatial-join shape, completing the family next to PIP (point
+containment), kNN (cardinality) and radius (distance): "which landuse
+areas overlap which admin zones".
+
+Reference analog: the way/relation polygon model this queries
+(`lib/osm/way.rb` node lists assembled to rings; SURVEY.md §1.4 maps
+them to ``way_polygons``); the overlay predicate itself is
+graft-mandated Spark-first design (SURVEY.md §2.10 family).
+
+Plan shape (filter-and-refine, same family as ``pip_join``):
+
+1. **Candidate generation** — both polygon sets carry a hex-cell
+   covering (``build_way_cells`` — a superset covering: every cell that
+   contains a point of the polygon is in it). Intersecting polygons
+   share at least one point p, and p's cell is in BOTH coverings, so the
+   cell equi-join ``a_cells ⋈ b_cells ON cell`` is recall-complete.
+   Pairs sharing many cells are deduped BEFORE vertex arrays attach
+   (the skinny (a_id, b_id) list is the only wide exchange).
+2. **Refine** — exact pure-Column predicate, zero Python:
+   polygons A, B intersect  iff  (some edge of A properly crosses some
+   edge of B)  OR  (A's first vertex is covered by B)  OR  (B's first
+   vertex is covered by A).  For simple polygons the three arms cover
+   proper boundary crossing, A ⊆ B and B ⊆ A; the containment arms
+   reuse ``pip_cover_expr`` (even-odd ray cast + boundary-eps), so a
+   vertex lying ON the other boundary also counts as touching.
+   *Not* detected: configurations whose only contact is an exact
+   boundary touch with no vertex involved (edge-through-edge tangency)
+   — measure-zero on float data and explicitly out of semantics
+   (DE-9IM "interiors intersect or a vertex touches").
+
+Exactness: every float op in the refine has an identical-IEEE-order
+DuckDB replay (the gated ``overlay_pairs`` oracle brute-forces all
+pairs with the same arithmetic), so the result is value-hash exact.
+
+Scale: both sides may be large (10^8 OSM ways). The covering join is a
+plain equi-join on the cell id — broadcast the smaller covering while
+it fits (estimate-driven, same policy as ``pip_join``), else
+shuffle-hash on the cell with AQE skew handling; vertices attach to the
+deduped pair list via two hash joins on the polygon ids. Per-pair
+refine cost is O(|Va|·|Vb|) codegen arithmetic — the higher-order
+``exists`` emits a loop, so generated-code size is independent of
+vertex count (BENCH.md finding #13's lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.geo.hexgrid import DEFAULT_RES
+from osm_spark.pipeline.spatial_join import BROADCAST_MAX_CELLS, pip_cover_expr
+
+
+def edges_cross_expr(
+    avlat: Column, avlon: Column, bvlat: Column, bvlon: Column
+) -> Column:
+    """True iff some edge of ring A properly crosses some edge of ring B.
+
+    Proper crossing via the standard orientation test: edges P1P2 / Q1Q2
+    cross iff Q1,Q2 lie strictly on opposite sides of line P1P2 AND
+    P1,P2 strictly on opposite sides of line Q1Q2. Strict (< 0) on both
+    products — touch-only contact is handled by the containment arms'
+    boundary-eps instead. Rings are closed with the first vertex NOT
+    repeated (the ``way_polygons`` convention); the wrap edge is
+    included via pmod.
+    """
+    na = F.size(avlat)
+    nb = F.size(bvlat)
+
+    def cross(i: Column, j: Column) -> Column:
+        p1x = F.element_at(avlon, i + 1)
+        p1y = F.element_at(avlat, i + 1)
+        p2x = F.element_at(avlon, F.pmod(i + 1, na) + 1)
+        p2y = F.element_at(avlat, F.pmod(i + 1, na) + 1)
+        q1x = F.element_at(bvlon, j + 1)
+        q1y = F.element_at(bvlat, j + 1)
+        q2x = F.element_at(bvlon, F.pmod(j + 1, nb) + 1)
+        q2y = F.element_at(bvlat, F.pmod(j + 1, nb) + 1)
+        d1 = (p2x - p1x) * (q1y - p1y) - (p2y - p1y) * (q1x - p1x)
+        d2 = (p2x - p1x) * (q2y - p1y) - (p2y - p1y) * (q2x - p1x)
+        d3 = (q2x - q1x) * (p1y - q1y) - (q2y - q1y) * (p1x - q1x)
+        d4 = (q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)
+        return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    ia = F.sequence(F.lit(0), na - 1)
+    ib = F.sequence(F.lit(0), nb - 1)
+    return F.exists(ia, lambda i: F.exists(ib, lambda j: cross(i, j)))
+
+
+def polygons_intersect_expr(
+    avlat: Column, avlon: Column, bvlat: Column, bvlon: Column
+) -> Column:
+    """Exact intersects test for two simple rings (module docstring
+    semantics): proper edge crossing OR either first vertex covered by
+    the other ring (covers containment both ways; ``pip_cover_expr``
+    includes the boundary via its eps arm)."""
+    a0_in_b = pip_cover_expr(
+        F.element_at(avlat, 1), F.element_at(avlon, 1), bvlat, bvlon
+    )
+    b0_in_a = pip_cover_expr(
+        F.element_at(bvlat, 1), F.element_at(bvlon, 1), avlat, avlon
+    )
+    return edges_cross_expr(avlat, avlon, bvlat, bvlon) | a0_in_b | b0_in_a
+
+
+def overlay_strategy(n_cells_smaller: int) -> str:
+    """Broadcast the smaller covering while it fits the same cell-count
+    ceiling ``pip_join`` uses; shuffle-hash on the cell past it."""
+    return "broadcast" if n_cells_smaller <= BROADCAST_MAX_CELLS else "shuffle"
+
+
+def overlay_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    strategy: str = "broadcast",
+    self_join: bool = False,
+) -> DataFrame:
+    """All (a_id, b_id) pairs whose polygons intersect.
+
+    ``polys_a/b``: (way_id, vlat, vlon); ``cells_a/b``: (way_id, cell)
+    superset coverings (``build_way_cells``). ``strategy``:
+
+    - ``broadcast``: B's covering and vertex dims broadcast — A-side
+      rows never shuffle (the path when one side is small, e.g. admin
+      zones against all landuse ways);
+    - ``shuffle``: both coverings shuffle-hash on the cell id and the
+      vertex dims hash-join on the polygon ids — the big × big path;
+      the only exchanges are on cell and on the two polygon ids, with
+      AQE skew join as the hot-cell backstop.
+
+    ``self_join=True`` keeps each unordered pair once (a_id < b_id) and
+    drops the identity pair — the "overlapping polygons within one
+    layer" dedup shape.
+    """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
+    ca = cells_a.select(F.col("way_id").alias("a_id"), "cell")
+    cb = cells_b.select(F.col("way_id").alias("b_id"), "cell")
+    if strategy == "broadcast":
+        cb = F.broadcast(cb)
+    else:
+        cb = cb.hint("shuffle_hash")
+    pairs = ca.join(cb, "cell").select("a_id", "b_id")
+    if self_join:
+        pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
+    # Dedup the skinny pair list BEFORE vertex arrays attach — a pair
+    # sharing k covering cells must refine once, not k times.
+    pairs = pairs.distinct()
+
+    va = polys_a.select(
+        F.col("way_id").alias("a_id"),
+        F.col("vlat").alias("avlat"),
+        F.col("vlon").alias("avlon"),
+    )
+    vb = polys_b.select(
+        F.col("way_id").alias("b_id"),
+        F.col("vlat").alias("bvlat"),
+        F.col("vlon").alias("bvlon"),
+    )
+    if strategy == "broadcast":
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
+    cand = pairs.join(va, "a_id").join(vb, "b_id")
+    keep = polygons_intersect_expr(
+        F.col("avlat"), F.col("avlon"), F.col("bvlat"), F.col("bvlon")
+    )
+    return cand.filter(keep).select("a_id", "b_id")

@@ -1,0 +1,119 @@
+"""Overlay (polygon × polygon intersects) join vs numpy brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.geo.overlay import overlay_join, overlay_strategy
+from osm_spark.pipeline.geometry import (
+    build_way_cells,
+    synth_polygons,
+    synth_polygons_pdf,
+)
+
+
+def _np_intersects(avlat, avlon, bvlat, bvlon) -> bool:
+    """Same predicate as polygons_intersect_expr, straight-line numpy."""
+    from osm_spark.geo.hexgrid import points_in_polygon_np
+
+    na, nb = len(avlat), len(bvlat)
+    for i in range(na):
+        p1x, p1y = avlon[i], avlat[i]
+        p2x, p2y = avlon[(i + 1) % na], avlat[(i + 1) % na]
+        for j in range(nb):
+            q1x, q1y = bvlon[j], bvlat[j]
+            q2x, q2y = bvlon[(j + 1) % nb], bvlat[(j + 1) % nb]
+            d1 = (p2x - p1x) * (q1y - p1y) - (p2y - p1y) * (q1x - p1x)
+            d2 = (p2x - p1x) * (q2y - p1y) - (p2y - p1y) * (q2x - p1x)
+            d3 = (q2x - q1x) * (p1y - q1y) - (q2y - q1y) * (p1x - q1x)
+            d4 = (q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                return True
+    a0 = points_in_polygon_np(
+        np.array([avlon[0]]), np.array([avlat[0]]),
+        np.asarray(bvlon), np.asarray(bvlat),
+    )[0]
+    b0 = points_in_polygon_np(
+        np.array([bvlon[0]]), np.array([bvlat[0]]),
+        np.asarray(avlon), np.asarray(avlat),
+    )[0]
+    return bool(a0 or b0)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    pa = synth_polygons(spark)  # 80 rings, seed 42
+    pb = synth_polygons(spark, n_per_city=5, seed=1234)
+    ca = build_way_cells(pa).persist()
+    cb = build_way_cells(pb).persist()
+    pdf_a = synth_polygons_pdf()
+    pdf_b = synth_polygons_pdf(n_per_city=5, seed=1234)
+    return pa, pb, ca, cb, pdf_a, pdf_b
+
+
+def _brute_pairs(pdf_a, pdf_b, self_join=False):
+    out = set()
+    for ra in pdf_a.itertuples():
+        for rb in pdf_b.itertuples():
+            if self_join and not ra.way_id < rb.way_id:
+                continue
+            if _np_intersects(ra.vlat, ra.vlon, rb.vlat, rb.vlon):
+                out.add((ra.way_id, rb.way_id))
+    return out
+
+
+def test_overlay_matches_brute_force(fixtures):
+    pa, pb, ca, cb, pdf_a, pdf_b = fixtures
+    expected = _brute_pairs(pdf_a, pdf_b)
+    got = {
+        (r.a_id, r.b_id)
+        for r in overlay_join(pa, pb, ca, cb, strategy="broadcast").collect()
+    }
+    assert len(expected) > 20  # fixture genuinely overlaps
+    assert got == expected
+
+
+def test_overlay_shuffle_equals_broadcast(fixtures):
+    pa, pb, ca, cb, *_ = fixtures
+    b = set(map(tuple, overlay_join(pa, pb, ca, cb, strategy="broadcast").collect()))
+    s = set(map(tuple, overlay_join(pa, pb, ca, cb, strategy="shuffle").collect()))
+    assert b == s
+
+
+def test_overlay_self_join(fixtures):
+    pa, _, ca, _, pdf_a, _ = fixtures
+    expected = _brute_pairs(pdf_a, pdf_a, self_join=True)
+    got = {
+        (r.a_id, r.b_id)
+        for r in overlay_join(pa, pa, ca, ca, strategy="broadcast", self_join=True).collect()
+    }
+    assert got == expected
+    assert all(a < b for a, b in got)
+
+
+def test_overlay_contained_ring_detected(spark):
+    # B strictly inside A: no edge crossing — only the containment arm fires.
+    pa = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 10.0], [0.0, 10.0, 10.0, 0.0])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    pb = spark.createDataFrame(
+        [(2, [4.0, 4.0, 6.0, 6.0], [4.0, 6.0, 6.0, 4.0]),
+         (3, [40.0, 40.0, 41.0, 41.0], [40.0, 41.0, 41.0, 40.0])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    ca, cb = build_way_cells(pa, res=2), build_way_cells(pb, res=2)
+    got = overlay_join(pa, pb, ca, cb).collect()
+    assert [(r.a_id, r.b_id) for r in got] == [(1, 2)]
+
+
+def test_overlay_shuffle_plan_has_no_cartesian(fixtures):
+    pa, pb, ca, cb, *_ = fixtures
+    plan = overlay_join(pa, pb, ca, cb, strategy="shuffle")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlay_strategy_threshold():
+    assert overlay_strategy(10_000) == "broadcast"
+    assert overlay_strategy(5_000_000) == "shuffle"
