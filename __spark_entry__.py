@@ -1609,6 +1609,54 @@ def q_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reverse_geocode_oracle() -> str:
+    """Brute-force PIP hits joined to the exact area replay
+    (way_geometry_stats_sql), argmin per point by (area_m2, way_id) —
+    the same lexicographic struct ordering the engine's min(struct)
+    uses."""
+    from osm_spark.geo.measure import way_geometry_stats_sql
+
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        polys AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        stats AS ({way_geometry_stats_sql("polys")}),
+        hits AS ({_pip_pairs_oracle()}),
+        j AS (
+            SELECT h.point_id, h.way_id, s.area_m2
+            FROM hits h JOIN stats s USING (way_id)
+        )
+        SELECT point_id, way_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY point_id ORDER BY area_m2 ASC, way_id ASC) AS rn
+            FROM j
+        ) WHERE rn = 1
+    """
+
+
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocode (geo/geocode.py): smallest containing polygon per
+    point — PIP join (auto strategy) + zero-shuffle area folds over the
+    polygon dim + one map-side-combined min(struct) per point. Gated
+    against brute-force PIP + the exact area replay + the same argmin."""
+    _prep(spark)
+    from osm_spark.geo.geocode import reverse_geocode
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    polygons = synth_polygons(spark)
+    out = reverse_geocode(pts, polygons, build_way_cells(polygons), strategy="auto")
+    return out.select(F.col("url").cast("long").alias("point_id"), "way_id")
+
+
 def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 PIP join, driver-gated via the SALTED shuffle path: hex
     covering (mapInPandas), data-driven salt plan with a low hot-cell
@@ -2296,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "overlay_pairs": q_overlay_pairs,
+        "reverse_geocode": q_reverse_geocode,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2308,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
+        "reverse_geocode": _reverse_geocode_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),

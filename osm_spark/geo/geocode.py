@@ -1,0 +1,48 @@
+"""Reverse geocoding: assign each point the SMALLEST containing polygon.
+
+A point inside nested admin/landuse polygons (park ⊂ district ⊂ city)
+matches them all in a plain PIP join; the reverse-geocode answer users
+want is the most specific one — standard smallest-enclosing-area
+semantics. Reference analog: the way polygons this ranks are the
+assembled `lib/osm/way.rb` rings (SURVEY.md §1.4); the pick itself is
+Spark-first composition.
+
+Plan shape: ``pip_join`` (auto broadcast/salted — the 10^12-point side
+never shuffles on the broadcast path) produces (url, way_id) pairs;
+``way_geometry_stats`` computes each polygon's area once over the
+polygon DIM (zero-shuffle codegen folds); areas broadcast back onto the
+pairs; the per-point argmin runs as one partial-aggregated ``min(struct
+(area_m2, way_id, ...))`` — a map-side-combined shuffle of one row per
+point per partition, never a window over the pair list.
+
+Determinism: area arithmetic is IEEE-identical across engines (the
+``way_geometry`` oracle replays the same fold), and ties on equal area
+break by way_id via the struct ordering, so the picked polygon is
+value-hash exact even though no float rides the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.geo.measure import way_geometry_stats
+from osm_spark.pipeline.spatial_join import pip_join
+
+
+def reverse_geocode(
+    points: DataFrame,
+    polygons: DataFrame,
+    way_cells: DataFrame | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """(url, way_id) — the smallest-area polygon covering each point;
+    points covered by no polygon are absent (semantics of a geocoder
+    miss). ``strategy`` is passed through to ``pip_join``."""
+    pairs = pip_join(points, polygons, way_cells, strategy=strategy)
+    areas = way_geometry_stats(polygons).select("way_id", "area_m2")
+    scored = pairs.join(F.broadcast(areas), "way_id")
+    best = scored.groupBy("url").agg(
+        F.min(F.struct("area_m2", "way_id")).alias("best")
+    )
+    return best.select("url", F.col("best.way_id").alias("way_id"))
