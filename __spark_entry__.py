@@ -1609,6 +1609,35 @@ def q_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via the two-pass heavy-hitters scheme
+    (text/hitters.py): per-partition local top-m candidates + bound
+    marker, broadcast-semi recount, provable exactness certificate.
+    ``on_uncertain='raise'`` so the gate proves the CERTIFICATE path
+    produced the answer — a silent fallback to the full groupBy would
+    pass the oracle without exercising the design."""
+    _prep(spark)
+    from osm_spark.text.hitters import exact_topk
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return exact_topk(toks, "token", 20, m=64, on_uncertain="raise")
+
+
+def _top_tokens_oracle() -> str:
+    return """
+        WITH toks AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS value
+            FROM documents
+        )
+        SELECT value, count(*) AS cnt
+        FROM toks GROUP BY value
+        ORDER BY cnt DESC, value ASC
+        LIMIT 20
+    """
+
+
 def _reverse_geocode_oracle() -> str:
     """Brute-force PIP hits joined to the exact area replay
     (way_geometry_stats_sql), argmin per point by (area_m2, way_id) —
@@ -2345,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_counts": q_geofence_counts,
         "overlay_pairs": q_overlay_pairs,
         "reverse_geocode": q_reverse_geocode,
+        "top_tokens": q_top_tokens,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2358,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_pairs": _radius_pairs_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
+        "top_tokens": _top_tokens_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
