@@ -1529,11 +1529,25 @@ def _raycast_hits_sql(pts: str, poly: str) -> str:
     )"""
 
 
-def _overlay_pairs_oracle() -> str:
+def _overlay_pairs_oracle(self_join: bool = False) -> str:
     """Brute-force polygon-intersects over every (A, B) pair — same
     predicate arithmetic as ``polygons_intersect_expr`` (geo/overlay.py):
     strict proper edge crossing (orientation products < 0) OR either
-    first vertex ray-cast-covered by the other ring."""
+    first vertex ray-cast-covered by the other ring. ``self_join``
+    replays the one-layer form (B = A, unordered pairs a_id < b_id)."""
+    if self_join:
+        b_values = "SELECT * FROM pa"
+        self_filter = "WHERE a_id < b_id"
+    else:
+        b_values = f"""
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM (VALUES
+                {_polygons_values_sql(n_per_city=5, seed=1234)})
+                pb0(way_id, vlat, vlon)
+        """
+        self_filter = ""
     return f"""
         WITH pa0(way_id, vlat, vlon) AS (VALUES
                 {_polygons_values_sql()}),
@@ -1543,14 +1557,7 @@ def _overlay_pairs_oracle() -> str:
                    CAST(vlon AS DOUBLE[]) AS vlon
             FROM pa0
         ),
-        pb0(way_id, vlat, vlon) AS (VALUES
-                {_polygons_values_sql(n_per_city=5, seed=1234)}),
-        pb AS (
-            SELECT CAST(way_id AS BIGINT) AS way_id,
-                   CAST(vlat AS DOUBLE[]) AS vlat,
-                   CAST(vlon AS DOUBLE[]) AS vlon
-            FROM pb0
-        ),
+        pb AS ({b_values}),
         ea AS (
             SELECT way_id AS a_id,
                    vlon[CAST(i AS INT) + 1] AS p1x, vlat[CAST(i AS INT) + 1] AS p1y,
@@ -1587,7 +1594,7 @@ def _overlay_pairs_oracle() -> str:
             SELECT * FROM crossed
             UNION ALL SELECT * FROM a_in_b
             UNION ALL SELECT * FROM b_in_a
-        )
+        ) {self_filter}
     """
 
 
@@ -1665,6 +1672,52 @@ def _reverse_geocode_oracle() -> str:
                 PARTITION BY point_id ORDER BY area_m2 ASC, way_id ASC) AS rn
             FROM j
         ) WHERE rn = 1
+    """
+
+
+def q_overlay_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve (geo/overlay.py ``dissolve``): overlay self-join pairs →
+    connected components (lineage-truncated min-label propagation) →
+    keeper election. Oracle: the brute-force self-pair replay fed to a
+    recursive-CTE transitive closure — converged labels are
+    round-count-independent, so the iterative engine gets an exact
+    value-hash gate."""
+    _prep(spark)
+    from osm_spark.geo.overlay import dissolve
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+
+    polys = synth_polygons(spark)
+    return dissolve(polys, build_way_cells(polys), strategy="broadcast").select(
+        "way_id", "cluster_id", "is_keeper", "cluster_size"
+    )
+
+
+def _overlay_clusters_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT * FROM ({_overlay_pairs_oracle(self_join=True)}) t
+        ),
+        sym AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs
+        ),
+        verts AS (
+            SELECT DISTINCT CAST(way_id AS BIGINT) AS id
+            FROM (VALUES {_polygons_values_sql()}) poly0(way_id, vlat, vlon)
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.id = s.v
+        ),
+        comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT c.id AS way_id, c.cluster_id,
+               c.id = c.cluster_id AS is_keeper, s.cluster_size
+        FROM comp c JOIN sizes s USING (cluster_id)
     """
 
 
@@ -2375,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_pairs": q_overlay_pairs,
         "reverse_geocode": q_reverse_geocode,
         "top_tokens": q_top_tokens,
+        "overlay_clusters": q_overlay_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2389,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
+        "overlay_clusters": _overlay_clusters_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),

@@ -169,3 +169,24 @@ def overlay_join(
         F.col("avlat"), F.col("avlon"), F.col("bvlat"), F.col("bvlon")
     )
     return cand.filter(keep).select("a_id", "b_id")
+
+
+def dissolve(
+    polygons: DataFrame, cells: DataFrame, strategy: str = "broadcast"
+) -> DataFrame:
+    """Dissolve: cluster transitively-overlapping polygons of ONE layer
+    (A overlaps B, B overlaps C ⇒ {A,B,C} merge) — the standard GIS
+    "merge touching landuse areas" operation, composed from the overlay
+    self-join and ``connected_components`` (min-label propagation +
+    pointer jumping, O(log diameter) lineage-truncated rounds).
+
+    One row per polygon: (way_id, cluster_id, is_keeper, cluster_size);
+    non-overlapping polygons are their own singleton cluster, keeper =
+    min way_id (deterministic)."""
+    from osm_spark.graph.components import dedup_clusters
+
+    pairs = overlay_join(
+        polygons, polygons, cells, cells, strategy=strategy, self_join=True
+    )
+    out = dedup_clusters(polygons, pairs, id_col="way_id", a="a_id", b="b_id")
+    return out.withColumnRenamed("doc_id", "way_id")

@@ -117,3 +117,24 @@ def test_overlay_shuffle_plan_has_no_cartesian(fixtures):
 def test_overlay_strategy_threshold():
     assert overlay_strategy(10_000) == "broadcast"
     assert overlay_strategy(5_000_000) == "shuffle"
+
+
+def test_dissolve_transitive_clusters(spark):
+    # Chain A-B-C overlap pairwise-adjacent (A∩B, B∩C, A∩C=∅) + isolated D:
+    # dissolve must merge {A,B,C} and leave D a singleton keeper.
+    from osm_spark.geo.overlay import dissolve
+
+    polys = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+            (2, [0.5, 0.5, 1.5, 1.5], [0.5, 1.5, 1.5, 0.5]),
+            (3, [1.2, 1.2, 2.2, 2.2], [1.2, 2.2, 2.2, 1.2]),
+            (4, [50.0, 50.0, 51.0, 51.0], [50.0, 51.0, 51.0, 50.0]),
+        ],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    cells = build_way_cells(polys, res=3)
+    out = {r.way_id: r for r in dissolve(polys, cells).collect()}
+    assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert out[4].cluster_id == 4 and out[4].is_keeper and out[4].cluster_size == 1
+    assert out[1].is_keeper and not out[2].is_keeper and out[1].cluster_size == 3
