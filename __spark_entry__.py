@@ -2131,6 +2131,59 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(d.select("doc_id", lined.alias("text")))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (osm_spark/text/spans.py): every
+    8-token window occurrence that is not the globally first occurrence
+    of its content is cut from its document (Lee et al. 2022 recipe,
+    fixed-window distributed form). The shared synthetic vocabulary
+    makes cross-document window collisions common, so the keep-first
+    and coverage-mask paths are exercised hard. Oracle: full window
+    replay (same windows, md5, keep-first order, coverage mask)."""
+    from osm_spark.text.spans import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), w=8)
+
+
+def _span_dedup_oracle(w: int = 8) -> str:
+    return f"""
+        WITH w_ AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), o AS (
+            SELECT doc_id, s::BIGINT AS strt,
+                   md5(array_to_string(ws[(s+1):(s+{w})], ' ')) AS h
+            FROM w_, UNNEST(range(CASE WHEN len(ws) >= {w}
+                                       THEN len(ws) - {w} + 1
+                                       ELSE 0 END)) AS t(s)
+        ), k AS (
+            SELECT doc_id, strt,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, strt) AS rn
+            FROM o
+        ), d AS (
+            SELECT doc_id, list_sort(list(strt)) AS ds
+            FROM k WHERE rn > 1 GROUP BY doc_id
+        ), j AS (
+            SELECT w_.doc_id, w_.ws, coalesce(d.ds, []) AS ds
+            FROM w_ LEFT JOIN d USING (doc_id)
+        ), m AS (
+            SELECT doc_id, ws,
+                   list_filter(range(len(ws)),
+                       i -> len(list_filter(ds,
+                                s -> s <= i AND i < s + {w})) = 0) AS keep_idx
+            FROM j
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(ws) - len(keep_idx) AS BIGINT) AS n_dup_tokens,
+               -- DuckDB's array_to_string([]) is NULL; Spark's
+               -- array_join([]) is '' — normalize to Spark's semantics
+               coalesce(array_to_string(
+                   list_transform(keep_idx, i -> ws[i+1]), ' '), '')
+                   AS clean_text
+        FROM m
+    """
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM document scoring (osm_spark/text/lm.py)
     — the CCNet perplexity-filter analog. Per-word Laplace log-probs
@@ -2429,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode": q_reverse_geocode,
         "top_tokens": q_top_tokens,
         "overlay_clusters": q_overlay_clusters,
+        "span_dedup": q_span_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2444,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
         "overlay_clusters": _overlay_clusters_oracle(),
+        "span_dedup": _span_dedup_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
