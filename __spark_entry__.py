@@ -2184,6 +2184,71 @@ def _span_dedup_oracle(w: int = 8) -> str:
     """
 
 
+def q_tile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tile-layer maintenance (geo/tiles.py tile_refresh):
+    materialized z-10 counts ⊕ a CDC batch (deletes: every 7th point;
+    inserts: a new closed-form point per 5th customer) — only the delta
+    shuffles. Oracle states RECOMPUTE FROM SCRATCH over the post-change
+    point set; hash equality is the incremental-view-maintenance
+    correctness statement."""
+    _prep(spark)
+    from osm_spark.geo.tiles import tile_delta, tile_refresh, tile_xy
+
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 2654435761 % 1700001) / 10000.0 - 85.0
+    lon = (F.col("c_custkey") * 40503 % 3600001) / 10000.0 - 180.0
+    pts = c.select(lat.alias("lat"), lon.alias("lon"), F.col("c_custkey"))
+    t = tile_xy("lat", "lon", 10)
+    base = (
+        pts.select(t.alias("t"))
+        .groupBy("t.z", "t.x", "t.y")
+        .agg(F.count("*").alias("n"))
+    )
+    dels = pts.filter(F.col("c_custkey") % 7 == 0).select(
+        "lat", "lon", F.lit(-1).alias("op")
+    )
+    lat2 = (F.col("c_custkey") * 97003 % 1700001) / 10000.0 - 85.0
+    lon2 = (F.col("c_custkey") * 12569 % 3600001) / 10000.0 - 180.0
+    ins = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(lat2.alias("lat"), lon2.alias("lon"), F.lit(1).alias("op"))
+    )
+    delta = tile_delta(dels.unionByName(ins), 10)
+    return tile_refresh(base, delta)
+
+
+def _tile_refresh_oracle() -> str:
+    """Full recompute over (original − deleted + inserted) points with
+    the identical Web-Mercator arithmetic (tile_pyramid's replay)."""
+    merc_y = (
+        "LEAST(GREATEST(CAST(FLOOR((1.0 - ln("
+        "tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))"
+        " + sqrt(tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))"
+        " * tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))) + 1.0)"
+        ") / pi()) / 2.0 * 1024.0) AS BIGINT), 0), 1023)"
+    )
+    merc_x = (
+        "LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0)"
+        " AS BIGINT), 0), 1023)"
+    )
+    return f"""
+        WITH keep AS (
+            SELECT (c_custkey * 2654435761 % 1700001) / 10000.0 - 85.0 AS lat,
+                   (c_custkey * 40503 % 3600001) / 10000.0 - 180.0 AS lon
+            FROM customer WHERE c_custkey % 7 <> 0
+        ), ins AS (
+            SELECT (c_custkey * 97003 % 1700001) / 10000.0 - 85.0 AS lat,
+                   (c_custkey * 12569 % 3600001) / 10000.0 - 180.0 AS lon
+            FROM customer WHERE c_custkey % 5 = 0
+        ), pts AS (
+            SELECT * FROM keep UNION ALL SELECT * FROM ins
+        )
+        SELECT 10 AS z, {merc_x} AS x, {merc_y} AS y,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2, 3
+    """
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM document scoring (osm_spark/text/lm.py)
     — the CCNet perplexity-filter analog. Per-word Laplace log-probs
@@ -2483,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "overlay_clusters": q_overlay_clusters,
         "span_dedup": q_span_dedup,
+        "tile_refresh": q_tile_refresh,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2499,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _top_tokens_oracle(),
         "overlay_clusters": _overlay_clusters_oracle(),
         "span_dedup": _span_dedup_oracle(),
+        "tile_refresh": _tile_refresh_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),

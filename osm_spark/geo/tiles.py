@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp
@@ -57,6 +57,46 @@ def tile_pixel(lat: Column | str, lon: Column | str, z: int, tile_size: int = 25
     py = F.least(F.floor((fy - y) * tile_size).cast("int"), F.lit(tile_size - 1))
     return F.struct(
         F.lit(z).alias("z"), x.alias("x"), y.alias("y"), px.alias("px"), py.alias("py")
+    )
+
+
+def tile_delta(
+    changes: DataFrame, z: int, op_col: str = "op"
+) -> DataFrame:
+    """Signed per-tile count delta from a CDC batch.
+
+    ``changes``: (lat, lon, op) with op = +1 (insert) / -1 (delete).
+    Returns (z, x, y, delta) — one aggregated row per touched tile; the
+    shuffle carries only the CHANGED rows (map-side combined), never the
+    corpus.
+    """
+    t = tile_xy("lat", "lon", z)
+    return (
+        changes.select(t.alias("t"), F.col(op_col).cast("long").alias("w"))
+        .groupBy("t.z", "t.x", "t.y")
+        .agg(F.sum("w").alias("delta"))
+    )
+
+
+def tile_refresh(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental view maintenance for a materialized tile-count layer:
+    ``base`` (z, x, y, n) ⊕ ``delta`` (z, x, y, delta) → refreshed
+    (z, x, y, n), rows that reach zero dropped.
+
+    Counts are an Abelian-group aggregate, so refresh ≡ full recompute
+    exactly (the gated ``tile_refresh`` oracle states recompute-from-
+    scratch and must hash-match). At the 10^12-page design point this is
+    the difference between touching the day's CDC batch and rescanning
+    the corpus: the only exchange is the full-outer equi-join on the
+    tile key — and when ``base`` is stored bucketed by (z, x, y)
+    (pipeline/bucketing.py), only the delta side shuffles.
+    """
+    j = base.join(delta.hint("shuffle_hash"), ["z", "x", "y"], "full_outer")
+    n2 = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0))
+    # filter BEFORE the select: after aliasing n2 AS n, a filter written
+    # on n2 would re-resolve its F.col("n") against the new column
+    return j.filter(n2 != 0).select(
+        "z", "x", "y", n2.cast("long").alias("n")
     )
 
 

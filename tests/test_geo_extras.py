@@ -220,3 +220,38 @@ def test_way_geometry_winding_independent(spark):
     rows = {r.way_id: r for r in way_geometry_stats(df).collect()}
     assert abs(rows[1].area_m2 - rows[2].area_m2) < 1e-6
     assert abs(rows[1].perimeter_m - rows[2].perimeter_m) < 1e-6
+
+
+def test_tile_refresh_equals_recompute(spark):
+    # IVM correctness: base ⊕ delta == recompute over the changed point
+    # set, zero-count tiles dropped, brand-new tiles appear.
+    import pyspark.sql.functions as F
+
+    from osm_spark.geo.tiles import tile_delta, tile_refresh, tile_xy
+
+    pts = spark.range(1, 400).select(
+        ((F.col("id") * 37 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("id") * 91 % 3600) / 10.0 - 180.0).alias("lon"),
+        F.col("id"),
+    )
+    t = tile_xy("lat", "lon", 6)
+    grp = lambda d: (  # noqa: E731
+        d.select(t.alias("t")).groupBy("t.z", "t.x", "t.y").agg(F.count("*").alias("n"))
+    )
+    base = grp(pts)
+    dels = pts.filter(F.col("id") % 3 == 0).select("lat", "lon", F.lit(-1).alias("op"))
+    ins = spark.range(2000, 2100).select(
+        ((F.col("id") * 53 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("id") * 17 % 3600) / 10.0 - 180.0).alias("lon"),
+        F.lit(1).alias("op"),
+    )
+    got = tile_refresh(base, tile_delta(dels.unionByName(ins), 6))
+    expect = grp(
+        pts.filter(F.col("id") % 3 != 0)
+        .select("lat", "lon")
+        .unionByName(ins.select("lat", "lon"))
+    )
+    g = {(r.z, r.x, r.y): r.n for r in got.collect()}
+    e = {(r.z, r.x, r.y): r.n for r in expect.collect()}
+    assert g == e
+    assert all(n > 0 for n in g.values())
