@@ -1071,6 +1071,80 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diff_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-diff geometry maintenance (pipeline/diffs.py): every
+    11th node moves by a closed-form offset; ONLY ways referencing a
+    moved node re-assemble (broadcast semi-join on the diff), untouched
+    ways carry forward from the materialized state. Oracle states the
+    FULL post-diff recompute over the literal polygons + the same move
+    formula — hash equality is the incremental-maintenance correctness
+    statement (a missed affected way would surface stale stats)."""
+    from osm_spark.pipeline.diffs import refresh_assembly
+    from osm_spark.pipeline.elements import assemble_way_polygons, synth_ways
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    polygons = synth_polygons(spark)
+    ways, nodes = synth_ways(spark, polygons)
+    prev = assemble_way_polygons(ways, nodes)
+    nid = F.col("id")
+    changes = nodes.filter(nid % 11 == 0).select(
+        "id",
+        (F.col("lat") + ((nid % 7) - 3) / 1000.0).alias("lat"),
+        (F.col("lon") + ((nid % 5) - 2) / 1000.0).alias("lon"),
+    )
+    out = refresh_assembly(ways, nodes, changes, prev)
+    vadd = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return out.select(
+        "way_id",
+        F.size("vlat").alias("n_vertices"),
+        F.round(F.element_at("vlat", 1), 6).alias("lat0"),
+        F.round(F.element_at("vlon", 1), 6).alias("lon0"),
+        F.round(vadd(F.col("vlat")) + vadd(F.col("vlon")), 6).alias("vsum"),
+        F.col("tags")["name"].alias("name"),
+    )
+
+
+def _diff_assembly_oracle() -> str:
+    """Full post-diff recompute: the same per-vertex move formula stated
+    over the literal polygons (node_id = way_id·1000 + pos)."""
+    from osm_spark.pipeline.geometry import synth_polygons_pdf
+
+    rows = []
+    for r in synth_polygons_pdf().itertuples():
+        vlat = ", ".join(repr(float(v)) for v in r.vlat)
+        vlon = ", ".join(repr(float(v)) for v in r.vlon)
+        rows.append(f"({r.way_id}, '{r.tags['name']}', [{vlat}], [{vlon}])")
+    values = ",\n                ".join(rows)
+    nid = "(way_id * 1000 + i)"
+    return f"""
+        WITH poly0(way_id, name, vlat, vlon) AS (VALUES
+                {values}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id, name,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        mv AS (
+            SELECT way_id, name,
+                   list_transform(range(len(vlat)), i ->
+                       CASE WHEN {nid} % 11 = 0
+                            THEN vlat[i+1] + (({nid} % 7) - 3) / 1000.0
+                            ELSE vlat[i+1] END) AS vlat,
+                   list_transform(range(len(vlon)), i ->
+                       CASE WHEN {nid} % 11 = 0
+                            THEN vlon[i+1] + (({nid} % 5) - 2) / 1000.0
+                            ELSE vlon[i+1] END) AS vlon
+            FROM poly
+        )
+        SELECT way_id, CAST(len(vlat) AS INT) AS n_vertices,
+               ROUND(vlat[1], 6) AS lat0, ROUND(vlon[1], 6) AS lon0,
+               ROUND(list_sum(vlat) + list_sum(vlon), 6) AS vsum,
+               name
+        FROM mv
+    """
+
+
 # --- driver-gated twins of the flagship spatial operators ---
 #
 # The flagship pip_join/knn_join run over synth_pages, whose coordinates
@@ -2549,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clusters": q_overlay_clusters,
         "span_dedup": q_span_dedup,
         "tile_refresh": q_tile_refresh,
+        "diff_assembly": q_diff_assembly,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2566,6 +2641,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_clusters": _overlay_clusters_oracle(),
         "span_dedup": _span_dedup_oracle(),
         "tile_refresh": _tile_refresh_oracle(),
+        "diff_assembly": _diff_assembly_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
