@@ -147,8 +147,15 @@ def overlay_join(
     if self_join:
         pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
     # Dedup the skinny pair list BEFORE vertex arrays attach — a pair
-    # sharing k covering cells must refine once, not k times.
-    pairs = pairs.distinct()
+    # sharing k covering cells must refine once, not k times. The
+    # explicit fixed-width repartition on the pair key doubles as the
+    # dedup exchange (distinct reuses the partitioning) AND pins the
+    # refine's parallelism: pair rows are ~16 bytes but carry
+    # O(|Va|·|Vb|) refine arithmetic each, so AQE's byte-based
+    # coalescing would otherwise collapse the refine to 1-2 tasks
+    # (BENCH.md finding #3; measured 2× on a 2000×1000-polygon probe).
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(parallelism, "a_id", "b_id").distinct()
 
     va = polys_a.select(
         F.col("way_id").alias("a_id"),
