@@ -1606,8 +1606,10 @@ def _raycast_hits_sql(pts: str, poly: str) -> str:
 def _overlay_pairs_oracle(self_join: bool = False) -> str:
     """Brute-force polygon-intersects over every (A, B) pair — same
     predicate arithmetic as ``polygons_intersect_expr`` (geo/overlay.py):
-    strict proper edge crossing (orientation products < 0) OR either
-    first vertex ray-cast-covered by the other ring. ``self_join``
+    strict proper edge crossing (orientation products < 0) OR ANY vertex
+    of either ring ray-cast-covered by the other ring (each vertex gets
+    a unique synthetic point_id so the even-odd crossing parity is
+    counted per vertex, then maps back to its ring id). ``self_join``
     replays the one-layer form (B = A, unordered pairs a_id < b_id)."""
     if self_join:
         b_values = "SELECT * FROM pa"
@@ -1654,15 +1656,27 @@ def _overlay_pairs_oracle(self_join: bool = False) -> str:
                 * ((q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)) < 0
             GROUP BY a_id, b_id
         ),
-        a0 AS (SELECT way_id AS point_id, vlat[1] AS lat, vlon[1] AS lon FROM pa),
-        b0 AS (SELECT way_id AS point_id, vlat[1] AS lat, vlon[1] AS lon FROM pb),
+        a0 AS (
+            SELECT way_id AS poly_id, way_id * 100000 + i AS point_id,
+                   vlat[CAST(i AS INT) + 1] AS lat,
+                   vlon[CAST(i AS INT) + 1] AS lon
+            FROM (SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM pa)
+        ),
+        b0 AS (
+            SELECT way_id AS poly_id, way_id * 100000 + i AS point_id,
+                   vlat[CAST(i AS INT) + 1] AS lat,
+                   vlon[CAST(i AS INT) + 1] AS lon
+            FROM (SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM pb)
+        ),
         a_in_b AS (
-            SELECT point_id AS a_id, way_id AS b_id
+            SELECT DISTINCT a0.poly_id AS a_id, h.way_id AS b_id
             FROM {_raycast_hits_sql("a0", "pb")} h
+            JOIN a0 ON a0.point_id = h.point_id
         ),
         b_in_a AS (
-            SELECT way_id AS a_id, point_id AS b_id
+            SELECT DISTINCT h.way_id AS a_id, b0.poly_id AS b_id
             FROM {_raycast_hits_sql("b0", "pa")} h
+            JOIN b0 ON b0.point_id = h.point_id
         )
         SELECT DISTINCT a_id, b_id FROM (
             SELECT * FROM crossed

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_spark.geo.measure import way_geometry_stats
-from osm_spark.pipeline.spatial_join import pip_join
+from osm_spark.pipeline.spatial_join import (
+    BROADCAST_MAX_CELLS,
+    attach_polygon_dim,
+    estimate_covering_cells,
+    pip_join,
+)
 
 
 def reverse_geocode(
@@ -38,10 +43,23 @@ def reverse_geocode(
 ) -> DataFrame:
     """(url, way_id) — the smallest-area polygon covering each point;
     points covered by no polygon are absent (semantics of a geocoder
-    miss). ``strategy`` is passed through to ``pip_join``."""
+    miss). ``strategy`` is resolved ONCE here (same estimate as
+    ``pip_join``'s auto) and governs both the PIP prejoin and the area
+    attach: the area dim is one row per polygon, so when the polygon
+    side outgrew the broadcast ceiling the areas hash-join on way_id
+    instead of broadcasting (10^8 ways × 16 B is past any sane
+    broadcast — the same reasoning as the vertex dim)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if estimate_covering_cells(polygons) <= BROADCAST_MAX_CELLS
+            else "salted"
+        )
     pairs = pip_join(points, polygons, way_cells, strategy=strategy)
     areas = way_geometry_stats(polygons).select("way_id", "area_m2")
-    scored = pairs.join(F.broadcast(areas), "way_id")
+    scored = attach_polygon_dim(
+        pairs, areas, "way_id", "broadcast" if strategy == "broadcast" else "shuffle"
+    )
     best = scored.groupBy("url").agg(
         F.min(F.struct("area_m2", "way_id")).alias("best")
     )

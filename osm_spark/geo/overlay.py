@@ -19,15 +19,17 @@ Plan shape (filter-and-refine, same family as ``pip_join``):
    (the skinny (a_id, b_id) list is the only wide exchange).
 2. **Refine** — exact pure-Column predicate, zero Python:
    polygons A, B intersect  iff  (some edge of A properly crosses some
-   edge of B)  OR  (A's first vertex is covered by B)  OR  (B's first
-   vertex is covered by A).  For simple polygons the three arms cover
-   proper boundary crossing, A ⊆ B and B ⊆ A; the containment arms
-   reuse ``pip_cover_expr`` (even-odd ray cast + boundary-eps), so a
-   vertex lying ON the other boundary also counts as touching.
+   edge of B)  OR  (any vertex of A is covered by B)  OR  (any vertex
+   of B is covered by A).  For simple polygons the three arms cover
+   proper boundary crossing, A ⊆ B, B ⊆ A, and vertex-on-boundary
+   adjacency (shared OSM borders reuse exactly-equal node coordinates,
+   so touch-at-a-vertex is common, not measure-zero); the containment
+   arms reuse ``pip_cover_expr`` (even-odd ray cast + boundary-eps),
+   so a vertex lying ON the other boundary counts as touching.
    *Not* detected: configurations whose only contact is an exact
-   boundary touch with no vertex involved (edge-through-edge tangency)
-   — measure-zero on float data and explicitly out of semantics
-   (DE-9IM "interiors intersect or a vertex touches").
+   boundary touch with no vertex involved (edge-through-edge tangency
+   interior to both edges) — measure-zero on float data and explicitly
+   out of semantics (DE-9IM "interiors intersect or a vertex touches").
 
 Exactness: every float op in the refine has an identical-IEEE-order
 DuckDB replay (the gated ``overlay_pairs`` oracle brute-forces all
@@ -88,20 +90,37 @@ def edges_cross_expr(
     return F.exists(ia, lambda i: F.exists(ib, lambda j: cross(i, j)))
 
 
+def _any_vertex_in_expr(
+    pvlat: Column, pvlon: Column, rvlat: Column, rvlon: Column
+) -> Column:
+    """True iff ANY vertex of ring P is covered by ring R (ray cast +
+    boundary eps, via ``pip_cover_expr``). Nested higher-order
+    ``exists`` — codegen emits loops, so generated-code size stays
+    independent of vertex count; per-pair cost is O(|Vp|·|Vr|), the same
+    order as the edge-cross arm it complements."""
+    idx = F.sequence(F.lit(0), F.size(pvlat) - 1)
+    return F.exists(
+        idx,
+        lambda i: pip_cover_expr(
+            F.element_at(pvlat, i + 1), F.element_at(pvlon, i + 1), rvlat, rvlon
+        ),
+    )
+
+
 def polygons_intersect_expr(
     avlat: Column, avlon: Column, bvlat: Column, bvlon: Column
 ) -> Column:
     """Exact intersects test for two simple rings (module docstring
-    semantics): proper edge crossing OR either first vertex covered by
-    the other ring (covers containment both ways; ``pip_cover_expr``
-    includes the boundary via its eps arm)."""
-    a0_in_b = pip_cover_expr(
-        F.element_at(avlat, 1), F.element_at(avlon, 1), bvlat, bvlon
-    )
-    b0_in_a = pip_cover_expr(
-        F.element_at(bvlat, 1), F.element_at(bvlon, 1), avlat, avlon
-    )
-    return edges_cross_expr(avlat, avlon, bvlat, bvlon) | a0_in_b | b0_in_a
+    semantics): proper edge crossing OR any vertex of either ring
+    covered by the other (covers containment both ways; the all-vertex
+    form also catches shared-border adjacency where a NON-first vertex
+    of A lies exactly on B's boundary with no proper edge crossing —
+    exactly-equal node coordinates on shared OSM borders are common,
+    not measure-zero; ``pip_cover_expr`` includes the boundary via its
+    eps arm)."""
+    a_in_b = _any_vertex_in_expr(avlat, avlon, bvlat, bvlon)
+    b_in_a = _any_vertex_in_expr(bvlat, bvlon, avlat, avlon)
+    return edges_cross_expr(avlat, avlon, bvlat, bvlon) | a_in_b | b_in_a
 
 
 def overlay_strategy(n_cells_smaller: int) -> str:
@@ -123,9 +142,12 @@ def overlay_join(
     ``polys_a/b``: (way_id, vlat, vlon); ``cells_a/b``: (way_id, cell)
     superset coverings (``build_way_cells``). ``strategy``:
 
-    - ``broadcast``: B's covering and vertex dims broadcast — A-side
-      rows never shuffle (the path when one side is small, e.g. admin
-      zones against all landuse ways);
+    - ``broadcast``: B's covering and vertex dims broadcast — the
+      candidate join never shuffles A's covering (the path when one
+      side is small, e.g. admin zones against all landuse ways). A's
+      OWN vertex dim still hash-joins onto the deduped pair list (A may
+      be the 10^8-way side; broadcasting its vertex arrays would blow
+      the broadcast ceiling — only B is asserted small here);
     - ``shuffle``: both coverings shuffle-hash on the cell id and the
       vertex dims hash-join on the polygon ids — the big × big path;
       the only exchanges are on cell and on the two polygon ids, with
@@ -168,7 +190,13 @@ def overlay_join(
         F.col("vlon").alias("bvlon"),
     )
     if strategy == "broadcast":
-        va, vb = F.broadcast(va), F.broadcast(vb)
+        # Only the B-side dims broadcast on this path ("B is the small
+        # layer"); A is the potentially-huge side (10^8 landuse ways
+        # with vertex arrays), so its vertex dim hash-joins on a_id —
+        # the pair list is skinny and already repartitioned on the pair
+        # key, so this is one bounded exchange of the A vertex dim, not
+        # a driver-memory-blowing broadcast of it.
+        va, vb = va.hint("shuffle_hash"), F.broadcast(vb)
     else:
         va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
     cand = pairs.join(va, "a_id").join(vb, "b_id")

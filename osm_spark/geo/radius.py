@@ -56,8 +56,16 @@ _CAND_ROW_BYTES = 32  # cell id + node id + 2 doubles
 
 def plan_ring(radius_m: float, res: int, max_abs_lat_deg: float) -> int:
     """Smallest hex ring K whose node-centered K-disk covers every point
-    within ``radius_m`` (derivation in the module docstring)."""
-    lat_bound = min(abs(max_abs_lat_deg) + 1.0, 89.0)
+    within ``radius_m`` (derivation in the module docstring).
+
+    The latitude margin scales with the radius: a matching point can sit
+    up to ``radius_m`` poleward of the northernmost node, where
+    meters-per-degree-longitude is smaller than at the node itself — a
+    fixed +1° margin only covers ~111 km, so beyond that the K-disk
+    coverage guarantee (recall) would silently break at high latitude.
+    110574 m/° is the MINIMUM meridian degree length, so dividing by it
+    over-estimates the poleward degree displacement — the safe side."""
+    lat_bound = min(abs(max_abs_lat_deg) + radius_m / 110574.0 + 1.0, 89.0)
     min_m_per_deg = DEG_M * math.cos(math.radians(lat_bound))
     deg_needed = radius_m / min_m_per_deg * 1.05
     e = edge_deg(res)
@@ -114,7 +122,13 @@ def radius_join(
         F.col("lon").alias("nlon"),
     )
     if max_abs_lat is None:
-        max_abs_lat = float(n.agg(F.max(F.abs(F.col("nlat")))).first()[0])
+        bound = n.agg(F.max(F.abs(F.col("nlat")))).first()[0]
+        if bound is None:
+            raise ValueError(
+                "radius_join: nodes is empty — no pairs can exist; pass "
+                "max_abs_lat explicitly to skip this check"
+            )
+        max_abs_lat = float(bound)
     if res is None:
         res = plan_res(radius_m, max_abs_lat)
     ring = plan_ring(radius_m, res, max_abs_lat)

@@ -332,16 +332,50 @@ def _prejoin_salted(
     ).select("url", "lat", "lon", "way_id")
 
 
+def attach_polygon_dim(
+    cand: DataFrame, dim: DataFrame, key: str, strategy: str
+) -> DataFrame:
+    """Attach a polygon-keyed dim table (vertex arrays, areas, ring
+    metadata) to a candidate pair list, following the join strategy the
+    prejoin already chose.
+
+    The salted shuffle path exists because the polygon side outgrew a
+    broadcast — and covering-cell count correlates with vertex-dim bytes
+    (continent rings have both the largest coverings and the longest
+    vertex arrays), so that same path must NOT turn around and broadcast
+    the vertex dim (round-3 verdict's named scale-killer). ``broadcast``
+    keeps the small-dim plan; anything else hash-joins on the polygon id
+    with an explicit shuffle_hash hint — the candidate list is skinny
+    (ids + one point) and the hint prevents the statless-aggregate →
+    SortMergeJoin fallback that would sort it (same trade-off as
+    ``knn_join(phase2='aqe')``). Same pattern as ``overlay_join``'s
+    vertex attach (geo/overlay.py)."""
+    if strategy == "broadcast":
+        return cand.join(F.broadcast(dim), key)
+    return cand.join(dim.hint("shuffle_hash"), key)
+
+
 def pip_join_salted(
     points: DataFrame,
     polygons: DataFrame,
     way_cells: DataFrame,
     salts: DataFrame,
+    vertex_strategy: str = "shuffle",
 ) -> DataFrame:
     """Shuffle prejoin path with explicit hot-cell salting (see
-    ``_prejoin_salted``), then the codegen refine."""
+    ``_prejoin_salted``), then the codegen refine.
+
+    ``vertex_strategy`` controls how the polygon vertex dim attaches to
+    the candidate list: default ``'shuffle'`` (hash join on way_id) —
+    this path is chosen precisely because the polygon side outgrew the
+    broadcast ceiling, and vertex bytes grow with covering size, so
+    broadcasting the vertex dim here is the next thing to break at
+    planet scale. Pass ``'broadcast'`` only when the caller knows the
+    vertex dim is small despite a huge covering (many tiny polygons)."""
     cand = _prejoin_salted(points, way_cells, salts)
-    cand = cand.join(F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id")
+    cand = attach_polygon_dim(
+        cand, polygons.select("way_id", "vlat", "vlon"), "way_id", vertex_strategy
+    )
     return _refine_pip_expr(cand)
 
 
@@ -390,9 +424,15 @@ def pip_join_multipolygon(
         cand = _prejoin_salted(points, ring_cells, salt_plan(points))
     else:
         raise ValueError(f"unknown pip_join_multipolygon strategy: {strategy!r}")
-    cand = cand.join(
-        F.broadcast(rings.select("relation_id", "role", "way_id", "vlat", "vlon")),
+    # The ring vertex dim follows the SAME strategy the prejoin chose:
+    # on the salted path (chosen because the ring covering outgrew the
+    # broadcast ceiling) it hash-joins on way_id instead of broadcasting
+    # — ring vertex bytes grow with the covering (see attach_polygon_dim).
+    cand = attach_polygon_dim(
+        cand,
+        rings.select("relation_id", "role", "way_id", "vlat", "vlon"),
         "way_id",
+        "broadcast" if strategy == "broadcast" else "shuffle",
     )
     hit = cand.withColumn(
         "inside", pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))

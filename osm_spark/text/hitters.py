@@ -40,15 +40,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Value types the two-pass scheme supports: both the pandas candidate
+# pass and the Spark recount must agree on NULL handling and round-trip
+# the value losslessly through Arrow. NULLs are filtered up front (both
+# paths — value_counts drops them silently, the groupBy would not).
+_SUPPORTED_TYPES = ("string", "bigint", "int", "smallint", "tinyint")
+
+
+def _value_type(df: DataFrame, col: str) -> str:
+    vtype = df.schema[col].dataType.simpleString()
+    if vtype not in _SUPPORTED_TYPES:
+        raise ValueError(
+            f"exact_topk supports {_SUPPORTED_TYPES} value columns, "
+            f"got {col!r}: {vtype}"
+        )
+    return vtype
+
+
 def partition_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
     """Per-partition local top-m summary: top rows (value, local_cnt,
     bound=NULL) plus ONE marker row (value=NULL, local_cnt=NULL,
-    bound=t_p) per non-empty partition."""
+    bound=t_p) per non-empty partition. NULL values are excluded (the
+    marker row reuses NULL as its tag, and ``exact_topk`` counts
+    non-null values only — enforced by the up-front filter there)."""
+    vtype = _value_type(df, col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}
         for pdf in batches:
-            for v, c in pdf[col].value_counts().items():
+            for v, c in pdf[col].dropna().value_counts().items():
                 acc[v] = acc.get(v, 0) + int(c)
         if not acc:
             return
@@ -66,8 +86,8 @@ def partition_candidates(df: DataFrame, col: str, m: int) -> DataFrame:
         )
         yield pd.concat([out, marker], ignore_index=True)
 
-    return df.select(F.col(col).alias(col)).mapInPandas(
-        gen, "value string, local_cnt long, bound long"
+    return df.select(F.col(col).alias(col)).filter(F.col(col).isNotNull()).mapInPandas(
+        gen, f"value {vtype}, local_cnt long, bound long"
     )
 
 
@@ -86,6 +106,10 @@ def exact_topk(
         raise ValueError(
             f"on_uncertain must be 'fallback' or 'raise', got {on_uncertain!r}"
         )
+    vtype = _value_type(df, col)
+    # NULLs out up front so BOTH paths agree: value_counts drops them
+    # silently while the fallback groupBy would count a NULL group.
+    df = df.filter(F.col(col).isNotNull())
     summary = partition_candidates(df, col, m).persist()
     B = (
         summary.agg(F.sum("bound").alias("b")).collect()[0].b or 0
@@ -105,7 +129,7 @@ def exact_topk(
     spark = df.sparkSession
     kth = rows[-1].cnt if len(rows) >= k else 0
     if len(rows) >= k and kth > B:
-        return spark.createDataFrame(rows, "value string, cnt long")
+        return spark.createDataFrame(rows, f"value {vtype}, cnt long")
     if on_uncertain == "raise":
         raise ValueError(
             f"top-{k} certificate failed (kth count {kth} <= bound {B}); "
@@ -118,4 +142,4 @@ def exact_topk(
         .limit(k)
         .collect()
     )
-    return spark.createDataFrame(full, "value string, cnt long")
+    return spark.createDataFrame(full, f"value {vtype}, cnt long")

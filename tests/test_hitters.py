@@ -57,3 +57,32 @@ def test_partition_candidates_markers(spark):
     assert 1 <= len(markers) <= 4  # one per non-empty partition
     assert all(r.bound is not None and r.bound >= 0 for r in markers)
     assert all(r.local_cnt >= 1 and r.bound is None for r in tops)
+
+
+def test_exact_topk_ignores_nulls_on_both_paths(spark):
+    """NULL handling must agree between the certificate path (pandas
+    value_counts drops NULLs) and the fallback groupBy (which would
+    count a NULL group): both now exclude NULLs up front."""
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(None,)] * 100 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "v string")
+    cert = {(r.value, r.cnt) for r in exact_topk(df, "v", 2, m=8, on_uncertain="raise").collect()}
+    assert cert == {("a", 50), ("b", 30)}
+    # force the fallback with an impossible certificate (k > distinct)
+    fb = {(r.value, r.cnt) for r in exact_topk(df, "v", 3, m=1, on_uncertain="fallback").collect()}
+    assert fb == {("a", 50), ("b", 30), ("c", 10)}
+
+
+def test_exact_topk_long_column(spark):
+    """The output schema derives from the input column type — long
+    values survive the round trip (previously hardcoded string-only)."""
+    rows = [(7,)] * 40 + [(13,)] * 25 + [(99,)] * 5
+    df = spark.createDataFrame(rows, "v bigint")
+    out = exact_topk(df, "v", 2, m=8)
+    assert out.schema["value"].dataType.simpleString() == "bigint"
+    assert {(r.value, r.cnt) for r in out.collect()} == {(7, 40), (13, 25)}
+
+
+def test_exact_topk_rejects_unsupported_type(spark):
+    df = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="supports"):
+        exact_topk(df, "v", 1)

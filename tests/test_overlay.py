@@ -29,15 +29,15 @@ def _np_intersects(avlat, avlon, bvlat, bvlon) -> bool:
             d4 = (q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)
             if d1 * d2 < 0 and d3 * d4 < 0:
                 return True
-    a0 = points_in_polygon_np(
-        np.array([avlon[0]]), np.array([avlat[0]]),
-        np.asarray(bvlon), np.asarray(bvlat),
-    )[0]
-    b0 = points_in_polygon_np(
-        np.array([bvlon[0]]), np.array([bvlat[0]]),
+    a_in_b = points_in_polygon_np(
         np.asarray(avlon), np.asarray(avlat),
-    )[0]
-    return bool(a0 or b0)
+        np.asarray(bvlon), np.asarray(bvlat),
+    ).any()
+    b_in_a = points_in_polygon_np(
+        np.asarray(bvlon), np.asarray(bvlat),
+        np.asarray(avlon), np.asarray(avlat),
+    ).any()
+    return bool(a_in_b or b_in_a)
 
 
 @pytest.fixture(scope="module")
@@ -138,3 +138,46 @@ def test_dissolve_transitive_clusters(spark):
     assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
     assert out[4].cluster_id == 4 and out[4].is_keeper and out[4].cluster_size == 1
     assert out[1].is_keeper and not out[2].is_keeper and out[1].cluster_size == 3
+
+
+def test_overlay_detects_nonfirst_vertex_touch(spark):
+    """Shared-border adjacency where only a NON-first vertex of A lies on
+    B's boundary (no proper edge crossing, neither first vertex inside
+    the other) — the case the first-vertex-only containment arm missed.
+    Exactly-equal node coordinates on shared OSM borders make this
+    common, not measure-zero."""
+    # B: unit square [0,1]x[0,1]. A: triangle far right of B except its
+    # SECOND vertex, which touches B's right edge at (0.5, 1.0).
+    a = (3001, [2.0, 0.5, 2.0], [3.0, 1.0, 5.0])     # (lat, lon) vertices
+    b = (3002, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0])
+    polys = spark.createDataFrame(
+        [a, b], "way_id long, vlat array<double>, vlon array<double>"
+    )
+    cells = build_way_cells(polys, res=3)
+    pa = polys.filter(F.col("way_id") == 3001)
+    pb = polys.filter(F.col("way_id") == 3002)
+    ca = cells.filter(F.col("way_id") == 3001)
+    cb = cells.filter(F.col("way_id") == 3002)
+    got = {
+        (r.a_id, r.b_id)
+        for r in overlay_join(pa, pb, ca, cb, strategy="broadcast").collect()
+    }
+    assert got == {(3001, 3002)}
+    # sanity: the numpy oracle agrees under the all-vertex arms
+    assert _np_intersects(a[1], a[2], b[1], b[2])
+
+
+def test_overlay_broadcast_path_broadcasts_only_b_vertex_dim(fixtures):
+    """'broadcast' asserts only B is small: B's covering and vertex dims
+    broadcast, but A's vertex dim (the potentially-10^8-way side) must
+    hash-join onto the pair list, never broadcast."""
+    pa, pb, ca, cb, *_ = fixtures
+    plan = (
+        overlay_join(pa, pb, ca, cb, strategy="broadcast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin [a_id" in plan
+    for sub in plan.split("BroadcastExchange")[1:]:
+        assert "avlat" not in sub[:600], plan

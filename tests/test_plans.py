@@ -83,6 +83,62 @@ def test_jvm_extract_is_zero_python_and_barriers_hold(spark, sf_small_dir):
     assert jplan.count("MapInPandas") == 1
 
 
+def test_pip_salted_path_never_broadcasts_vertex_dim(spark, sf_small_dir):
+    """The salted path is chosen because the polygon side outgrew the
+    broadcast ceiling — so the polygon VERTEX dim (which grows with the
+    same data: continent rings have the largest coverings AND the
+    longest vertex arrays) must hash-join onto the candidate list, not
+    broadcast. Only the salt plan (hot-cell histogram, bounded rows) may
+    broadcast here. Round-3 verdict's named scale-killer, pinned."""
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import (
+        extract_points,
+        pip_join_salted,
+        salt_plan,
+    )
+
+    pages = synth_pages(spark, sf_small_dir)
+    polygons = synth_polygons(spark)
+    pts = extract_points(pages)
+    out = pip_join_salted(
+        pts, polygons, build_way_cells(polygons), salt_plan(pts, target=20)
+    )
+    plan = _plan(out)
+    # the vertex attach is a shuffle hash join on way_id
+    assert "ShuffledHashJoin [way_id" in plan
+    # every BroadcastExchange in the plan is the salt plan (k column),
+    # never the vertex arrays
+    for sub in plan.split("BroadcastExchange")[1:]:
+        head = sub[:600]
+        assert "vlat" not in head, plan
+
+
+def test_multipolygon_salted_path_never_broadcasts_ring_dim(spark, sf_small_dir):
+    """Same pin for the multipolygon form: on strategy='salted' the ring
+    vertex dim must not broadcast (relation multipolygons are exactly
+    where broadcast breaks first)."""
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import extract_points, pip_join_multipolygon
+
+    outer = ([10.0, 10.0, 10.2, 10.2], [20.0, 20.2, 20.2, 20.0])
+    hole = ([10.08, 10.08, 10.12, 10.12], [20.08, 20.12, 20.12, 20.08])
+    rings = spark.createDataFrame(
+        [(500, "outer", 9001, outer[0], outer[1]),
+         (500, "inner", 9002, hole[0], hole[1])],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    pages = synth_pages(spark, sf_small_dir)
+    pts = extract_points(pages)
+    out = pip_join_multipolygon(pts, rings, strategy="salted")
+    plan = _plan(out)
+    assert "ShuffledHashJoin [way_id" in plan
+    for sub in plan.split("BroadcastExchange")[1:]:
+        head = sub[:600]
+        assert "vlat" not in head, plan
+
+
 def test_exact_dedup_shuffles_hash_not_text(spark, sf_small_dir):
     """The dedup shuffle key is the 16-byte md5, never the document text:
     the partial aggregate below the exchange already projects the hash."""

@@ -119,3 +119,37 @@ def test_hex_disk_expr_matches_decode_reference(spark):
             for dr in range(max(-3, -dq - 3), min(3, -dq + 3) + 1)
         }
         assert set(r.disk) == expected and len(r.disk) == 37
+
+
+def test_radius_large_radius_high_latitude_recall(spark):
+    """For radii beyond ~111 km the old fixed +1° latitude margin broke
+    the K-disk coverage guarantee at high latitude (a matching point
+    sits poleward of the northernmost node where meters-per-degree-
+    longitude is smaller than the bound used). The margin now scales
+    with the radius; recall must be exact for a 250 km radius at 64°N."""
+    pts, nodes, pdf, ndf = _fixture(
+        spark, n_pts=120, n_nodes=20, centers=((64.15, -21.94),)
+    )
+    # stretch the point cloud 3° poleward so points genuinely sit beyond
+    # the old +1° margin from the northernmost node
+    import numpy as np
+    rng = np.random.RandomState(11)
+    far = [(f"far{i}", float(66.0 + rng.uniform(0, 1.0)),
+            float(-21.94 + rng.uniform(-1.0, 1.0))) for i in range(60)]
+    pts = pts + far
+    pdf = spark.createDataFrame(pts, "url string, lat double, lon double")
+    radius_m = 250_000.0
+    got = {
+        (r.url, r.node_id)
+        for r in radius_join(pdf, ndf, radius_m, strategy="broadcast").collect()
+    }
+    assert got == _brute(pts, nodes, radius_m)
+    # the far points must actually match (they are within 250 km)
+    assert any(u.startswith("far") for u, _ in got)
+
+
+def test_radius_empty_nodes_raises_clearly(spark):
+    pdf = spark.createDataFrame([("p", 1.0, 2.0)], "url string, lat double, lon double")
+    ndf = spark.createDataFrame([], "id long, lat double, lon double")
+    with pytest.raises(ValueError, match="nodes is empty"):
+        radius_join(pdf, ndf, 100.0)
