@@ -2541,19 +2541,24 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is part of the driver contract: the CORRECTNESS gate
-    evaluates the first 50 entries, so all 50 oracle-gated queries come
-    first and the rows-only (non-SQL-expressible) operators follow. The
-    flagship spatial operators are driver-verified through their gated
-    twins pip_pairs/knn_pairs (same code paths, brute-force oracles)."""
+    evaluates the first 50 entries, so the 50 most load-bearing
+    oracle-gated queries come first and the rest (still oracle-backed —
+    verified by tools/check_oracle.py) plus the rows-only operators
+    follow. Round 4 rotated the round-3 flagship operators (pagerank,
+    connected components, line/span dedup, radius/overlay joins, heavy
+    hitters, LM scoring, BM25, tile refresh) INTO the window, displacing
+    ten near-duplicate parsing/join-shape slots to the tail — every
+    displaced query keeps its oracle twin, so nothing loses coverage,
+    only external attestation priority."""
     return {
-        # --- oracle-gated (50) ---
+        # --- driver gate window (first 50, all oracle-gated) ---
         "pricing_summary": q_pricing_summary,
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
         "grouped_count_having": q_grouped_count_having,
         "broadcast_lookup_join": q_broadcast_lookup_join,
-        "anti_join": q_anti_join,
-        "signed_sum": q_signed_sum,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
         "multi_key_ordering": q_multi_key_ordering,
         "tag_requirement_met": q_tag_requirement_met,
         "exact_dedup": q_exact_dedup,
@@ -2575,8 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "sessionize": q_sessionize,
         "grouping_rollup": q_grouping_rollup,
-        "union_lookup_join": q_union_lookup_join,
-        "composite_key_join": q_composite_key_join,
+        "radius_pairs": q_radius_pairs,
+        "overlay_pairs": q_overlay_pairs,
         "dual_format_dates": q_dual_format_dates,
         "money_tbc": q_money_tbc,
         "level_fold": q_level_fold,
@@ -2585,23 +2590,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modules_gained": q_modules_gained,
         "cdc_diff": q_cdc_diff,
         "merge_upsert": q_merge_upsert,
-        "visibility_semi_join": q_visibility_semi_join,
-        "name_formatting": q_name_formatting,
-        "phone_age_decode": q_phone_age_decode,
-        "badge_status_decode": q_badge_status_decode,
-        "sent_at_subject": q_sent_at_subject,
+        "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
+        "top_tokens": q_top_tokens,
+        "lm_score": q_lm_score,
+        "bm25_search": q_bm25_search,
+        "tile_refresh": q_tile_refresh,
         "earnt_cnf": q_earnt_cnf,
         "quarantine": q_quarantine,
         "tile_pyramid": q_tile_pyramid,
         "asof_join": q_asof_join,
         "audit_trail": q_audit_trail,
         "sms_credits": q_sms_credits,
-        "flexi_collation": q_flexi_collation,
         # --- tail: outside the driver's 50-entry gate window. All but
         # the last three DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
         # rows-only operators whose driver-gated twins run the same
         # engine code above (simhash, pip_pairs, knn_pairs) ---
+        "anti_join": q_anti_join,
+        "signed_sum": q_signed_sum,
+        "union_lookup_join": q_union_lookup_join,
+        "composite_key_join": q_composite_key_join,
+        "visibility_semi_join": q_visibility_semi_join,
+        "name_formatting": q_name_formatting,
+        "phone_age_decode": q_phone_age_decode,
+        "badge_status_decode": q_badge_status_decode,
+        "sent_at_subject": q_sent_at_subject,
+        "flexi_collation": q_flexi_collation,
         "pack_sequences": q_pack_sequences,
         "quota_sample": q_quota_sample,
         "hash_sample": q_hash_sample,
@@ -2610,33 +2625,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "decontaminate": q_decontaminate,
         "canonical_url": q_canonical_url,
-        "pagerank": q_pagerank,
-        "connected_components": q_connected_components,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
-        "line_dedup": q_line_dedup,
-        "lm_score": q_lm_score,
         "simplify_lines": q_simplify_lines,
         "geohash_cells": q_geohash_cells,
         "way_geometry": q_way_geometry,
         "ngram_stats": q_ngram_stats,
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
-        "bm25_search": q_bm25_search,
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
         "host_graph": q_host_graph,
-        "radius_pairs": q_radius_pairs,
         "tile_clip": q_tile_clip,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
-        "overlay_pairs": q_overlay_pairs,
         "reverse_geocode": q_reverse_geocode,
-        "top_tokens": q_top_tokens,
         "overlay_clusters": q_overlay_clusters,
-        "span_dedup": q_span_dedup,
-        "tile_refresh": q_tile_refresh,
         "diff_assembly": q_diff_assembly,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
