@@ -253,6 +253,24 @@ def cell_candidates_ring(
     return out
 
 
+_NODE_ROW_BYTES = 24  # node id + 2 doubles
+
+
+def phase1_strategy(n_nodes: int) -> str:
+    """Pick the phase-1 candidate builder from a node-count estimate —
+    the same estimate-driven pattern as ``phase2_strategy`` /
+    ``radius_strategy``. ``cell_candidates`` broadcasts the whole node
+    dim into a per-cell cross (right while it fits an executor);
+    ``cell_candidates_ring`` is the planet-scale cell-disk equi-join
+    escalation for node dims past the ceiling (10^8 OSM amenity nodes
+    ≈ 2.4 GB — far past any sane broadcast)."""
+    return (
+        "broadcast"
+        if n_nodes * _NODE_ROW_BYTES <= PHASE2_BROADCAST_MAX_BYTES
+        else "ring"
+    )
+
+
 def phase2_strategy(n_cells: int, k: int) -> str:
     """Pick the phase-2 join strategy from an occupied-cell estimate —
     the same estimate-driven auto-choice as ``pip_join``'s
@@ -268,9 +286,10 @@ def knn_join(
     nodes: DataFrame,
     k: int = 3,
     res: int = 8,
-    phase1: str = "broadcast",
+    phase1: str = "auto",
     phase2: str = "auto",
     n_cells: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """(url, node_id, dist_m, rank) — k nearest nodes per page point.
 
@@ -280,10 +299,16 @@ def knn_join(
     radius → fewer candidates, more cells in phase 1).
 
     ``phase1``: 'broadcast' (cells × broadcast nodes — right while the
-    node table broadcasts) or 'ring' (cell-disk equi-join escalation,
+    node table broadcasts), 'ring' (cell-disk equi-join escalation,
     ``cell_candidates_ring`` — the planet-scale form where the node side
-    no longer fits a broadcast). Both produce identical candidate sets
-    (tested), so phase 2 and results are unchanged.
+    no longer fits a broadcast), or 'auto' (default): decide by
+    ``phase1_strategy`` from ``n_nodes`` (a catalog stat) when supplied,
+    else from ONE count over the node dim — the same single-scalar-
+    over-the-small-dim precedent as ``radius_join``'s ``max_abs_lat``
+    (the node dim is exactly the input a caller is least likely to know
+    the size of, so the planet path must not require being asked for by
+    name). Both builders produce identical candidate sets (tested), so
+    phase 2 and results are unchanged.
 
     ``phase2`` picks the physical join of points × candidate sets —
     results are identical on every path (tested); only the plan differs:
@@ -327,6 +352,10 @@ def knn_join(
         "pcell", hex_cell_expr("lat", "lon", res)
     )
 
+    if phase1 == "auto":
+        phase1 = phase1_strategy(n_nodes if n_nodes is not None else n.count())
+    if phase1 not in ("broadcast", "ring"):
+        raise ValueError(f"unknown knn_join phase1 strategy: {phase1!r}")
     phase1_fn = cell_candidates_ring if phase1 == "ring" else cell_candidates
     # No persist: cand_sets feeds straight into one exchange (broadcast or
     # shuffle), which materializes it exactly once anyway — a persist in

@@ -42,18 +42,36 @@ BROADCAST_MAX_CELLS = 2_000_000
 # split into ceil(n/target) salt buckets.
 HOT_CELL_TARGET = 50_000
 
+# engine="auto" switches extraction to the zero-Python JVM form at or
+# above this defaultParallelism. Measured (BENCH.md finding #10): the
+# Arrow pipe saturates a single VM's serialization bandwidth well below
+# 16 concurrent workers (extract-stage scaling 0.33 vs the JVM form's
+# 0.76 at 10 M rows, jvm extract-only ~2× faster at local[32]); below
+# that the two engines are within host noise, so the oracle-gated Arrow
+# form stays the default. On a real cluster each executor has its own
+# worker pipes, so the threshold keys off defaultParallelism — the
+# per-JVM task-slot count in local mode, total cores on a cluster —
+# which is conservative there (per-executor parallelism is what
+# saturates; a cluster past 16 total cores still benefits from jvm's
+# zero serialization cost).
+JVM_ENGINE_MIN_PARALLELISM = 16
+
 
 def extract_points(
     pages: DataFrame,
     res: int = DEFAULT_RES,
     s2_level: int = 13,
     with_s2: bool = False,
-    engine: str = "arrow",
+    engine: str = "auto",
 ) -> DataFrame:
     """pages → page_points(url, lat, lon, h3_9[, s2_13]); rows without a
     coordinate are dropped (they can never join).
 
-    Two engines, bit-identical output (parity-tested):
+    Two engines, bit-identical output (parity-tested); the default
+    ``"auto"`` picks by ``defaultParallelism`` (>= ``JVM_ENGINE_MIN_
+    PARALLELISM`` → jvm): at high parallelism every Arrow worker shares
+    one VM's serialization bandwidth and the pipe saturates (BENCH.md
+    finding #10), while the JVM form costs nothing to scale.
 
     - ``engine="arrow"`` (default): ONE vectorized Arrow UDF pass (pandas
       str.extract, C regex). Besides being fast, the Python eval node is
@@ -78,10 +96,13 @@ def extract_points(
     ``with_s2`` adds the S2 cell column; off by default so join paths
     that key on h3 alone never pay for it.
     """
+    if engine == "auto":
+        par = pages.sparkSession.sparkContext.defaultParallelism
+        engine = "jvm" if par >= JVM_ENGINE_MIN_PARALLELISM else "arrow"
     if engine == "jvm":
         return _extract_points_jvm(pages, res, s2_level, with_s2)
     if engine != "arrow":
-        raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
+        raise ValueError(f"engine must be 'arrow', 'jvm' or 'auto', got {engine!r}")
     # Extraction + row-drop run as ONE vectorized mapInPandas pass
     # (pandas str.extract, C regex). The single Python node is a hard
     # optimizer barrier in BOTH directions: an all-Column formulation was

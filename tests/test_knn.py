@@ -183,3 +183,35 @@ def test_knn_default_auto_plan_never_sorts_points(spark, points):
 def test_knn_phase2_rejects_unknown(spark, points):
     with pytest.raises(ValueError):
         knn_join(points, synth_nodes(spark), k=3, phase2="nope").collect()
+
+
+def test_phase1_strategy_threshold():
+    from osm_spark.geo.knn import (
+        PHASE2_BROADCAST_MAX_BYTES,
+        _NODE_ROW_BYTES,
+        phase1_strategy,
+    )
+
+    edge = PHASE2_BROADCAST_MAX_BYTES // _NODE_ROW_BYTES
+    assert phase1_strategy(1000) == "broadcast"
+    assert phase1_strategy(edge) == "broadcast"
+    assert phase1_strategy(edge + 1) == "ring"
+    assert phase1_strategy(100_000_000) == "ring"  # planet amenity scale
+
+
+def test_knn_phase1_auto_equal_both_sides_of_threshold(spark, points):
+    """phase1='auto' with an n_nodes stat picks each builder on its side
+    of the ceiling; results are identical either way (the two builders
+    produce the same candidate sets)."""
+    nodes = synth_nodes(spark)
+    # tiny stat -> broadcast builder; huge stat -> ring builder
+    lo = knn_join(points, nodes, k=3, phase1="auto", n_nodes=100)
+    hi = knn_join(points, nodes, k=3, phase1="auto", n_nodes=200_000_000)
+    lo_rows = {(r.url, r.node_id, r.rank) for r in lo.collect()}
+    hi_rows = {(r.url, r.node_id, r.rank) for r in hi.collect()}
+    assert lo_rows == hi_rows and len(lo_rows) > 0
+
+
+def test_knn_phase1_rejects_unknown(spark, points):
+    with pytest.raises(ValueError, match="phase1"):
+        knn_join(points, synth_nodes(spark), k=3, phase1="nope").collect()

@@ -270,3 +270,25 @@ def test_components_round_hash_joins_without_sorting(spark):
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extract_engine_auto_picks_by_parallelism(spark, sf_small_dir):
+    """engine='auto' resolves to the Arrow form below the measured pipe
+    saturation point and the zero-Python JVM form at/above it; both are
+    bit-exact (parity test in test_pipeline), so only the plan differs."""
+    from osm_spark.pipeline.pages import synth_pages
+    from osm_spark.pipeline.spatial_join import (
+        JVM_ENGINE_MIN_PARALLELISM,
+        extract_points,
+    )
+
+    pages = synth_pages(spark, sf_small_dir)
+    par = spark.sparkContext.defaultParallelism
+    plan = _plan(extract_points(pages, engine="auto"))
+    if par >= JVM_ENGINE_MIN_PARALLELISM:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    else:
+        assert "MapInPandas" in plan
+    # explicit engines still obey the request regardless of parallelism
+    assert "MapInPandas" in _plan(extract_points(pages, engine="arrow"))
+    assert "MapInPandas" not in _plan(extract_points(pages, engine="jvm"))
