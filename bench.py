@@ -196,7 +196,25 @@ def warm_python_workers(spark, cpus: int) -> None:
 
 
 def run_flagship_once(cpus: int) -> dict:
-    """Subprocess body for --scaling: flagship pipeline at one parallelism."""
+    """Subprocess body for --scaling: flagship pipeline at one parallelism.
+
+    Two env knobs make the per-executor-resource emulation protocol
+    (--scaling-emulated) possible without a second code path:
+
+    - ``SPARK_GRAFT_TASK_CPUS`` (default 1): sets ``spark.task.cpus``.
+      At 2, each task slot reserves one core for its JVM thread AND one
+      for its paired Python/Arrow worker — the resource model a real
+      cluster's executor sizing uses — so ``local[32]`` runs 16
+      concurrent tasks + 16 workers = 32 processes on 32 vCPUs instead
+      of the 64-on-32 oversubscription that local mode's 1-core tasks
+      produce during Arrow stages (the r3-measured cause of the 8→32
+      efficiency shortfall).
+    - ``SPARK_GRAFT_SCALE_ENGINE`` (default arrow): pins the extraction
+      engine so BOTH sides of a scaling pair run the identical job —
+      ``extract_points(engine='auto')`` would otherwise pick arrow at
+      local[8] and jvm at local[32], which is the right per-size choice
+      for a user but not a scaling measurement.
+    """
     from osm_spark.session import get_spark
     from osm_spark.pipeline.geometry import synth_polygons
     from osm_spark.pipeline.pages import synth_pages
@@ -204,8 +222,11 @@ def run_flagship_once(cpus: int) -> dict:
 
     from osm_spark.pipeline.geometry import build_way_cells
 
+    task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
+    engine = os.environ.get("SPARK_GRAFT_SCALE_ENGINE", "arrow")
+    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None
     spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=2 * cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = synth_pages(spark, SF_DIR, SCALE_MULT)
     n = pages.count()
@@ -222,7 +243,8 @@ def run_flagship_once(cpus: int) -> dict:
     walls = []
     for _ in range(SCALE_PASSES):
         t0 = time.monotonic()
-        force(pip_join(extract_points(pages), polygons, way_cells, strategy="broadcast"))
+        force(pip_join(extract_points(pages, engine=engine), polygons,
+                       way_cells, strategy="broadcast"))
         walls.append(round(time.monotonic() - t0, 3))
     wall = min(walls)
     # Extraction-only walls isolate the sandbox's single-box Arrow pipe:
@@ -233,12 +255,105 @@ def run_flagship_once(cpus: int) -> dict:
     ex_walls = []
     for _ in range(3):
         t0 = time.monotonic()
-        force(extract_points(pages))
+        force(extract_points(pages, engine=engine))
         ex_walls.append(round(time.monotonic() - t0, 3))
     spark.stop()
-    return {"cpus": cpus, "pages": n, "wall_sec": wall, "all_walls": walls,
+    return {"cpus": cpus, "task_cpus": task_cpus, "engine": engine,
+            "pages": n, "wall_sec": wall, "all_walls": walls,
             "extract_wall_sec": min(ex_walls), "extract_walls": ex_walls,
             "pages_per_sec": round(n / wall, 1)}
+
+
+def run_skew() -> dict:
+    """Skew stress (north_rule: explicit hot-key handling must be worth
+    its machinery): seed-pinned points where ONE res-9 cell holds ~20 %
+    of all rows (a Zipf-extreme hot key inside a real polygon), PIP
+    joined under three strategies on identical, pre-materialized input:
+
+    - ``broadcast``: covering broadcast — points never shuffle; the hot
+      cell only costs its own refine work (the reference plan while the
+      covering fits).
+    - ``salted``: the data-driven salted shuffle path — the hot key is
+      split into ceil(n/target) buckets BEFORE the prejoin, so its
+      candidate pairs land on many tasks.
+    - ``unsalted_shuffle``: the same shuffle prejoin with an empty salt
+      plan (every row salt 0) — one task owns the whole hot key unless
+      AQE's skew-join split rescues it at runtime. This is the strawman
+      the salting exists to beat; AQE is left ON (its skew handling is
+      part of the honest comparison).
+
+    Identical outputs asserted (row count), walls interleaved over
+    SPARK_GRAFT_SKEW_ROUNDS rounds, salt histogram reported.
+    """
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.spatial_join import (
+        pip_join_broadcast,
+        pip_join_salted,
+        salt_plan,
+    )
+    from osm_spark.session import get_spark
+
+    n_points = int(os.environ.get("SPARK_GRAFT_SKEW_POINTS", "5000000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "3"))
+    spark = get_spark(app_name="skew_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Deterministic synthesis (xxhash64 of the row id — no RNG state,
+    # byte-stable across runs/partitionings). Hot rows (id%5==0, 20 %)
+    # jitter ±1e-5° around a point inside polygon 1000 — far below the
+    # res-9 cell edge (~1.6e-3°), so they share ONE cell; the rest
+    # spread uniformly over the same city's bounding box so the cold
+    # cells carry realistic work too.
+    base = spark.range(n_points)
+    hot = F.col("id") % 5 == 0
+    u1 = F.pmod(F.xxhash64(F.col("id")), F.lit(100000)) / 100000.0
+    u2 = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(100000)) / 100000.0
+    lat = F.when(hot, 51.4998 + (u1 - 0.5) * 2e-5).otherwise(51.3 + u1 * 0.4)
+    lon = F.when(hot, -0.1363 + (u2 - 0.5) * 2e-5).otherwise(-0.3 + u2 * 0.4)
+    pts = base.select(
+        F.col("id").cast("string").alias("url"), lat.alias("lat"), lon.alias("lon")
+    ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    pts = pts.localCheckpoint()  # identical materialized input for all paths
+
+    polygons = synth_polygons(spark)
+    way_cells = spark.createDataFrame(
+        build_way_cells(polygons).collect(), "way_id long, cell long"
+    )
+    salts = salt_plan(pts).localCheckpoint()  # the data-driven plan, built once
+    salt_rows = [(r.cell, r.k) for r in salts.orderBy(F.desc("k")).limit(5).collect()]
+    no_salts = spark.createDataFrame([], "cell long, k int")
+    warm_python_workers(spark, CPUS)
+
+    jobs = {
+        "broadcast": lambda: pip_join_broadcast(pts, polygons, way_cells),
+        "salted": lambda: pip_join_salted(pts, polygons, way_cells, salts),
+        "unsalted_shuffle": lambda: pip_join_salted(
+            pts, polygons, way_cells, no_salts
+        ),
+    }
+    counts = {name: fn().count() for name, fn in jobs.items()}  # warm + verify
+    assert len(set(counts.values())) == 1, counts
+    walls: dict[str, list[float]] = {n: [] for n in jobs}
+    for _ in range(rounds):
+        for name, fn in jobs.items():
+            t0 = time.monotonic()
+            force(fn())
+            walls[name].append(round(time.monotonic() - t0, 3))
+    out = {
+        "metric": "skew_stress_pip_join",
+        "points": n_points,
+        "hot_fraction": 0.2,
+        "cpus": CPUS,
+        "pairs_out": counts["salted"],
+        "top_salt_factors": salt_rows,
+        "walls": walls,
+        "min_walls": {n: min(w) for n, w in walls.items()},
+    }
+    spark.stop()
+    return out
 
 
 def run_graph_once(cpus: int) -> dict:
@@ -357,6 +472,8 @@ def run_scaling() -> dict:
         out[f"local[{cpus}]"] = json.loads(line)
     lo, hi = out[f"local[{pair[0]}]"], out[f"local[{pair[1]}]"]
     ratio = pair[1] / pair[0]
+    out["task_cpus"] = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
+    out["engine"] = os.environ.get("SPARK_GRAFT_SCALE_ENGINE", "arrow")
     out["scaling_efficiency"] = round(
         (hi["pages_per_sec"] / lo["pages_per_sec"]) / ratio, 3
     )
@@ -379,6 +496,18 @@ if __name__ == "__main__":
         print(json.dumps(run_flagship_once(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-emulated":
+        # Per-executor-resource emulation of BASELINE.md's 8→32 protocol
+        # pair: spark.task.cpus=2 reserves one core per task for its
+        # paired Python/Arrow worker, so neither side of the pair
+        # oversubscribes the VM — per-task resources constant across
+        # sizes, the regime a real N→4N *executor* scale-up lives in.
+        # Core ratio (and the efficiency divisor) stays 4×.
+        os.environ.setdefault("SPARK_GRAFT_TASK_CPUS", "2")
+        os.environ.setdefault("SPARK_GRAFT_SCALE_CPUS", "8,32")
+        print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        print(json.dumps(run_skew()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--one-graph-scale":
         print(json.dumps(run_graph_once(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph-scaling":
