@@ -313,6 +313,67 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (text/dedup.py incremental_near_dups):
+    an incoming batch (doc_id % 10 == 0) deduped against the standing
+    corpus via the stored LSH band index — corpus × corpus is never
+    paired; candidates are corpus-bands ⋈ batch-bands plus the batch
+    self-join, then the exact Jaccard refine. Oracle replays the same
+    banding with the pair filter (doc_b new, doc_a corpus-or-earlier)."""
+    _prep(spark)
+    from osm_spark.text.dedup import incremental_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_near_dups(corpus, batch, 32, threshold=0.8)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (pipeline/zorder.py): bit-interleave of
+    (o_custkey, o_totalprice) normalized into 16-bit rank spaces over
+    fixed catalog domains — the multi-column clustering key the write
+    path range-partitions on so parquet min/max stats prune on EITHER
+    column. Gated as exact integer arithmetic vs the DuckDB replay."""
+    _prep(spark)
+    from osm_spark.pipeline.zorder import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    key = zorder_key(
+        [
+            (F.col("o_custkey").cast("double"), 0.0, 200000.0),
+            (F.col("o_totalprice").cast("double"), 0.0, 600000.0),
+        ],
+        bits=16,
+    )
+    return o.select("o_orderkey", key.alias("zkey"))
+
+
+def _zorder_sql_expr(ca: str, cb: str, bits: int) -> str:
+    """The DuckDB replay of interleave_bits for two pre-normalized
+    BIGINT expressions — same literal shifts, same positions."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ca} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({cb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    norm = (
+        "CAST(floor(least(greatest((CAST({c} AS DOUBLE) - {lo}) / {span} * 65535.0, "
+        "0.0), 65535.0)) AS BIGINT)"
+    )
+    na = norm.format(c="o_custkey", lo="0.0", span="200000.0")
+    nb = norm.format(c="o_totalprice", lo="0.0", span="600000.0")
+    return f"""
+        WITH n AS (
+            SELECT o_orderkey, {na} AS ca, {nb} AS cb FROM orders
+        )
+        SELECT o_orderkey, {_zorder_sql_expr("ca", "cb", 16)} AS zkey FROM n
+    """
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash + md5 content fingerprint per document (absorbs the
     former doc_fingerprint query — same grain, one driver slot)."""
@@ -2643,6 +2704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode": q_reverse_geocode,
         "overlay_clusters": q_overlay_clusters,
         "diff_assembly": q_diff_assembly,
+        "incremental_dedup": q_incremental_dedup,
+        "zorder_key": q_zorder_key,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2813,6 +2876,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM band a JOIN band b ON a.band = b.band AND a.band_hash = b.band_hash
                 WHERE a.doc_id < b.doc_id
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                FROM pairs p
+                JOIN tok ta ON ta.doc_id = p.doc_a
+                JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+                GROUP BY p.doc_a, p.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT i.doc_a, i.doc_b,
+                       round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.doc_a
+                JOIN sizes sb ON sb.doc_id = i.doc_b
+            ) WHERE jaccard >= 0.8
+        """,
+        "zorder_key": _zorder_oracle(),
+        "incremental_dedup": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+                FROM documents
+            ), seeded AS (
+                SELECT doc_id, seed, tok
+                FROM tok CROSS JOIN (SELECT unnest(range(32)) AS seed) s
+            ), sig AS (
+                SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS minhash
+                FROM seeded GROUP BY doc_id, seed
+            ), band AS (
+                SELECT doc_id, seed % 4 AS band,
+                       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+                FROM sig GROUP BY doc_id, seed % 4
+            ), pairs AS (
+                -- doc_b is always a batch doc (doc_id % 10 = 0); doc_a is a
+                -- corpus doc, or an earlier batch doc (each dup once)
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b ON a.band = b.band AND a.band_hash = b.band_hash
+                WHERE b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+                  AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
             ), sizes AS (
                 SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
             ), inter AS (

@@ -456,6 +456,79 @@ def jaccard_pairs(
     )
 
 
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus without ever
+    re-pairing corpus × corpus — the production shape of continuous
+    ingestion (a crawl drop lands daily; the corpus index is already
+    built and stored).
+
+    Returns (doc_a, doc_b, jaccard) where ``doc_b`` is always a batch
+    doc and ``doc_a`` is a corpus doc OR an earlier batch doc
+    (doc_a < doc_b within the batch, so each duplicate relationship
+    emits once). Candidate generation is the LSH band index:
+    corpus bands ⋈ batch bands on (band, band_hash) — the corpus side
+    is touched by ONE equi-join keyed on the bucket hash (at 10^12 docs
+    this is the stored index table, bucketable on band_hash so the join
+    co-locates), and candidate volume scales with the BATCH size, not
+    the corpus. Batch-internal dups come from the batch self-join
+    (small × small). The exact Jaccard refine is ``jaccard_pairs`` over
+    the union docs with the signature-agreement prune.
+
+    ``corpus_sigs``: pass the stored ``minhash_array`` output of the
+    corpus (the index you persist in production) to skip recomputing
+    signatures over 10^12 documents per batch; when omitted it is
+    computed (the gate/test path). Ids must be disjoint across corpus
+    and batch."""
+    nb = num_bands if num_bands is not None else lsh_tune(num_hashes, threshold)
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_array(corpus, num_hashes, id_col, text_col)
+    )
+    sig_b = minhash_array(batch, num_hashes, id_col, text_col)
+    bands_c = lsh_bands_from_array(sig_c, nb, num_hashes)
+    bands_b = lsh_bands_from_array(sig_b, nb, num_hashes)
+    b_side = bands_b.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    cross = (
+        bands_c.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(b_side, ["band", "band_hash"])
+        .select("doc_a", "doc_b")
+    )
+    within = (
+        bands_b.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(b_side, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    par = batch.sparkSession.sparkContext.defaultParallelism * 2
+    pairs = (
+        cross.unionByName(within)
+        .repartition(par, "doc_a", "doc_b")
+        .distinct()
+    )
+    all_docs = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    return jaccard_pairs(
+        all_docs,
+        pairs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        signatures=sig_c.unionByName(sig_b),
+        pre_partitioned=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

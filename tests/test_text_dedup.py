@@ -415,3 +415,34 @@ def test_jaccard_exact_fast_path_identical_results(docs, pydocs):
             signatures=ssigs, exact_fast_path=fast,
         ).collect()
         assert got == [], f"exact_fast_path={fast} must drop empty-shingle pairs"
+
+
+def test_incremental_near_dups_matches_full_pipeline(docs):
+    """Incremental (corpus-index ⋈ batch) dedup must find exactly the
+    full pipeline's pairs that touch a batch doc — same banding, same
+    refine — normalized to unordered pairs (incremental reports
+    corpus→batch regardless of id order)."""
+    from osm_spark.text.dedup import (
+        incremental_near_dups,
+        lsh_bands_from_array,
+        minhash_array,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = incremental_near_dups(corpus, batch, 32, threshold=0.8)
+    got = {(frozenset((r.doc_a, r.doc_b)), r.jaccard) for r in inc.collect()}
+    # every doc_b is a batch doc; each unordered pair appears once
+    rows = inc.collect()
+    assert all(r.doc_b % 10 == 0 for r in rows)
+    assert len(rows) == len({frozenset((r.doc_a, r.doc_b)) for r in rows})
+
+    sigs = minhash_array(docs, 32)
+    full_pairs = lsh_candidate_pairs(lsh_bands_from_array(sigs, 4, 32))
+    full = jaccard_pairs(docs, full_pairs, threshold=0.8, signatures=sigs)
+    want = {
+        (frozenset((r.doc_a, r.doc_b)), r.jaccard)
+        for r in full.collect()
+        if r.doc_a % 10 == 0 or r.doc_b % 10 == 0
+    }
+    assert got == want and len(got) > 0
