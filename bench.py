@@ -224,9 +224,18 @@ def run_flagship_once(cpus: int) -> dict:
 
     task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     engine = os.environ.get("SPARK_GRAFT_SCALE_ENGINE", "arrow")
-    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None
+    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else {}
+    # SPARK_GRAFT_MEM_PER_CORE (GiB): hold memory-per-core constant
+    # across the pair — a real N-executor cluster has 1/4 the TOTAL
+    # memory of its 4N sibling, while a fixed single-VM heap hands the
+    # small side 4x the per-task memory (fewer spills, easier GC) and
+    # depresses measured efficiency. Completes the per-executor-resource
+    # emulation together with task.cpus.
+    mem_per_core = os.environ.get("SPARK_GRAFT_MEM_PER_CORE")
+    if mem_per_core:
+        os.environ["SPARK_DRIVER_MEM"] = f"{max(2, int(cpus * float(mem_per_core)))}g"
     spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus, extra_conf=extra)
+                      shuffle_partitions=2 * cpus, extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
     pages = synth_pages(spark, SF_DIR, SCALE_MULT)
     n = pages.count()
@@ -318,7 +327,31 @@ def run_skew() -> dict:
     ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
     pts = pts.localCheckpoint()  # identical materialized input for all paths
 
-    polygons = synth_polygons(spark)
+    # The hot cell must carry real per-candidate work or the stress is
+    # trivial (measured: with one 8-vertex polygon over the hot cell the
+    # whole hot key refines in ~1 s on one task and salting overhead
+    # dominates). Dense urban cells sit under STACKS of candidate
+    # polygons (admin levels, landuse, districts), so add 40 concentric
+    # 60-vertex rings containing the hot point: the hot key then owns
+    # hot_points × 40 candidate pairs × O(60) refine arithmetic.
+    import math
+
+    n_stack, n_vert = 40, 60
+    stack = []
+    for s in range(n_stack):
+        r = 0.01 + 0.002 * s
+        stack.append(
+            (
+                90000 + s,
+                [51.4998 + r * math.cos(2 * math.pi * v / n_vert) for v in range(n_vert)],
+                [-0.1363 + r * math.sin(2 * math.pi * v / n_vert) for v in range(n_vert)],
+            )
+        )
+    polygons = synth_polygons(spark).select("way_id", "vlat", "vlon").unionByName(
+        spark.createDataFrame(
+            stack, "way_id long, vlat array<double>, vlon array<double>"
+        )
+    )
     way_cells = spark.createDataFrame(
         build_way_cells(polygons).collect(), "way_id long, cell long"
     )

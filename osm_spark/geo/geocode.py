@@ -57,9 +57,24 @@ def reverse_geocode(
         )
     pairs = pip_join(points, polygons, way_cells, strategy=strategy)
     areas = way_geometry_stats(polygons).select("way_id", "area_m2")
-    scored = attach_polygon_dim(
-        pairs, areas, "way_id", "broadcast" if strategy == "broadcast" else "shuffle"
-    )
+    if strategy == "broadcast":
+        scored = attach_polygon_dim(pairs, areas, "way_id", "broadcast")
+    else:
+        # shuffle attach, two-side-salted: a hot cell's point mass lands
+        # on its containing polygons' ids, so the area join inherits the
+        # same way-level split factors the vertex attach uses
+        from osm_spark.pipeline.geometry import build_way_cells
+        from osm_spark.pipeline.spatial_join import salt_plan, way_salt_plan
+
+        if way_cells is None:
+            way_cells = build_way_cells(polygons)
+        scored = attach_polygon_dim(
+            pairs,
+            areas,
+            "way_id",
+            "shuffle",
+            way_salts=way_salt_plan(way_cells, salt_plan(points)),
+        )
     best = scored.groupBy("url").agg(
         F.min(F.struct("area_m2", "way_id")).alias("best")
     )

@@ -353,8 +353,26 @@ def _prejoin_salted(
     ).select("url", "lat", "lon", "way_id")
 
 
+def way_salt_plan(way_cells: DataFrame, salts: DataFrame) -> DataFrame:
+    """Per-WAY salt factors induced by the hot-CELL salt plan: a way
+    whose covering includes a hot cell will receive that cell's point
+    mass as candidate pairs, so it inherits the cell's split factor
+    (max over its covering when several cells are hot). Derived entirely
+    from tables already in hand — no extra pass over the points."""
+    return (
+        way_cells.join(F.broadcast(salts), "cell")
+        .groupBy("way_id")
+        .agg(F.max("k").alias("k"))
+    )
+
+
 def attach_polygon_dim(
-    cand: DataFrame, dim: DataFrame, key: str, strategy: str
+    cand: DataFrame,
+    dim: DataFrame,
+    key: str,
+    strategy: str,
+    way_salts: DataFrame | None = None,
+    scatter_col: str = "url",
 ) -> DataFrame:
     """Attach a polygon-keyed dim table (vertex arrays, areas, ring
     metadata) to a candidate pair list, following the join strategy the
@@ -369,10 +387,37 @@ def attach_polygon_dim(
     with an explicit shuffle_hash hint — the candidate list is skinny
     (ids + one point) and the hint prevents the statless-aggregate →
     SortMergeJoin fallback that would sort it (same trade-off as
-    ``knn_join(phase2='aqe')``). Same pattern as ``overlay_join``'s
-    vertex attach (geo/overlay.py)."""
+    ``knn_join(phase2='aqe')``).
+
+    **The way_id key is its own skew axis** (measured: a dense cell
+    under a 40-polygon admin stack re-concentrated the freshly-salted
+    hot pairs onto 40 way_id keys — 67-73 s vs 24-33 s for the
+    broadcast attach on the skew fixture; BENCH.md finding #15). With
+    ``way_salts`` (``way_salt_plan`` — per-way split factors inherited
+    from the hot-cell plan, zero extra jobs) the attach two-side-salts:
+    candidate rows scatter over ``pmod(xxhash64(scatter_col), k)`` and
+    the dim rows for hot ways replicate into all k buckets, so the join
+    key becomes (way_id, salt) and no single task owns a hot polygon's
+    whole candidate mass. Cold ways pay one broadcast-join lookup and a
+    1-element explode."""
     if strategy == "broadcast":
         return cand.join(F.broadcast(dim), key)
+    if way_salts is not None:
+        c = cand.join(F.broadcast(way_salts), key, "left").withColumn(
+            "_vsalt",
+            F.when(
+                F.col("k").isNotNull(), F.pmod(F.xxhash64(scatter_col), F.col("k"))
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("k")
+        d = dim.join(F.broadcast(way_salts), key, "left").select(
+            *dim.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("k") - 1, F.lit(0)))
+            ).alias("_vsalt"),
+        )
+        return c.join(d.hint("shuffle_hash"), [key, "_vsalt"]).drop("_vsalt")
     return cand.join(dim.hint("shuffle_hash"), key)
 
 
@@ -387,15 +432,23 @@ def pip_join_salted(
     ``_prejoin_salted``), then the codegen refine.
 
     ``vertex_strategy`` controls how the polygon vertex dim attaches to
-    the candidate list: default ``'shuffle'`` (hash join on way_id) —
-    this path is chosen precisely because the polygon side outgrew the
-    broadcast ceiling, and vertex bytes grow with covering size, so
-    broadcasting the vertex dim here is the next thing to break at
-    planet scale. Pass ``'broadcast'`` only when the caller knows the
-    vertex dim is small despite a huge covering (many tiny polygons)."""
+    the candidate list: default ``'shuffle'`` (hash join on way_id,
+    two-side-salted by the way-level factors the hot-cell plan induces —
+    see ``attach_polygon_dim``) — this path is chosen precisely because
+    the polygon side outgrew the broadcast ceiling, and vertex bytes
+    grow with covering size, so broadcasting the vertex dim here is the
+    next thing to break at planet scale; plain-keying it instead would
+    re-concentrate the freshly-salted hot pairs onto the polygon ids
+    (measured 2-3× — BENCH.md finding #15). Pass ``'broadcast'`` only
+    when the caller knows the vertex dim is small despite a huge
+    covering (many tiny polygons)."""
     cand = _prejoin_salted(points, way_cells, salts)
     cand = attach_polygon_dim(
-        cand, polygons.select("way_id", "vlat", "vlon"), "way_id", vertex_strategy
+        cand,
+        polygons.select("way_id", "vlat", "vlon"),
+        "way_id",
+        vertex_strategy,
+        way_salts=way_salt_plan(way_cells, salts),
     )
     return _refine_pip_expr(cand)
 
@@ -437,23 +490,29 @@ def pip_join_multipolygon(
             if estimate_covering_cells(ring_geo) <= BROADCAST_MAX_CELLS
             else "salted"
         )
+    ring_salts = None
     if strategy == "broadcast":
         cand = points.join(
             F.broadcast(ring_cells), points["h3_9"] == ring_cells["cell"], "inner"
         ).select("url", "lat", "lon", "way_id")
     elif strategy == "salted":
-        cand = _prejoin_salted(points, ring_cells, salt_plan(points))
+        salts = salt_plan(points)
+        cand = _prejoin_salted(points, ring_cells, salts)
+        ring_salts = way_salt_plan(ring_cells, salts)
     else:
         raise ValueError(f"unknown pip_join_multipolygon strategy: {strategy!r}")
     # The ring vertex dim follows the SAME strategy the prejoin chose:
     # on the salted path (chosen because the ring covering outgrew the
-    # broadcast ceiling) it hash-joins on way_id instead of broadcasting
-    # — ring vertex bytes grow with the covering (see attach_polygon_dim).
+    # broadcast ceiling) it hash-joins on (way_id, salt) instead of
+    # broadcasting — ring vertex bytes grow with the covering, and the
+    # two-sided salt keeps a hot cell's stacked rings from
+    # re-concentrating the pairs (see attach_polygon_dim).
     cand = attach_polygon_dim(
         cand,
         rings.select("relation_id", "role", "way_id", "vlat", "vlon"),
         "way_id",
         "broadcast" if strategy == "broadcast" else "shuffle",
+        way_salts=ring_salts,
     )
     hit = cand.withColumn(
         "inside", pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))

@@ -1,7 +1,16 @@
 """Reverse geocode: smallest containing polygon wins."""
 
+import pytest
+
 from osm_spark.geo.geocode import reverse_geocode
 from osm_spark.pipeline.geometry import build_way_cells
+from osm_spark.pipeline.pages import synth_pages
+from osm_spark.pipeline.spatial_join import extract_points
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_small_dir):
+    return extract_points(synth_pages(spark, sf_small_dir)).cache()
 
 
 def test_smallest_containing_polygon_wins(spark):
@@ -29,3 +38,22 @@ def test_smallest_containing_polygon_wins(spark):
     }
     # p0 in both 1 and 2 -> smaller (2); p1 only in 1; p2 in 3; p3 nowhere.
     assert out == {"p0": 2, "p1": 1, "p2": 3}
+
+
+def test_reverse_geocode_salted_matches_broadcast(spark, points):
+    """The salted path (two-side-salted vertex AND area attaches) must
+    return the identical pick set as the broadcast path on the shared
+    skewed fixture."""
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    polys = synth_polygons(spark)
+    wc = build_way_cells(polys).cache()
+    bc = {
+        (r.url, r.way_id)
+        for r in reverse_geocode(points, polys, wc, strategy="broadcast").collect()
+    }
+    sj = {
+        (r.url, r.way_id)
+        for r in reverse_geocode(points, polys, wc, strategy="salted").collect()
+    }
+    assert sj == bc and len(bc) > 20

@@ -105,8 +105,14 @@ def test_pip_salted_path_never_broadcasts_vertex_dim(spark, sf_small_dir):
         pts, polygons, build_way_cells(polygons), salt_plan(pts, target=20)
     )
     plan = _plan(out)
-    # the vertex attach is a shuffle hash join on way_id
+    # the vertex attach is a shuffle hash join on (way_id, _vsalt) —
+    # the TWO-SIDED salt (BENCH.md finding #15): a plain way_id key
+    # would re-concentrate the freshly-salted hot pairs onto the hot
+    # cell's containing polygons
     assert "ShuffledHashJoin [way_id" in plan
+    import re
+
+    assert re.search(r"ShuffledHashJoin \[way_id#\d+L?, _vsalt", plan), plan
     # every BroadcastExchange in the plan is the salt plan (k column),
     # never the vertex arrays
     for sub in plan.split("BroadcastExchange")[1:]:
