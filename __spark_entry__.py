@@ -1911,6 +1911,27 @@ def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(F.col("url").cast("long").alias("point_id"), "way_id")
 
 
+def q_pip_pairs_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PIP join over a MIXED-resolution covering
+    (``build_way_cells_adaptive``, budget=32 so the larger synth
+    polygons genuinely coarsen at test scale), salted multi-level
+    prejoin + codegen refine — same brute-force DuckDB oracle as
+    ``pip_pairs``: the covering's resolution mix must never change the
+    exact pair set."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells_adaptive, synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join_adaptive
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    polygons = synth_polygons(spark)
+    index = build_way_cells_adaptive(polygons, budget=32)
+    pairs = pip_join_adaptive(pts, polygons, index, strategy="salted")
+    return pairs.select(F.col("url").cast("long").alias("point_id"), "way_id")
+
+
 def q_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 grid kNN, driver-gated: two-phase sufficient-candidate-set
     plan (knn.py) vs a DuckDB brute-force top-3 oracle. Rank-only output:
@@ -2706,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_assembly": q_diff_assembly,
         "incremental_dedup": q_incremental_dedup,
         "zorder_key": q_zorder_key,
+        "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -2715,6 +2737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_pairs": _pip_pairs_oracle(),
+        # same exact oracle: the covering's resolution mix must never
+        # change the pair set (superset prejoin + exact refine)
+        "pip_pairs_adaptive": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),

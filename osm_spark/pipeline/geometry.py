@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osm_spark.geo.hexgrid import DEFAULT_RES, hex_polyfill
+from osm_spark.geo.hexgrid import DEFAULT_RES, hex_polyfill, latlon_to_axial
 from osm_spark.pipeline.pages import CITIES
 
 AMENITY_KINDS = ["cafe", "school", "hospital", "library", "park"]
@@ -111,6 +111,68 @@ def build_way_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
             out_way, out_cell = [], []
             for way_id, vlat, vlon in zip(pdf["way_id"], pdf["vlat"], pdf["vlon"]):
                 cells = hex_polyfill(np.asarray(vlat), np.asarray(vlon), res)
+                out_way.append(np.full(len(cells), way_id, dtype=np.int64))
+                out_cell.append(cells)
+            if out_way:
+                yield pd.DataFrame(
+                    {
+                        "way_id": np.concatenate(out_way),
+                        "cell": np.concatenate(out_cell),
+                    }
+                )
+
+    return polygons.select("way_id", "vlat", "vlon").mapInPandas(
+        gen, "way_id long, cell long"
+    )
+
+
+def build_way_cells_adaptive(
+    polygons: DataFrame,
+    fine_res: int = DEFAULT_RES,
+    budget: int = 4096,
+    min_res: int = 2,
+) -> DataFrame:
+    """Mixed-resolution hex covering: (way_id, cell) with each polygon
+    covered at the FINEST resolution whose bbox-grid estimate fits
+    ``budget`` cells (floored at ``min_res``).
+
+    Why: a flat fine-res covering explodes on large polygons — a
+    continent-scale admin ring at res 9 is ~10^7-10^8 cells, so a few
+    big polygons dominate the whole index's row count AND its build
+    cost (``hex_polyfill`` rasterizes the bbox grid). Capping per-
+    polygon covering size bounds the index at ``O(polygons × budget)``
+    regardless of polygon area — the standard mixed-level covering
+    trick (H3 ``compact_cells`` / S2 ``RegionCoverer`` min/max levels),
+    expressed here by choosing one resolution per polygon since the
+    grid is flat-per-res (the cell id packs its res, so mixed-res ids
+    share one ``cell long`` column and never collide across levels).
+
+    Correctness is unchanged: ``hex_polyfill``'s superset guarantee
+    (every cell containing a polygon point is included) holds at every
+    resolution, and the prejoin side recomputes each point's cell at
+    every level present (``pip_join_adaptive``), so the candidate set
+    still contains every true pair; the exact refine unchanged. Coarser
+    cells admit more false candidates per cell — ``budget`` trades
+    index size against refine selectivity.
+
+    Each res step is aperture-7 (cell area ×7), so the chooser loop
+    runs ≤ ~log7(area/budget) cheap vertex-only estimates per polygon.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_way, out_cell = [], []
+            for way_id, vlat, vlon in zip(pdf["way_id"], pdf["vlat"], pdf["vlon"]):
+                vla = np.asarray(vlat, np.float64)
+                vlo = np.asarray(vlon, np.float64)
+                res = fine_res
+                while res > min_res:
+                    q, r = latlon_to_axial(vla, vlo, res)
+                    est = (q.max() - q.min() + 5) * (r.max() - r.min() + 5)
+                    if est <= budget:
+                        break
+                    res -= 1
+                cells = hex_polyfill(vla, vlo, res)
                 out_way.append(np.full(len(cells), way_id, dtype=np.int64))
                 out_cell.append(cells)
             if out_way:

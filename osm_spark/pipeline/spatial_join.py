@@ -588,3 +588,76 @@ def pip_join(
     if strategy != "salted":
         raise ValueError(f"unknown pip_join strategy: {strategy!r}")
     return pip_join_salted(points, polygons, way_cells, salt_plan(points))
+
+
+def covering_levels(way_cells: DataFrame) -> list[int]:
+    """Distinct resolutions present in a (possibly mixed-res) covering
+    index — the cell id packs its res in the top bits, so this is one
+    tiny distinct over a derived column. Bounded by the res range
+    (≤ ~15 values); at planet scale this is a catalog statistic the
+    caller passes explicitly to skip the job."""
+    rows = (
+        way_cells.select(F.shiftright("cell", 58).alias("res")).distinct().collect()
+    )
+    return sorted(int(r.res) for r in rows)
+
+
+def point_cells_expr(lat, lon, levels: list[int]):
+    """Array of the point's cell id at each covering level — pure
+    codegen (one fused projection; no Python, no shuffle)."""
+    return F.array(*[hex_cell_expr(lat, lon, r) for r in levels])
+
+
+def pip_join_adaptive(
+    points: DataFrame,
+    polygons: DataFrame,
+    way_cells: DataFrame,
+    strategy: str = "broadcast",
+    levels: list[int] | None = None,
+) -> DataFrame:
+    """PIP join over a MIXED-resolution covering index
+    (``build_way_cells_adaptive``) — the planet-scale covering shape
+    where large polygons sit at coarser cells so the index stays
+    ``O(polygons × budget)`` rows instead of ``O(total area)``.
+
+    Plan: each point expands to its cell id at every level present
+    (``explode`` of a codegen array — on the broadcast path the
+    expanded rows exist only inside one WholeStageCodegen pipeline
+    feeding the hash probe, never materialized or shuffled; on the
+    salted path the one prejoin shuffle carries ``levels×`` skinny
+    rows, the same bytes as per-level passes without re-scanning
+    points). Cell ids collide only within a level (res rides the top
+    bits), so ONE equi-join against the whole mixed index is exact:
+    each (point, way) true pair appears exactly once — a way's covering
+    lives at exactly one res and a point has exactly one cell there.
+
+    The salted path reuses the single-level machinery verbatim: the
+    hot-cell histogram over the exploded frame prices EVERY level's
+    cells in one map-side-combined aggregate (a hot fine cell makes its
+    coarse ancestors at least as hot, so they earn their own factors),
+    and the vertex attach inherits per-way factors exactly as in
+    ``pip_join_salted`` (BENCH.md finding #15).
+
+    ``levels``: pass the catalog's known level set to skip the
+    ``covering_levels`` job."""
+    if levels is None:
+        levels = covering_levels(way_cells)
+    mp = points.withColumn(
+        "h3_9", F.explode(point_cells_expr("lat", "lon", levels))
+    )
+    vx = polygons.select("way_id", "vlat", "vlon")
+    if strategy == "broadcast":
+        cand = mp.join(
+            F.broadcast(way_cells), mp["h3_9"] == way_cells["cell"], "inner"
+        ).select("url", "lat", "lon", "way_id")
+        cand = attach_polygon_dim(cand, vx, "way_id", "broadcast")
+    elif strategy == "salted":
+        salts = salt_plan(mp)
+        cand = _prejoin_salted(mp, way_cells, salts)
+        cand = attach_polygon_dim(
+            cand, vx, "way_id", "shuffle",
+            way_salts=way_salt_plan(way_cells, salts),
+        )
+    else:
+        raise ValueError(f"unknown pip_join_adaptive strategy: {strategy!r}")
+    return _refine_pip_expr(cand)

@@ -32,20 +32,39 @@ def geofence_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(window_start, way_id, n_events) — events inside each polygon per
     tumbling window. ``points``: ts + lat/lon + h3_9 cell (stream or
     batch — same plan either way); ``polygons``/``way_cells``: the
-    static dims of the PIP join (broadcast)."""
+    static dims of the PIP join.
+
+    ``strategy='broadcast'`` (default) is the design point for curated
+    geofence sets (bounded fences — the usual streaming shape): the
+    stream never shuffles. ``'shuffle'`` is the scale path when the
+    fence set is a whole polygon catalog past the broadcast ceiling:
+    the covering and vertex dims hash-join (shuffle_hash hints — the
+    stream side is skinny and must not sort). A pre-aggregated salt
+    plan cannot exist over an unbounded stream, so hot cells inside a
+    micro-batch rely on AQE's runtime skew split; for a known-hot
+    deployment, run the batch ``pip_join_salted`` over short
+    availableNow windows instead."""
     src = points
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
-    cand = src.join(
-        F.broadcast(way_cells), src["h3_9"] == way_cells["cell"], "inner"
-    ).select(ts_col, "lat", "lon", "way_id")
-    cand = cand.join(
-        F.broadcast(polygons.select("way_id", "vlat", "vlon")), "way_id"
+    if strategy == "broadcast":
+        wc, vx = F.broadcast(way_cells), F.broadcast(
+            polygons.select("way_id", "vlat", "vlon")
+        )
+    elif strategy == "shuffle":
+        wc = way_cells.hint("shuffle_hash")
+        vx = polygons.select("way_id", "vlat", "vlon").hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown geofence_counts strategy: {strategy!r}")
+    cand = src.join(wc, src["h3_9"] == way_cells["cell"], "inner").select(
+        ts_col, "lat", "lon", "way_id"
     )
+    cand = cand.join(vx, "way_id")
     hits = cand.filter(
         pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
     )

@@ -1,0 +1,81 @@
+"""Mixed-resolution (adaptive) covering index: per-polygon size bounded,
+join results identical to the flat fine-res covering on both strategies.
+"""
+
+from __future__ import annotations
+
+from osm_spark.pipeline.geometry import (
+    build_way_cells,
+    build_way_cells_adaptive,
+    synth_polygons,
+)
+from osm_spark.pipeline.pages import synth_pages
+from osm_spark.pipeline.spatial_join import (
+    covering_levels,
+    extract_points,
+    pip_join_adaptive,
+    pip_join_broadcast,
+)
+
+
+def _big_polygon(spark):
+    # 0.5°-wide square around London: ~10^5 res-9 bbox cells, far past a
+    # small budget — the adaptive builder must coarsen it.
+    return spark.createDataFrame(
+        [(77777, [51.3, 51.3, 51.8, 51.8], [-0.4, 0.1, 0.1, -0.4])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+
+
+def test_adaptive_covering_respects_budget_and_coarsens(spark):
+    rows = build_way_cells_adaptive(_big_polygon(spark), budget=256).collect()
+    levels = {r.cell >> 58 for r in rows}
+    assert levels and max(levels) < 9  # coarsened below fine_res
+    # bbox-grid estimate bounds the polyfill output
+    assert 0 < len(rows) <= 256
+
+
+def test_adaptive_join_equals_flat_both_strategies(spark, sf_small_dir):
+    pts = extract_points(synth_pages(spark, sf_small_dir)).cache()
+    polys = (
+        synth_polygons(spark)
+        .select("way_id", "vlat", "vlon")
+        .unionByName(_big_polygon(spark))
+    )
+    flat = build_way_cells(polys).cache()
+    adaptive = build_way_cells_adaptive(polys, budget=256).cache()
+    # the big polygon shrinks the index: adaptive strictly smaller
+    assert adaptive.count() < flat.count()
+    assert len(covering_levels(adaptive)) >= 2  # genuinely mixed-res
+
+    want = {(r.url, r.way_id) for r in pip_join_broadcast(pts, polys, flat).collect()}
+    got_b = {
+        (r.url, r.way_id)
+        for r in pip_join_adaptive(pts, polys, adaptive, "broadcast").collect()
+    }
+    got_s = {
+        (r.url, r.way_id)
+        for r in pip_join_adaptive(pts, polys, adaptive, "salted").collect()
+    }
+    assert got_b == want
+    assert got_s == want
+    # the coarsened polygon really participates (London pages fall inside)
+    assert any(w == 77777 for _, w in want)
+
+
+def test_adaptive_broadcast_path_never_shuffles_points(spark, sf_small_dir):
+    """The multi-level expansion must stay inside the codegen pipeline:
+    explode → broadcast hash probe, no shuffle anywhere on the broadcast
+    path (the refine is a filter, the attach a broadcast)."""
+    pts = extract_points(synth_pages(spark, sf_small_dir))
+    polys = (
+        synth_polygons(spark)
+        .select("way_id", "vlat", "vlon")
+        .unionByName(_big_polygon(spark))
+    )
+    adaptive = build_way_cells_adaptive(polys, budget=256)
+    out = pip_join_adaptive(pts, polys, adaptive, "broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+    assert "Exchange hashpartitioning" not in plan, plan

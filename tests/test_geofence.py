@@ -47,6 +47,17 @@ def test_geofence_stream_equals_batch(spark, sf_small_dir):
     assert len(want) > 0
     assert got == want
 
+    # scale path: shuffle strategy (fence catalog past the broadcast
+    # ceiling) — identical counts, and no dim rides a BroadcastExchange
+    shuf = geofence_counts(
+        _points(spark.read.parquet(events_path)), polygons, cells,
+        strategy="shuffle",
+    )
+    got_shuf = {(r.window_start, r.way_id): r.n_events for r in shuf.collect()}
+    assert got_shuf == want
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+
 
 def test_geofence_stream_plan_has_watermark_and_state(spark, sf_small_dir):
     polygons = synth_polygons(spark)
