@@ -84,9 +84,15 @@ def build_queries(spark):
     # measured at this SF the two are within noise (BENCH.md).
     n_pages_est = pages.count()
 
+    # node-count catalog stat too: without it phase1='auto' pays an
+    # n.count() job inside every timed run (r4 auto-choice)
+    n_nodes_est = synth_nodes(spark).count()
+
     def q_knn(spark):
         pts = extract_points(pages)
-        return knn_join(pts, synth_nodes(spark), k=3, n_cells=n_pages_est)
+        return knn_join(
+            pts, synth_nodes(spark), k=3, n_cells=n_pages_est, n_nodes=n_nodes_est
+        )
 
     def q_tiles(spark):
         pts = extract_points(pages)

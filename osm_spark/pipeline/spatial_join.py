@@ -458,6 +458,7 @@ def pip_join_multipolygon(
     rings: DataFrame,
     ring_cells: DataFrame | None = None,
     strategy: str = "auto",
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Multipolygon PIP: (url, relation_id) pairs where the point lies
     inside at least one ``outer`` ring and inside no ``inner`` ring
@@ -478,12 +479,24 @@ def pip_join_multipolygon(
     per (point, relation) combining roles. A point inside a hole still
     matches the outer's covering cells, so the inner test runs on
     exactly the candidates that need it.
+
+    ``levels``: pass the resolution set of a MIXED-resolution ring
+    covering (``build_way_cells_adaptive`` — relation multipolygons are
+    exactly where the flat-res covering explodes first: a continent
+    outer ring at res 9 is 10^7-10^8 cells, its holes tiny). Points
+    expand to their cell at every level (same codegen explode as
+    ``pip_join_adaptive``); both strategies below then work unchanged
+    because mixed-res ids never collide across levels.
     """
     from osm_spark.pipeline.geometry import build_way_cells
 
     ring_geo = rings.select("way_id", "vlat", "vlon")
     if ring_cells is None:
         ring_cells = build_way_cells(ring_geo)
+    if levels is not None:
+        points = points.withColumn(
+            "h3_9", F.explode(point_cells_expr("lat", "lon", levels))
+        )
     if strategy == "auto":
         strategy = (
             "broadcast"

@@ -63,6 +63,45 @@ def test_adaptive_join_equals_flat_both_strategies(spark, sf_small_dir):
     assert any(w == 77777 for _, w in want)
 
 
+def test_adaptive_multipolygon_equals_flat(spark, sf_small_dir):
+    """Mixed-res ring covering: a big outer ring coarsens, its small
+    hole stays fine — the multipolygon join must return the identical
+    relation pick set as the flat res-9 covering."""
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon
+
+    # outer = the 0.5° London square; hole = a small square inside it
+    rings = spark.createDataFrame(
+        [
+            (600, "outer", 8001, [51.3, 51.3, 51.8, 51.8], [-0.4, 0.1, 0.1, -0.4]),
+            (600, "inner", 8002, [51.49, 51.49, 51.51, 51.51],
+             [-0.15, -0.12, -0.12, -0.15]),
+        ],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    pts = extract_points(synth_pages(spark, sf_small_dir)).cache()
+    ring_geo = rings.select("way_id", "vlat", "vlon")
+    flat = build_way_cells(ring_geo).cache()
+    adaptive = build_way_cells_adaptive(ring_geo, budget=256).cache()
+    assert adaptive.count() < flat.count()
+    levels = covering_levels(adaptive)
+    assert len(levels) == 2  # outer coarsened, hole fine
+
+    want = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings, flat, "broadcast").collect()
+    }
+    for strat in ("broadcast", "salted"):
+        got = {
+            (r.url, r.relation_id)
+            for r in pip_join_multipolygon(
+                pts, rings, adaptive, strat, levels=levels
+            ).collect()
+        }
+        assert got == want, strat
+    assert len(want) > 0  # London pages inside the ring (minus the hole)
+
+
 def test_adaptive_broadcast_path_never_shuffles_points(spark, sf_small_dir):
     """The multi-level expansion must stay inside the codegen pipeline:
     explode → broadcast hash probe, no shuffle anywhere on the broadcast
