@@ -544,7 +544,9 @@ def pip_join_multipolygon(
     )
 
 
-def estimate_covering_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> int:
+def estimate_covering_cells(
+    polygons: DataFrame, res: int = DEFAULT_RES, cap: int | None = None
+) -> int:
     """Upper-bound covering-cell estimate from polygon bboxes — pure
     Column arithmetic over the (small) polygon dim, mirroring
     ``hex_polyfill``'s candidate grid: (Δq+5)·(Δr+5) per polygon.
@@ -552,7 +554,11 @@ def estimate_covering_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> int:
     This is the strategy-choice statistic: unlike ``way_cells.count()``
     it never executes the Python polyfill (at planet scale that count is
     a full covering job over millions of polygons; this is one codegen
-    aggregate over vertex arrays)."""
+    aggregate over vertex arrays).
+
+    ``cap``: per-polygon ceiling — the estimate for a MIXED-resolution
+    covering (``build_way_cells_adaptive`` bounds each polygon at its
+    budget, so the adaptive index is ≤ Σ min(flat_est, budget))."""
     from osm_spark.geo.hexgrid import edge_deg
 
     size = edge_deg(res)
@@ -565,6 +571,8 @@ def estimate_covering_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> int:
         (F.array_max(qf) - F.array_min(qf) + 5.0)
         * (F.array_max(rf) - F.array_min(rf) + 5.0)
     )
+    if cap is not None:
+        per_poly = F.least(per_poly, F.lit(float(cap)))
     [row] = (
         polygons.select(per_poly.alias("est"))
         .agg(F.sum("est").alias("total"))
@@ -578,16 +586,46 @@ def pip_join(
     polygons: DataFrame,
     way_cells: DataFrame | None = None,
     strategy: str = "auto",
+    budget: int = 4096,
 ) -> DataFrame:
-    """Auto-strategy PIP join: broadcast when the covering is small, else
-    salted shuffle. Returns (url, way_id) exact-match pairs.
+    """Auto-strategy PIP join. Returns (url, way_id) exact-match pairs.
 
     ``strategy``: 'broadcast' | 'salted' | 'auto'. Auto decides from the
     bbox-derived covering estimate (one cheap aggregate over the polygon
     dim — no covering materialization, no Python); callers that know
-    their catalog stats pass the strategy explicitly and pay no job."""
-    from osm_spark.pipeline.geometry import build_way_cells
+    their catalog stats pass the strategy explicitly and pay no job.
 
+    Auto escalation ladder when no ``way_cells`` is supplied:
+
+    1. flat res-9 covering fits the broadcast ceiling → broadcast
+       prejoin, points never shuffle;
+    2. flat covering too big but the MIXED-resolution covering
+       (``build_way_cells_adaptive``, each polygon capped at ``budget``
+       cells) fits → adaptive broadcast — still zero point shuffle, and
+       measured 3.5× faster than the salted fallback it replaces while
+       building its index 62× faster (BENCH.md adaptive-covering table);
+    3. even Σ min(flat_est, budget) exceeds the ceiling (the polygon
+       COUNT itself is huge) → adaptive covering + salted shuffle.
+
+    Caller-supplied ``way_cells`` keeps the classic two-way choice (the
+    caller owns the covering's shape); explicit 'broadcast'/'salted'
+    with no ``way_cells`` keeps the flat covering for plan-pinning
+    tests and callers that want the exact classic plans."""
+    from osm_spark.pipeline.geometry import (
+        build_way_cells,
+        build_way_cells_adaptive,
+    )
+
+    if way_cells is None and strategy == "auto":
+        if estimate_covering_cells(polygons) <= BROADCAST_MAX_CELLS:
+            return pip_join_broadcast(points, polygons, build_way_cells(polygons))
+        index = build_way_cells_adaptive(polygons, budget=budget)
+        fits = (
+            estimate_covering_cells(polygons, cap=budget) <= BROADCAST_MAX_CELLS
+        )
+        return pip_join_adaptive(
+            points, polygons, index, "broadcast" if fits else "salted"
+        )
     if way_cells is None:
         way_cells = build_way_cells(polygons)
     if strategy == "auto":

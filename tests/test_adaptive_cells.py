@@ -102,6 +102,38 @@ def test_adaptive_multipolygon_equals_flat(spark, sf_small_dir):
     assert len(want) > 0  # London pages inside the ring (minus the hole)
 
 
+def test_pip_join_auto_upgrades_to_adaptive_broadcast(spark, sf_small_dir, monkeypatch):
+    """When the flat covering estimate exceeds the broadcast ceiling but
+    the budget-capped one fits, pip_join's auto ladder must take the
+    adaptive-broadcast rung (zero point shuffle) instead of falling to
+    the salted shuffle — and return the identical pair set."""
+    import osm_spark.pipeline.spatial_join as sj
+
+    pts = extract_points(synth_pages(spark, sf_small_dir)).cache()
+    polys = (
+        synth_polygons(spark)
+        .select("way_id", "vlat", "vlon")
+        .unionByName(_big_polygon(spark))
+    )
+    flat_est = sj.estimate_covering_cells(polys)
+    capped_est = sj.estimate_covering_cells(polys, cap=256)
+    # pick a ceiling between the two so the fixture exercises rung 2
+    assert capped_est < flat_est
+    monkeypatch.setattr(sj, "BROADCAST_MAX_CELLS", (capped_est + flat_est) // 2)
+
+    out = sj.pip_join(pts, polys, budget=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    want = {
+        (r.url, r.way_id)
+        for r in pip_join_broadcast(pts, polys, build_way_cells(polys)).collect()
+    }
+    assert {(r.url, r.way_id) for r in out.collect()} == want
+
+
 def test_adaptive_broadcast_path_never_shuffles_points(spark, sf_small_dir):
     """The multi-level expansion must stay inside the codegen pipeline:
     explode → broadcast hash probe, no shuffle anywhere on the broadcast
