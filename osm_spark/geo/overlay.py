@@ -50,7 +50,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from osm_spark.geo.hexgrid import DEFAULT_RES
+from osm_spark.geo.hexgrid import (
+    DEFAULT_RES,
+    hex_cell_expr,
+    hex_center_expr,
+    hex_disk_expr,
+)
 from osm_spark.pipeline.spatial_join import BROADCAST_MAX_CELLS, pip_cover_expr
 
 
@@ -123,6 +128,54 @@ def polygons_intersect_expr(
     return edges_cross_expr(avlat, avlon, bvlat, bvlon) | a_in_b | b_in_a
 
 
+def expand_covering(
+    cells: DataFrame, own_levels: list[int], other_levels: list[int]
+) -> DataFrame:
+    """Join keys aligning a MIXED-resolution covering
+    (``build_way_cells_adaptive``) with the other side's level set:
+    (way_id, cell) → (way_id, jcell).
+
+    Cell ids only equi-match within one resolution, so a cross-res
+    overlay prejoin needs the FINER side re-expressed at the coarser
+    side's level. Emission rule (each side runs this against the other
+    side's levels): always the own cell (covers the equal-level pairs),
+    plus the **disk-1 of the own cell's center encoded at every
+    STRICTLY COARSER other-side level**. Disk-1 is provably recall-
+    complete: adjacent cell centers sit √3·e apart, so two cells at
+    grid distance ≥ 2 have centers ≥ 3e apart and their points are
+    ≥ e apart — while every point of a finer cell is within its
+    circumradius e_f ≤ e_c/√7 < e_c of the center. Hence the coarse
+    cell of ANY point of the fine cell is the center's coarse cell or
+    one of its 6 neighbors. (Two intersecting polygons share a point p;
+    p's cell at each side's own res is in that side's covering; the
+    finer side's expansion at the coarser level contains p's coarse
+    cell, which IS the coarser side's emitted key — recall-complete.)
+
+    Cost: ≤ 1 + 7·|coarser levels| keys per covering row, all codegen
+    (one center decode + one literal-delta transform per level);
+    precision loss (≤ 7× candidate fan-in per level gap) is paid in the
+    refine and bounded by the pair dedup."""
+    parts = [cells.select("way_id", F.col("cell").alias("jcell"))]
+    res_col = F.shiftright("cell", 58)
+    for lo in sorted(set(own_levels)):
+        coarser = sorted({lt for lt in other_levels if lt < lo})
+        if not coarser:
+            continue
+        sl = cells.filter(res_col == lo)
+        for lt in coarser:
+            ctr = hex_center_expr("cell", lo)
+            coarse = hex_cell_expr(ctr["lat"], ctr["lon"], lt)
+            parts.append(
+                sl.select(
+                    "way_id", F.explode(hex_disk_expr(coarse, lt, 1)).alias("jcell")
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def overlay_strategy(n_cells_smaller: int) -> str:
     """Broadcast the smaller covering while it fits the same cell-count
     ceiling ``pip_join`` uses; shuffle-hash on the cell past it."""
@@ -136,6 +189,8 @@ def overlay_join(
     cells_b: DataFrame,
     strategy: str = "broadcast",
     self_join: bool = False,
+    levels_a: list[int] | None = None,
+    levels_b: list[int] | None = None,
 ) -> DataFrame:
     """All (a_id, b_id) pairs whose polygons intersect.
 
@@ -156,11 +211,30 @@ def overlay_join(
     ``self_join=True`` keeps each unordered pair once (a_id < b_id) and
     drops the identity pair — the "overlapping polygons within one
     layer" dedup shape.
+
+    ``levels_a``/``levels_b`` (pass BOTH): the resolution sets of
+    MIXED-resolution coverings (``build_way_cells_adaptive`` /
+    ``covering_levels``) — big polygons covered coarse so the covering
+    tables stay O(polygons × budget). The prejoin then runs over
+    ``expand_covering`` keys (finer side re-expressed at the coarser
+    side's levels via the recall-complete disk-1 expansion); everything
+    downstream — dedup, vertex attach, refine — is unchanged, so the
+    result is exactly the flat join's.
     """
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
-    ca = cells_a.select(F.col("way_id").alias("a_id"), "cell")
-    cb = cells_b.select(F.col("way_id").alias("b_id"), "cell")
+    if (levels_a is None) != (levels_b is None):
+        raise ValueError("pass levels_a and levels_b together (or neither)")
+    if levels_a is not None:
+        ca = expand_covering(cells_a, levels_a, levels_b).select(
+            F.col("way_id").alias("a_id"), F.col("jcell").alias("cell")
+        )
+        cb = expand_covering(cells_b, levels_b, levels_a).select(
+            F.col("way_id").alias("b_id"), F.col("jcell").alias("cell")
+        )
+    else:
+        ca = cells_a.select(F.col("way_id").alias("a_id"), "cell")
+        cb = cells_b.select(F.col("way_id").alias("b_id"), "cell")
     if strategy == "broadcast":
         cb = F.broadcast(cb)
     else:
@@ -207,7 +281,10 @@ def overlay_join(
 
 
 def dissolve(
-    polygons: DataFrame, cells: DataFrame, strategy: str = "broadcast"
+    polygons: DataFrame,
+    cells: DataFrame,
+    strategy: str = "broadcast",
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Dissolve: cluster transitively-overlapping polygons of ONE layer
     (A overlaps B, B overlaps C ⇒ {A,B,C} merge) — the standard GIS
@@ -221,7 +298,8 @@ def dissolve(
     from osm_spark.graph.components import dedup_clusters
 
     pairs = overlay_join(
-        polygons, polygons, cells, cells, strategy=strategy, self_join=True
+        polygons, polygons, cells, cells, strategy=strategy, self_join=True,
+        levels_a=levels, levels_b=levels,
     )
     out = dedup_clusters(polygons, pairs, id_col="way_id", a="a_id", b="b_id")
     return out.withColumnRenamed("doc_id", "way_id")

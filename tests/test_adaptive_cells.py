@@ -4,6 +4,8 @@ join results identical to the flat fine-res covering on both strategies.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from osm_spark.pipeline.geometry import (
     build_way_cells,
     build_way_cells_adaptive,
@@ -132,6 +134,42 @@ def test_pip_join_auto_upgrades_to_adaptive_broadcast(spark, sf_small_dir, monke
         for r in pip_join_broadcast(pts, polys, build_way_cells(polys)).collect()
     }
     assert {(r.url, r.way_id) for r in out.collect()} == want
+
+
+def test_overlay_mixed_res_equals_flat(spark):
+    """Cross-resolution overlay prejoin (disk-1 expansion of the finer
+    side) must produce the identical intersect pair set as the flat
+    res-9 covering join, on both strategies."""
+    from osm_spark.geo.overlay import overlay_join
+    from osm_spark.pipeline.spatial_join import covering_levels
+
+    a = (
+        synth_polygons(spark)
+        .select("way_id", "vlat", "vlon")
+        .unionByName(_big_polygon(spark))  # forces a coarse level in A
+    )
+    b = synth_polygons(spark, seed=7).select(
+        (F.col("way_id") + 50000).alias("way_id"), "vlat", "vlon"
+    )
+    fa, fb = build_way_cells(a).cache(), build_way_cells(b).cache()
+    aa = build_way_cells_adaptive(a, budget=256).cache()
+    ab = build_way_cells_adaptive(b, budget=256).cache()
+    la, lb = covering_levels(aa), covering_levels(ab)
+    assert len(la) >= 2  # A genuinely mixed-res
+
+    want = {
+        (r.a_id, r.b_id)
+        for r in overlay_join(a, b, fa, fb, "broadcast").collect()
+    }
+    assert want and any(x == 77777 for x, _ in want)  # big ring overlaps B polys
+    for strat in ("broadcast", "shuffle"):
+        got = {
+            (r.a_id, r.b_id)
+            for r in overlay_join(
+                a, b, aa, ab, strat, levels_a=la, levels_b=lb
+            ).collect()
+        }
+        assert got == want, strat
 
 
 def test_adaptive_broadcast_path_never_shuffles_points(spark, sf_small_dir):
