@@ -27,10 +27,16 @@ def main() -> None:
     import __spark_entry__ as entry
     from osm_spark.session import get_spark
     from osm_spark.geo.knn import knn_join
-    from osm_spark.pipeline.geometry import build_way_cells, synth_nodes, synth_polygons
+    from osm_spark.pipeline.geometry import (
+        build_way_cells,
+        build_way_cells_adaptive,
+        synth_nodes,
+        synth_polygons,
+    )
     from osm_spark.pipeline.pages import synth_pages
     from osm_spark.pipeline.spatial_join import (
         extract_points,
+        pip_join_adaptive,
         pip_join_broadcast,
         pip_join_salted,
         salt_plan,
@@ -69,8 +75,22 @@ def main() -> None:
             "PIP join — salted shuffle path",
             "Hot cells split into k salt buckets (k from the data's own "
             "histogram); covering rows replicate into the buckets; join key "
-            "(cell, salt).",
+            "(cell, salt). The vertex attach is itself two-side-salted on "
+            "(way_id, _vsalt) — BENCH.md finding #15.",
             pip_join_salted(points, polygons, cells, salt_plan(points, target=20)),
+        ),
+        (
+            "PIP join — adaptive mixed-resolution covering (broadcast)",
+            "Big polygons covered coarse under a per-polygon cell budget; "
+            "each point expands to its cell per level inside ONE codegen "
+            "pipeline (Generate explode feeding the broadcast hash probe) — "
+            "no exchange anywhere on the points branch.",
+            pip_join_adaptive(
+                points,
+                polygons,
+                build_way_cells_adaptive(polygons, budget=64),
+                "broadcast",
+            ),
         ),
         (
             "kNN join — broadcast phase 2 (catalog-stat / explicit choice)",
