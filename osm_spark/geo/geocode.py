@@ -40,15 +40,56 @@ def reverse_geocode(
     polygons: DataFrame,
     way_cells: DataFrame | None = None,
     strategy: str = "auto",
+    budget: int = 4096,
 ) -> DataFrame:
     """(url, way_id) — the smallest-area polygon covering each point;
     points covered by no polygon are absent (semantics of a geocoder
-    miss). ``strategy`` is resolved ONCE here (same estimate as
+    miss). ``strategy`` is resolved ONCE here (same estimate ladder as
     ``pip_join``'s auto) and governs both the PIP prejoin and the area
     attach: the area dim is one row per polygon, so when the polygon
     side outgrew the broadcast ceiling the areas hash-join on way_id
     instead of broadcasting (10^8 ways × 16 B is past any sane
-    broadcast — the same reasoning as the vertex dim)."""
+    broadcast — the same reasoning as the vertex dim), two-side-salted
+    by the same way-level factors (BENCH.md finding #15).
+
+    With no ``way_cells``, auto climbs ``pip_join``'s ladder: flat
+    broadcast → adaptive mixed-res broadcast (the area dim has ≤ one
+    row per covering row, so it broadcasts whenever the adaptive
+    covering does) → adaptive salted (the area attach inherits the
+    multi-level way salts)."""
+    from osm_spark.pipeline.spatial_join import (
+        _adaptive_candidates,
+        _refine_pip_expr,
+    )
+
+    areas = way_geometry_stats(polygons).select("way_id", "area_m2")
+    vx = polygons.select("way_id", "vlat", "vlon")
+    if way_cells is None and strategy == "auto":
+        from osm_spark.pipeline.geometry import build_way_cells_adaptive
+
+        if estimate_covering_cells(polygons) > BROADCAST_MAX_CELLS:
+            index = build_way_cells_adaptive(polygons, budget=budget)
+            fits = (
+                estimate_covering_cells(polygons, cap=budget)
+                <= BROADCAST_MAX_CELLS
+            )
+            cand, way_salts = _adaptive_candidates(
+                points, index, "broadcast" if fits else "salted", None
+            )
+            if way_salts is None:
+                cand = attach_polygon_dim(cand, vx, "way_id", "broadcast")
+                pairs = _refine_pip_expr(cand)
+                scored = attach_polygon_dim(pairs, areas, "way_id", "broadcast")
+            else:
+                cand = attach_polygon_dim(
+                    cand, vx, "way_id", "shuffle", way_salts=way_salts
+                )
+                pairs = _refine_pip_expr(cand)
+                scored = attach_polygon_dim(
+                    pairs, areas, "way_id", "shuffle", way_salts=way_salts
+                )
+            return _pick_smallest(scored)
+        strategy = "broadcast"
     if strategy == "auto":
         strategy = (
             "broadcast"
@@ -56,7 +97,6 @@ def reverse_geocode(
             else "salted"
         )
     pairs = pip_join(points, polygons, way_cells, strategy=strategy)
-    areas = way_geometry_stats(polygons).select("way_id", "area_m2")
     if strategy == "broadcast":
         scored = attach_polygon_dim(pairs, areas, "way_id", "broadcast")
     else:
@@ -75,6 +115,10 @@ def reverse_geocode(
             "shuffle",
             way_salts=way_salt_plan(way_cells, salt_plan(points)),
         )
+    return _pick_smallest(scored)
+
+
+def _pick_smallest(scored: DataFrame) -> DataFrame:
     best = scored.groupBy("url").agg(
         F.min(F.struct("area_m2", "way_id")).alias("best")
     )

@@ -691,24 +691,42 @@ def pip_join_adaptive(
 
     ``levels``: pass the catalog's known level set to skip the
     ``covering_levels`` job."""
+    cand, way_salts = _adaptive_candidates(points, way_cells, strategy, levels)
+    vx = polygons.select("way_id", "vlat", "vlon")
+    if way_salts is None:
+        cand = attach_polygon_dim(cand, vx, "way_id", "broadcast")
+    else:
+        cand = attach_polygon_dim(
+            cand, vx, "way_id", "shuffle", way_salts=way_salts
+        )
+    return _refine_pip_expr(cand)
+
+
+def _adaptive_candidates(
+    points: DataFrame,
+    way_cells: DataFrame,
+    strategy: str,
+    levels: list[int] | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Candidate (url, lat, lon, way_id) pairs for the mixed-res
+    covering, plus the per-way salt plan when the salted path ran
+    (None on the broadcast path) — shared by ``pip_join_adaptive`` and
+    ``reverse_geocode``'s adaptive rungs, whose downstream polygon-dim
+    attaches must follow the same salting (BENCH.md finding #15)."""
     if levels is None:
         levels = covering_levels(way_cells)
     mp = points.withColumn(
         "h3_9", F.explode(point_cells_expr("lat", "lon", levels))
     )
-    vx = polygons.select("way_id", "vlat", "vlon")
     if strategy == "broadcast":
         cand = mp.join(
             F.broadcast(way_cells), mp["h3_9"] == way_cells["cell"], "inner"
         ).select("url", "lat", "lon", "way_id")
-        cand = attach_polygon_dim(cand, vx, "way_id", "broadcast")
-    elif strategy == "salted":
+        return cand, None
+    if strategy == "salted":
         salts = salt_plan(mp)
-        cand = _prejoin_salted(mp, way_cells, salts)
-        cand = attach_polygon_dim(
-            cand, vx, "way_id", "shuffle",
-            way_salts=way_salt_plan(way_cells, salts),
+        return (
+            _prejoin_salted(mp, way_cells, salts),
+            way_salt_plan(way_cells, salts),
         )
-    else:
-        raise ValueError(f"unknown pip_join_adaptive strategy: {strategy!r}")
-    return _refine_pip_expr(cand)
+    raise ValueError(f"unknown pip_join_adaptive strategy: {strategy!r}")

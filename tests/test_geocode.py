@@ -57,3 +57,38 @@ def test_reverse_geocode_salted_matches_broadcast(spark, points):
         for r in reverse_geocode(points, polys, wc, strategy="salted").collect()
     }
     assert sj == bc and len(bc) > 20
+
+
+def test_reverse_geocode_adaptive_rungs_match(spark, points, monkeypatch):
+    """When the flat covering estimate exceeds the ceiling, auto must
+    climb to the adaptive rungs (broadcast, then salted) and return the
+    identical smallest-polygon picks."""
+    import osm_spark.geo.geocode as gc
+    import osm_spark.pipeline.spatial_join as sj_mod
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    polys = synth_polygons(spark)
+    wc = build_way_cells(polys).cache()
+    want = {
+        (r.url, r.way_id)
+        for r in reverse_geocode(points, polys, wc, strategy="broadcast").collect()
+    }
+    flat_est = sj_mod.estimate_covering_cells(polys)
+    capped = sj_mod.estimate_covering_cells(polys, cap=8)
+    assert capped < flat_est
+    # rung 2: flat too big, capped fits
+    monkeypatch.setattr(gc, "BROADCAST_MAX_CELLS", (capped + flat_est) // 2)
+    monkeypatch.setattr(sj_mod, "BROADCAST_MAX_CELLS", (capped + flat_est) // 2)
+    got2 = {
+        (r.url, r.way_id)
+        for r in reverse_geocode(points, polys, budget=8).collect()
+    }
+    assert got2 == want
+    # rung 3: even the capped estimate exceeds the ceiling -> adaptive salted
+    monkeypatch.setattr(gc, "BROADCAST_MAX_CELLS", capped // 2)
+    monkeypatch.setattr(sj_mod, "BROADCAST_MAX_CELLS", capped // 2)
+    got3 = {
+        (r.url, r.way_id)
+        for r in reverse_geocode(points, polys, budget=8).collect()
+    }
+    assert got3 == want
