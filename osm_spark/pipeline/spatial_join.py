@@ -488,11 +488,30 @@ def pip_join_multipolygon(
     ``pip_join_adaptive``); both strategies below then work unchanged
     because mixed-res ids never collide across levels.
     """
-    from osm_spark.pipeline.geometry import build_way_cells
+    from osm_spark.pipeline.geometry import (
+        build_way_cells,
+        build_way_cells_adaptive,
+    )
 
     ring_geo = rings.select("way_id", "vlat", "vlon")
     if ring_cells is None:
-        ring_cells = build_way_cells(ring_geo)
+        if (
+            strategy == "auto"
+            and estimate_covering_cells(ring_geo) > BROADCAST_MAX_CELLS
+        ):
+            # same ladder as pip_join: a flat covering past the ceiling
+            # first tries the budget-capped mixed-res covering (rings
+            # are where the flat form explodes first)
+            ring_cells = build_way_cells_adaptive(ring_geo)
+            levels = covering_levels(ring_cells)
+            strategy = (
+                "broadcast"
+                if estimate_covering_cells(ring_geo, cap=4096)
+                <= BROADCAST_MAX_CELLS
+                else "salted"
+            )
+        else:
+            ring_cells = build_way_cells(ring_geo)
     if levels is not None:
         points = points.withColumn(
             "h3_9", F.explode(point_cells_expr("lat", "lon", levels))

@@ -136,6 +136,39 @@ def test_pip_join_auto_upgrades_to_adaptive_broadcast(spark, sf_small_dir, monke
     assert {(r.url, r.way_id) for r in out.collect()} == want
 
 
+def test_multipolygon_auto_ladder(spark, sf_small_dir, monkeypatch):
+    """With the flat ring-covering estimate past the ceiling, the
+    multipolygon auto strategy must climb to the adaptive covering and
+    still return the identical relation picks."""
+    import osm_spark.pipeline.spatial_join as sj
+    from osm_spark.pipeline.spatial_join import pip_join_multipolygon
+
+    rings = spark.createDataFrame(
+        [
+            (600, "outer", 8001, [51.3, 51.3, 51.8, 51.8], [-0.4, 0.1, 0.1, -0.4]),
+            (600, "inner", 8002, [51.49, 51.49, 51.51, 51.51],
+             [-0.15, -0.12, -0.12, -0.15]),
+        ],
+        "relation_id long, role string, way_id long, "
+        "vlat array<double>, vlon array<double>",
+    )
+    pts = extract_points(synth_pages(spark, sf_small_dir)).cache()
+    want = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings, strategy="broadcast").collect()
+    }
+    ring_geo = rings.select("way_id", "vlat", "vlon")
+    capped = sj.estimate_covering_cells(ring_geo, cap=4096)
+    flat_est = sj.estimate_covering_cells(ring_geo)
+    assert capped < flat_est
+    monkeypatch.setattr(sj, "BROADCAST_MAX_CELLS", (capped + flat_est) // 2)
+    got = {
+        (r.url, r.relation_id)
+        for r in pip_join_multipolygon(pts, rings, strategy="auto").collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_overlay_mixed_res_equals_flat(spark):
     """Cross-resolution overlay prejoin (disk-1 expansion of the finer
     side) must produce the identical intersect pair set as the flat
