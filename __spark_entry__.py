@@ -1617,6 +1617,88 @@ def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").cast("long").alias("point_id"), "node_id")
 
 
+_DBSCAN_EPS_M = 1500.0
+_DBSCAN_MIN_PTS = 20
+
+
+def _dbscan_oracle() -> str:
+    """Brute-force DBSCAN: all-pairs haversine (same formula/op order as
+    ``haversine_m``), degree counts, core flags, then a recursive-CTE
+    min-label closure over the core-core eps-graph — exactly the
+    convergence target of the Spark side's pointer-jumping components.
+    Border points take the MIN cluster over their core neighbors (the
+    deterministic tie-break dbscan() pins). Integer output only — no
+    float rides the value hash."""
+    eps = repr(float(_DBSCAN_EPS_M))
+    return f"""
+        WITH RECURSIVE pts AS ({_sql_points_oracle()}),
+        prs AS (
+            SELECT a.point_id AS a_id, b.point_id AS b_id
+            FROM pts a JOIN pts b ON a.point_id < b.point_id
+            WHERE 2.0 * 6371000.0 * asin(sqrt(
+                      pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+                    + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * pow(sin(radians(b.lon - a.lon) / 2.0), 2))) <= {eps}
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a_id AS id FROM prs
+                UNION ALL SELECT b_id FROM prs
+            ) GROUP BY id
+        ),
+        core AS (
+            SELECT p.point_id AS id
+            FROM pts p LEFT JOIN deg ON deg.id = p.point_id
+            WHERE coalesce(deg.deg, 0) + 1 >= {_DBSCAN_MIN_PTS}
+        ),
+        ce AS (
+            SELECT a_id, b_id FROM prs
+            WHERE a_id IN (SELECT id FROM core)
+              AND b_id IN (SELECT id FROM core)
+        ),
+        sym AS (SELECT a_id AS u, b_id AS v FROM ce
+                UNION SELECT b_id, a_id FROM ce),
+        reach(id, r) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.id = s.v
+        ),
+        comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        border AS (
+            SELECT t.id, MIN(c.cluster) AS cluster FROM (
+                SELECT a_id AS id, b_id AS cid FROM prs
+                UNION ALL SELECT b_id, a_id FROM prs
+            ) t JOIN comp c ON c.id = t.cid
+            WHERE t.id NOT IN (SELECT id FROM comp)
+            GROUP BY t.id
+        )
+        SELECT id AS point_id, cluster, 'core' AS role FROM comp
+        UNION ALL
+        SELECT id AS point_id, cluster, 'border' AS role FROM border
+        UNION ALL
+        SELECT p.point_id, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role
+        FROM pts p
+        WHERE p.point_id NOT IN (SELECT id FROM comp)
+          AND p.point_id NOT IN (SELECT id FROM border)
+    """
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: distributed grid DBSCAN (geo/dbscan.py) — K-disk
+    cell candidates → exact eps refine → degree/core flags → min-label
+    components over the core-core graph, border points assigned the min
+    neighboring cluster — vs a DuckDB brute-force + recursive-closure
+    oracle. Every label is an integer, so the gate is value-hash exact."""
+    _prep(spark)
+    from osm_spark.geo.dbscan import dbscan
+
+    pts = _sql_points(spark, sf_dir).select(
+        F.col("url").cast("long").alias("id"), "lat", "lon"
+    )
+    out = dbscan(pts, _DBSCAN_EPS_M, _DBSCAN_MIN_PTS)
+    return out.select(F.col("id").alias("point_id"), "cluster", "role")
+
+
 def _raycast_hits_sql(pts: str, poly: str) -> str:
     """Derived-table fragment: exact even-odd ray cast + boundary-eps
     hits (same IEEE op order as ``pip_cover_expr``) of CTE ``pts``
@@ -2729,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "simhash_near_dups": q_simhash_near_dups,
+        "dbscan_clusters": q_dbscan_clusters,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
     }
@@ -2742,6 +2825,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_pairs_adaptive": _pip_pairs_oracle(),
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
+        "dbscan_clusters": _dbscan_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
