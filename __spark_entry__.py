@@ -1266,13 +1266,21 @@ def _sql_points_oracle() -> str:
 
 
 def _polygons_values_sql(n_per_city: int = 8, seed: int = 42) -> str:
-    """way_polygons fixture rendered as SQL VALUES literals."""
+    """way_polygons fixture rendered as SQL VALUES literals.
+
+    Vertices are QUOTED strings: every consumer casts the arrays to
+    DOUBLE[], and DuckDB's VARCHAR→DOUBLE cast is a correctly-rounded
+    strtod that reproduces the Python float bit-for-bit, while a bare
+    numeric literal parses as DECIMAL first and the DECIMAL→DOUBLE
+    conversion can be off by an ulp (observed: 31.204551447689322).
+    Pair-set oracles never noticed; the snap oracle exposes dist VALUES
+    and does."""
     from osm_spark.pipeline.geometry import synth_polygons_pdf
 
     rows = []
     for r in synth_polygons_pdf(n_per_city, seed).itertuples():
-        vlat = ", ".join(repr(float(v)) for v in r.vlat)
-        vlon = ", ".join(repr(float(v)) for v in r.vlon)
+        vlat = ", ".join(f"'{float(v)!r}'" for v in r.vlat)
+        vlon = ", ".join(f"'{float(v)!r}'" for v in r.vlon)
         rows.append(f"({r.way_id}, [{vlat}], [{vlon}])")
     return ",\n                ".join(rows)
 
@@ -1681,6 +1689,164 @@ def _dbscan_oracle() -> str:
         WHERE p.point_id NOT IN (SELECT id FROM comp)
           AND p.point_id NOT IN (SELECT id FROM border)
     """
+
+
+_SNAP_RADIUS_M = 3000.0
+
+
+def _snap_oracle() -> str:
+    """Brute-force nearest-segment snap: every (point, ring segment)
+    pair scored with the identical equirectangular point-to-segment
+    arithmetic as ``seg_dist_m`` (geo/snap.py), ROW_NUMBER argmin with
+    the same (dist, way_id, seg_idx) tie-break. VALUES literals are CAST
+    to DOUBLE[] up front — DuckDB otherwise parses them as DECIMAL and
+    the subtraction bits diverge from float64. The gated distance is
+    quantized to integer MILLIMETERS: JVM ``cos`` and libm ``cos``
+    disagree by 1 ulp on some latitudes (measured — 3 of 1474 rows), so
+    raw float values cannot hash-match; 3e-10 m of ulp noise cannot
+    flip a 0.5 mm rounding boundary."""
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        seg0 AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ),
+        seg AS (
+            SELECT way_id, CAST(i AS INT) AS seg_idx,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM seg0
+        ),
+        pts AS ({_sql_points_oracle()}),
+        c1 AS (
+            SELECT p.point_id, s.way_id, s.seg_idx,
+                   (s.bx - s.ax) * cos(radians(p.lat)) AS abx,
+                   s.by - s.ay AS aby,
+                   (p.lon - s.ax) * cos(radians(p.lat)) AS apx,
+                   p.lat - s.ay AS apy
+            FROM pts p CROSS JOIN seg s
+        ),
+        c2 AS (SELECT *, abx * abx + aby * aby AS d FROM c1),
+        c3 AS (SELECT *, CASE WHEN d > 0 THEN (apx * abx + apy * aby) / d
+                              ELSE 0.0 END AS t0 FROM c2),
+        c4 AS (SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3),
+        c5 AS (SELECT point_id, way_id, seg_idx,
+                      apx - t * abx AS dx, apy - t * aby AS dy FROM c4),
+        hits AS (
+            SELECT point_id, way_id, seg_idx,
+                   sqrt(dx * dx + dy * dy) * 111320.0 AS dist_m
+            FROM c5
+            WHERE sqrt(dx * dx + dy * dy) * 111320.0 <= {_SNAP_RADIUS_M!r}
+        )
+        SELECT point_id, way_id, seg_idx,
+               CAST(round(dist_m * 1000.0) AS BIGINT) AS dist_mm
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY point_id
+                ORDER BY dist_m, way_id, seg_idx) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    """
+
+
+def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: nearest-segment snap / map matching (geo/snap.py) —
+    segment sample covering → cell equi-join → exact equirectangular
+    point-to-segment refine → struct-min argmin — vs a DuckDB
+    brute-force replay with identical IEEE arithmetic. Runs the SHUFFLE
+    path (planet-scale form; broadcast is pytest-proven identical)."""
+    _prep(spark)
+    from osm_spark.geo.snap import snap_join
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    out = snap_join(
+        _sql_points(spark, sf_dir), ways, _SNAP_RADIUS_M,
+        closed=True, strategy="shuffle",
+    )
+    return out.select(
+        F.col("url").cast("long").alias("point_id"),
+        "way_id",
+        "seg_idx",
+        F.round(F.col("dist_m") * 1000.0, 0).cast("long").alias("dist_mm"),
+    )
+
+
+_HOTSPOT_Z = 15
+
+
+def _hotspot_oracle() -> str:
+    """Full replay of the Gi* pipeline: same Web-Mercator tile floor as
+    the tile_pyramid oracle (asinh spelled ln(t+sqrt(t²+1))), integer
+    neighbor scatter, then the identical closing float expression. The
+    gated statistic is micro-quantized (geo/hotspot.py docstring)."""
+    n = 1 << _HOTSPOT_Z
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat, lon
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        scattered AS (
+            SELECT x + dx AS tx, y + dy AS ty, cnt
+            FROM counts
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) a
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) b
+        ),
+        nbr AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS g, count(*) AS w
+                FROM scattered GROUP BY tx, ty),
+        occ AS (
+            SELECT c.x, c.y, c.cnt, n2.g, n2.w
+            FROM counts c JOIN nbr n2 ON n2.tx = c.x AND n2.ty = c.y
+        ),
+        tot AS (SELECT count(*) AS n, sum(cnt) AS sx,
+                        sum(cnt * cnt) AS sx2 FROM counts)
+        SELECT x, y, cnt, w, g,
+               CASE WHEN n > 1 AND
+                         sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                    THEN CAST(round(
+                         (CAST(g AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                            * CAST(w AS DOUBLE))
+                         / (sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                            * sqrt((CAST(n AS DOUBLE) * CAST(w AS DOUBLE)
+                                    - CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) - 1.0)))
+                         * 1e6) AS BIGINT)
+               END AS z_micro
+        FROM occ CROSS JOIN tot
+    """
+
+
+def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: Getis-Ord Gi* hotspot detection over the z15 tile
+    raster (geo/hotspot.py) — tile counts → 9-way neighbor scatter →
+    micro-quantized z-score — vs a DuckDB full replay (integer aggregates
+    feed a bit-identical closing float expression)."""
+    _prep(spark)
+    from osm_spark.geo.hotspot import hotspot_gi
+
+    return hotspot_gi(_sql_points(spark, sf_dir), _HOTSPOT_Z)
 
 
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2812,6 +2978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "simhash_near_dups": q_simhash_near_dups,
         "dbscan_clusters": q_dbscan_clusters,
+        "snap_roads": q_snap_roads,
+        "hotspot_gi": q_hotspot_gi,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
     }
@@ -2826,6 +2994,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
+        "snap_roads": _snap_oracle(),
+        "hotspot_gi": _hotspot_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
