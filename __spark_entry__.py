@@ -1779,6 +1779,129 @@ def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_HOPS = 8
+
+
+def _sssp_oracle() -> str:
+    """Hop-bounded walk enumeration: after R Bellman-Ford rounds the
+    engine holds min-over-walks-of-≤R-edges (graph/sssp.py docstring),
+    which is EXACTLY the set this recursion enumerates — so the oracle
+    is equivalence, not approximation. Weights are integer millimeters
+    (same rounded haversine both sides); the recursion carries the hop
+    count to stay finite on the ring cycles, and UNION dedup keeps the
+    walk set polynomial."""
+    hav = (
+        "CAST(round(2.0 * 6371000.0 * asin(sqrt("
+        " pow(sin(radians({by} - {ay}) / 2.0), 2)"
+        " + cos(radians({ay})) * cos(radians({by}))"
+        " * pow(sin(radians({bx} - {ax}) / 2.0), 2))) * 1000.0) AS BIGINT)"
+    )
+    ring_w = hav.format(
+        ay="vlat[CAST(i AS INT) + 1]", ax="vlon[CAST(i AS INT) + 1]",
+        by="vlat[CAST((i + 1) % len(vlat) AS INT) + 1]",
+        bx="vlon[CAST((i + 1) % len(vlat) AS INT) + 1]",
+    )
+    short_w = hav.format(ay="a.hlat", ax="a.hlon", by="b.hlat", bx="b.hlon")
+    return f"""
+        WITH RECURSIVE poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        verts AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ),
+        ring_e AS (
+            SELECT way_id * 100 + i AS src,
+                   way_id * 100 + (i + 1) % len(vlat) AS dst,
+                   {ring_w} AS w
+            FROM verts
+        ),
+        heads AS (SELECT way_id, vlat[1] AS hlat, vlon[1] AS hlon FROM poly),
+        short_e AS (
+            SELECT a.way_id * 100 AS src, b.way_id * 100 AS dst, {short_w} AS w
+            FROM heads a JOIN heads b ON b.way_id = a.way_id + 1
+            WHERE (a.way_id - 1000) % 8 < 7
+        ),
+        edges AS (
+            SELECT src, dst, w FROM ring_e
+            UNION ALL SELECT dst, src, w FROM ring_e
+            UNION ALL SELECT src, dst, w FROM short_e
+            UNION ALL SELECT dst, src, w FROM short_e
+        ),
+        reach(id, d, h) AS (
+            SELECT way_id * 100, CAST(0 AS BIGINT), 0
+            FROM poly WHERE (way_id - 1000) % 8 = 0
+            UNION
+            SELECT e.dst, reach.d + e.w, reach.h + 1
+            FROM reach JOIN edges e ON e.src = reach.id
+            WHERE reach.h < {_SSSP_HOPS}
+        )
+        SELECT id, MIN(d) AS dist FROM reach GROUP BY id
+    """
+
+
+def q_sssp_waygraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: bounded-hop Bellman-Ford SSSP (graph/sssp.py) over
+    the way-ring graph (ring edges + per-city chain shortcuts between
+    way heads; integer-millimeter haversine weights) from one source
+    vertex per city, vs a DuckDB hop-bounded walk-enumeration oracle —
+    an exact-equivalence gate for an iterative algorithm."""
+    _prep(spark)
+    from osm_spark.geo.knn import haversine_m
+    from osm_spark.graph.sssp import shortest_paths
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    nv = F.size("vlat")
+    v = ways.select(
+        "way_id", "vlat", "vlon", nv.alias("nv"),
+        F.explode(F.sequence(F.lit(0), nv - 1)).alias("i"),
+    )
+    jx = (F.col("i") + 1) % F.col("nv")
+    el = F.element_at
+    ring_w = F.round(
+        haversine_m(
+            el("vlat", F.col("i") + 1), el("vlon", F.col("i") + 1),
+            el("vlat", jx + 1), el("vlon", jx + 1),
+        ) * 1000.0, 0,
+    ).cast("long")
+    ring_e = v.select(
+        (F.col("way_id") * 100 + F.col("i")).alias("src"),
+        (F.col("way_id") * 100 + jx).alias("dst"),
+        ring_w.alias("w"),
+    )
+    heads = ways.select(
+        "way_id", el("vlat", 1).alias("hlat"), el("vlon", 1).alias("hlon")
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    short_e = (
+        a.join(b, F.col("b.way_id") == F.col("a.way_id") + 1)
+        .where((F.col("a.way_id") - 1000) % 8 < 7)
+        .select(
+            (F.col("a.way_id") * 100).alias("src"),
+            (F.col("b.way_id") * 100).alias("dst"),
+            F.round(
+                haversine_m(
+                    F.col("a.hlat"), F.col("a.hlon"),
+                    F.col("b.hlat"), F.col("b.hlon"),
+                ) * 1000.0, 0,
+            ).cast("long").alias("w"),
+        )
+    )
+    fwd = ring_e.unionByName(short_e)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = ways.where((F.col("way_id") - 1000) % 8 == 0).select(
+        (F.col("way_id") * 100).alias("id")
+    )
+    return shortest_paths(edges, sources, _SSSP_HOPS)
+
+
 _HOTSPOT_Z = 15
 
 
@@ -2980,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
+        "sssp_waygraph": q_sssp_waygraph,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
     }
@@ -2996,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _dbscan_oracle(),
         "snap_roads": _snap_oracle(),
         "hotspot_gi": _hotspot_oracle(),
+        "sssp_waygraph": _sssp_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
