@@ -1779,6 +1779,73 @@ def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIP_STAY_M = 3000.0
+
+
+def _trip_stats_oracle() -> str:
+    """LAG-window replay of trip_steps/trip_stats: same position synth
+    (user-keyed city, event-keyed jitter), same haversine op order, same
+    mm rounding, same (ts, event_id) ordering tie-break."""
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    stay_mm = int(round(_TRIP_STAY_M * 1000.0))
+    return f"""
+        WITH pts AS (
+            SELECT user_id, event_id, ts,
+                   ([{lats}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events
+        ),
+        lagd AS (
+            SELECT user_id, lat, lon,
+                   LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+                   LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+            FROM pts
+        ),
+        steps AS (
+            SELECT user_id,
+                   CAST(round(2.0 * 6371000.0 * asin(sqrt(
+                        pow(sin(radians(lat - plat) / 2.0), 2)
+                      + cos(radians(plat)) * cos(radians(lat))
+                        * pow(sin(radians(lon - plon) / 2.0), 2))) * 1000.0)
+                        AS BIGINT) AS step_mm
+            FROM lagd
+        )
+        SELECT user_id,
+               count(*) AS n_pings,
+               count(CASE WHEN step_mm >= {stay_mm} THEN 1 END) AS n_moves,
+               CAST(coalesce(sum(step_mm), 0) AS BIGINT) AS total_mm,
+               max(step_mm) AS max_step_mm
+        FROM steps GROUP BY user_id
+    """
+
+
+def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window × §2.10 geo composition: per-user trajectory stats
+    (geo/trips.py) — one user-keyed LAG window, integer-millimeter
+    steps, exact integer aggregates — vs a DuckDB LAG replay."""
+    _prep(spark)
+    from osm_spark.geo.trips import trip_stats
+    from osm_spark.pipeline.pages import CITIES
+
+    ev = _t(spark, sf_dir, "events")
+    city = (F.col("user_id") % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    did = F.col("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        (clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lat"),
+        (clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lon"),
+    )
+    return trip_stats(pts, stay_m=_TRIP_STAY_M)
+
+
 _SSSP_HOPS = 8
 
 
@@ -3104,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
+        "trip_stats": q_trip_stats,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
     }
@@ -3121,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_roads": _snap_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "sssp_waygraph": _sssp_oracle(),
+        "trip_stats": _trip_stats_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),
