@@ -203,10 +203,17 @@ def snap_join(
         .select("url", "way_id", "seg_idx", d.alias("dist_m"))
         .where(F.col("dist_m") <= F.lit(float(radius_m)))
     )
-    # A segment can reach the same point through several sampled cells —
-    # collapse before the argmin so each (point, segment) votes once.
+    # Argmin via collect_list + array_min, NOT min(struct): a struct-
+    # typed Min buffer forces SortAggregate (a per-partition sort of the
+    # full candidate table — measured in the plan), while collect_list
+    # runs in ObjectHashAggregate; per-key memory is the local candidate
+    # count, the same bound knn_join's top-k accepts (geo/knn.py). A
+    # segment reaching one point through several sampled cells only adds
+    # duplicate candidates — the min is unaffected.
     best = hits.groupBy("url").agg(
-        F.min(F.struct("dist_m", "way_id", "seg_idx")).alias("b")
+        F.array_min(
+            F.collect_list(F.struct("dist_m", "way_id", "seg_idx"))
+        ).alias("b")
     )
     return best.select(
         "url",
