@@ -2028,6 +2028,57 @@ def _hotspot_oracle() -> str:
     """
 
 
+def _focal_oracle() -> str:
+    """Integer-kernel scatter replay: same tile floor as the hotspot
+    oracle, binomial 5×5 weights as a VALUES table, grouped by target,
+    intersected back to occupied tiles. Pure integer arithmetic."""
+    from osm_spark.geo.focal import BINOMIAL_5X5
+
+    n = 1 << _HOTSPOT_Z
+    kern = ", ".join(
+        f"({dx}, {dy}, {w})" for (dx, dy), w in sorted(BINOMIAL_5X5.items())
+    )
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat, lon
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        kern(dx, dy, w) AS (VALUES {kern}),
+        scattered AS (
+            SELECT c.x + k.dx AS tx, c.y + k.dy AS ty, c.cnt * k.w AS contrib
+            FROM counts c CROSS JOIN kern k
+        ),
+        conv AS (
+            SELECT tx AS x, ty AS y, CAST(sum(contrib) AS BIGINT) AS focal
+            FROM scattered GROUP BY tx, ty
+        )
+        SELECT conv.x, conv.y, conv.focal
+        FROM conv JOIN counts USING (x, y)
+    """
+
+
+def q_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: focal raster convolution (geo/focal.py) — binomial
+    5×5 integer kernel scattered over the sparse z15 tile grid, occupied
+    support — vs a DuckDB scatter replay. Exact integer output."""
+    _prep(spark)
+    from osm_spark.geo.focal import focal_sum
+    from osm_spark.geo.hotspot import tile_count_grid
+
+    grid = tile_count_grid(_sql_points(spark, sf_dir), _HOTSPOT_Z)
+    return focal_sum(grid, keep="occupied")
+
+
 def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: Getis-Ord Gi* hotspot detection over the z15 tile
     raster (geo/hotspot.py) — tile counts → 9-way neighbor scatter →
@@ -3170,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
+        "focal_smooth": q_focal_smooth,
         "sssp_waygraph": q_sssp_waygraph,
         "trip_stats": q_trip_stats,
         "pip_join": q_pip_join,
@@ -3188,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _dbscan_oracle(),
         "snap_roads": _snap_oracle(),
         "hotspot_gi": _hotspot_oracle(),
+        "focal_smooth": _focal_oracle(),
         "sssp_waygraph": _sssp_oracle(),
         "trip_stats": _trip_stats_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
