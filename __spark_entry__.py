@@ -2106,6 +2106,86 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("point_id"), "cluster", "role")
 
 
+_IDW_RADIUS_M = 1500.0
+
+
+def _idw_oracle() -> str:
+    """Brute-force DWithin (the radius oracle's haversine) + the exact
+    integer weight chain of geo/idw.py: d_mm = round(d·1000), d_eff =
+    max(d_mm, 1 m), w = floor(scale / d_eff²) (double division then
+    floor in BOTH engines — identical bits; the scale literal is
+    rendered as the same double), integer sums, one closing double
+    division. Node values are id % 97."""
+    from osm_spark.geo.idw import MIN_D_MM, idw_scale
+
+    scale_lit = repr(float(idw_scale(_IDW_RADIUS_M)))
+
+    hav = ("2.0 * 6371000.0 * asin(sqrt("
+           " pow(sin(radians(n.nlat - p.lat) / 2.0), 2)"
+           " + cos(radians(p.lat)) * cos(radians(n.nlat))"
+           " * pow(sin(radians(n.nlon - p.lon) / 2.0), 2)))")
+    return f"""
+        WITH nodes0(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        nodes AS (
+            SELECT CAST(node_id AS BIGINT) AS node_id,
+                   CAST(nlat AS DOUBLE) AS nlat,
+                   CAST(nlon AS DOUBLE) AS nlon,
+                   CAST(node_id AS BIGINT) % 97 AS v
+            FROM nodes0
+        ),
+        pts AS ({_sql_points_oracle()}),
+        cand AS (
+            SELECT p.point_id, n.v,
+                   CAST(round({hav} * 1000.0) AS BIGINT) AS d_mm
+            FROM pts p CROSS JOIN nodes n
+            WHERE {hav} <= {_IDW_RADIUS_M!r}
+        ),
+        terms AS (
+            SELECT point_id, v, d_mm,
+                   CASE WHEN d_mm = 0 THEN NULL
+                        ELSE CAST(floor({scale_lit}
+                             / CAST(GREATEST(d_mm, {MIN_D_MM})
+                                    * GREATEST(d_mm, {MIN_D_MM}) AS DOUBLE))
+                             AS BIGINT)
+                   END AS w
+            FROM cand
+        ),
+        agg AS (
+            SELECT point_id,
+                   count(*) AS n_nbrs,
+                   CAST(sum(w * v) AS BIGINT) AS num,
+                   CAST(sum(w) AS BIGINT) AS den,
+                   min(CASE WHEN d_mm = 0 THEN v END) AS exact_v
+            FROM terms GROUP BY point_id
+        )
+        SELECT point_id, n_nbrs,
+               CASE WHEN exact_v IS NOT NULL THEN exact_v * 1000000
+                    ELSE CAST(round(1000000.0 * CAST(num AS DOUBLE)
+                                    / CAST(den AS DOUBLE)) AS BIGINT)
+               END AS est_micro
+        FROM agg
+    """
+
+
+def q_idw_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: IDW spatial interpolation (geo/idw.py) — radius
+    candidates, integer-quantized Shepard weights (order-independent
+    sums — the float-sum trap documented in the module), one closing
+    division — vs a DuckDB brute-force replay."""
+    _prep(spark)
+    from osm_spark.geo.idw import idw_interpolate
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    nodes = synth_nodes(spark).withColumn("val", F.col("id") % 97)
+    out = idw_interpolate(
+        _sql_points(spark, sf_dir), nodes, _IDW_RADIUS_M, strategy="shuffle"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("point_id"), "n_nbrs", "est_micro"
+    )
+
+
 def _raycast_hits_sql(pts: str, poly: str) -> str:
     """Derived-table fragment: exact even-odd ray cast + boundary-eps
     hits (same IEEE op order as ``pip_cover_expr``) of CTE ``pts``
@@ -3222,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
         "focal_smooth": q_focal_smooth,
+        "idw_field": q_idw_field,
         "sssp_waygraph": q_sssp_waygraph,
         "trip_stats": q_trip_stats,
         "pip_join": q_pip_join,
@@ -3241,6 +3322,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_roads": _snap_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "focal_smooth": _focal_oracle(),
+        "idw_field": _idw_oracle(),
         "sssp_waygraph": _sssp_oracle(),
         "trip_stats": _trip_stats_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
