@@ -2767,6 +2767,62 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.unionByName(shortcut))
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient
+    (osm_spark/graph/triangles.py) over the synthetic link graph —
+    degree-ordered orientation so each triangle is generated once and
+    hub fan-out never concentrates on one reducer. The oracle replays
+    the count with the canonical id-ordered triple join (orientation-
+    independent result); cc closes with the same floor'd double
+    division in both engines."""
+    from osm_spark.graph.triangles import triangle_counts
+
+    return triangle_counts(_link_graph(spark, sf_dir))
+
+
+def _triangle_counts_oracle() -> str:
+    return """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, n
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM e a
+            JOIN e b ON b.u = a.v
+            JOIN e c ON c.u = a.u AND c.v = b.v
+        ),
+        tc AS (
+            SELECT id, count(*) AS n_tri FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY id
+        )
+        SELECT d.id, d.deg,
+               COALESCE(tc.n_tri, 0) AS n_tri,
+               CASE WHEN d.deg >= 2 THEN
+                   CAST(floor(2000000.0 * COALESCE(tc.n_tri, 0)
+                        / CAST(d.deg * (d.deg - 1) AS DOUBLE)) AS BIGINT)
+               ELSE 0 END AS cc_micro
+        FROM deg d LEFT JOIN tc ON tc.id = d.id
+    """
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup: canonicalize messy synthetic URLs (97 pages per
     canonical target collide across tracking-param / default-port /
@@ -3210,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_lookup_join": q_broadcast_lookup_join,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
+        "triangle_counts": q_triangle_counts,
         "multi_key_ordering": q_multi_key_ordering,
         "tag_requirement_met": q_tag_requirement_met,
         "exact_dedup": q_exact_dedup,
@@ -4305,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM verts v LEFT JOIN s2 s USING (id), nv, d2 dd)
             SELECT id, r AS rank_scaled FROM r3
         """,
+        "triangle_counts": _triangle_counts_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
         # recursion computes — round-count-independent, so an iterative
