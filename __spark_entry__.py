@@ -2823,6 +2823,78 @@ def _triangle_counts_oracle() -> str:
     """
 
 
+_KCORE_ORACLE_ROUNDS = 10
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core extraction (osm_spark/graph/kcore.py) over a graph built
+    to peel: per 5-doc group a triangle (r=0,1,2) with a 2-hop tail
+    (r=3,4), plus affine shortcut edges every 35th doc. Tails peel away
+    over multiple synchronous rounds; the oracle replays the peel as a
+    bounded unrolled SQL round chain (fixpoint is order-independent and
+    the engine raises if unconverged, so R unrolled rounds ≥ engine
+    rounds ⇒ exact equality — the pagerank unrolled-replay precedent)."""
+    from osm_spark.graph.kcore import kcore
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    did = F.col("doc_id")
+    chain = d.where(did % 5 != 0).select(
+        (did - 1).alias("src"), did.alias("dst")
+    )
+    closer = d.where(did % 5 == 2).select(
+        (did - 2).alias("src"), did.alias("dst")
+    )
+    shortcut = (
+        d.where(did % 35 == 0)
+        .crossJoin(n)
+        .select(did.alias("src"), ((did * 3 + 7) % F.col("n_docs")).alias("dst"))
+    )
+    edges = chain.unionByName(closer).unionByName(shortcut)
+    return kcore(edges, k=2, max_iter=_KCORE_ORACLE_ROUNDS)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled synchronous peel: round i keeps vertices with degree ≥ 2
+    in round i−1's edge set, then the induced edges. Extra rounds past
+    the fixpoint are no-ops, so unrolling more rounds than the engine
+    needed is safe (the engine raises if IT needed more)."""
+    rounds = []
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+        v{i} AS MATERIALIZED (
+            SELECT id FROM (
+                SELECT u AS id FROM e{p} UNION ALL SELECT v FROM e{p}
+            ) GROUP BY id HAVING count(*) >= 2
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{p} e
+            JOIN v{i} a ON a.id = e.u
+            JOIN v{i} b ON b.id = e.v
+        )""")
+    last = _KCORE_ORACLE_ROUNDS
+    return f"""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        raw AS (
+            SELECT doc_id - 1 AS src, doc_id AS dst FROM documents
+            WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id - 2, doc_id FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 7) % n_docs FROM documents, n
+            WHERE doc_id % 35 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),{",".join(rounds)}
+        SELECT id, count(*) AS deg FROM (
+            SELECT u AS id FROM e{last} UNION ALL SELECT v FROM e{last}
+        ) GROUP BY id
+    """
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup: canonicalize messy synthetic URLs (97 pages per
     canonical target collide across tracking-param / default-port /
@@ -3267,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "triangle_counts": q_triangle_counts,
+        "kcore": q_kcore,
         "multi_key_ordering": q_multi_key_ordering,
         "tag_requirement_met": q_tag_requirement_met,
         "exact_dedup": q_exact_dedup,
@@ -4363,6 +4436,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, r AS rank_scaled FROM r3
         """,
         "triangle_counts": _triangle_counts_oracle(),
+        "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
         # recursion computes — round-count-independent, so an iterative
