@@ -1846,6 +1846,154 @@ def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_stats(pts, stay_m=_TRIP_STAY_M)
 
 
+_OD_Z = 12
+
+
+def _od_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trajectory synth for the OD/stay family (identical to
+    q_trip_stats's position synthesis)."""
+    from osm_spark.pipeline.pages import CITIES
+
+    ev = _t(spark, sf_dir, "events")
+    city = (F.col("user_id") % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    did = F.col("event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lat"),
+        (clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lon"),
+    )
+
+
+def _od_pts_sql() -> str:
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    return f"""
+        SELECT user_id, event_id, ts,
+               ([{lats}])[CAST(user_id % 10 AS INT) + 1]
+                 + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+               ([{lons}])[CAST(user_id % 10 AS INT) + 1]
+                 + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+        FROM events
+    """
+
+
+def _od_matrix_oracle() -> str:
+    """LAG-window + Web-Mercator tile replay of geo/odmatrix.py: same
+    clamp order, same floor arithmetic, same (ts, event_id) tie-break,
+    same dwell drop and exact COUNT(DISTINCT user)."""
+    n = float(1 << _OD_Z)
+    m = 85.05112878
+    return f"""
+        WITH pts AS ({_od_pts_sql()}),
+        cells AS (
+            SELECT user_id, event_id, ts,
+                   LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n!r}) AS BIGINT),
+                                  0), {(1 << _OD_Z) - 1}) AS x,
+                   LEAST(GREATEST(CAST(floor((1.0
+                            - ln(tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r})))
+                                 + sqrt(tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r})))
+                                        * tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r})))
+                                        + 1.0)) / pi())
+                            / 2.0 * {n!r}) AS BIGINT),
+                                  0), {(1 << _OD_Z) - 1}) AS y
+            FROM pts
+        ),
+        lagd AS (
+            SELECT user_id,
+                   LAG(x) OVER w AS o_x, LAG(y) OVER w AS o_y,
+                   x AS d_x, y AS d_y
+            FROM cells
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT o_x, o_y, d_x, d_y,
+               count(*) AS n_trips,
+               count(DISTINCT user_id) AS n_users
+        FROM lagd
+        WHERE o_x IS NOT NULL AND (o_x <> d_x OR o_y <> d_y)
+        GROUP BY o_x, o_y, d_x, d_y
+    """
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window × §2.10 raster composition: origin–destination flow
+    matrix between z12 tiles (geo/odmatrix.py) — one user-keyed LAG
+    window + one flow-keyed aggregate with exact distinct-user counts —
+    vs a DuckDB LAG + tile-math replay."""
+    _prep(spark)
+    from osm_spark.geo.odmatrix import od_matrix
+
+    return od_matrix(_od_pts(spark, sf_dir), z=_OD_Z)
+
+
+_STAY_M = 3000.0
+_STAY_MIN_DUR_S = 3600.0
+
+
+def _stay_points_oracle() -> str:
+    """Gaps-and-islands replay of geo/trips.py stay_points: same LAG
+    haversine step, same move flag (step NULL or >= threshold), same
+    running-sum episode ids, same epoch-microsecond duration filter."""
+    stay_mm = int(round(_STAY_M * 1000.0))
+    min_dur_us = int(round(_STAY_MIN_DUR_S * 1e6))
+    return f"""
+        WITH pts AS ({_od_pts_sql()}),
+        lagd AS (
+            SELECT user_id, ts, lat, lon,
+                   LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+                   epoch_us(ts) AS ts_us,
+                   CAST(round(lat * 1e7) AS BIGINT) AS lat_e7,
+                   CAST(round(lon * 1e7) AS BIGINT) AS lon_e7,
+                   event_id
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        flags AS (
+            SELECT user_id, ts, event_id, ts_us, lat_e7, lon_e7,
+                   CASE WHEN plat IS NULL OR CAST(round(
+                        2.0 * 6371000.0 * asin(sqrt(
+                            pow(sin(radians(lat - plat) / 2.0), 2)
+                          + cos(radians(plat)) * cos(radians(lat))
+                            * pow(sin(radians(lon - plon) / 2.0), 2)))
+                        * 1000.0) AS BIGINT) >= {stay_mm}
+                        THEN 1 ELSE 0 END AS moved
+            FROM lagd
+        ),
+        eps AS (
+            SELECT user_id AS "user", ts_us, lat_e7, lon_e7,
+                   CAST(SUM(moved) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stay_id
+            FROM flags
+        )
+        SELECT "user", stay_id,
+               min(ts_us) AS t_start_us,
+               max(ts_us) AS t_end_us,
+               max(ts_us) - min(ts_us) AS dur_us,
+               count(*) AS n_pings,
+               CAST(sum(lat_e7) AS BIGINT) AS sum_lat_e7,
+               CAST(sum(lon_e7) AS BIGINT) AS sum_lon_e7
+        FROM eps
+        GROUP BY "user", stay_id
+        HAVING max(ts_us) - min(ts_us) >= {min_dur_us}
+    """
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window × §2.10 geo composition: stay-point (dwell episode)
+    detection (geo/trips.py stay_points — Li et al. 2008 idiom as
+    gaps-and-islands over one shared window spec) vs a DuckDB replay."""
+    _prep(spark)
+    from osm_spark.geo.trips import stay_points
+
+    return stay_points(
+        _od_pts(spark, sf_dir), stay_m=_STAY_M, min_dur_s=_STAY_MIN_DUR_S
+    )
+
+
 _SSSP_HOPS = 8
 
 
@@ -3435,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_field": q_idw_field,
         "sssp_waygraph": q_sssp_waygraph,
         "trip_stats": q_trip_stats,
+        "od_matrix": q_od_matrix,
+        "stay_points": q_stay_points,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
     }
@@ -3455,6 +3605,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_field": _idw_oracle(),
         "sssp_waygraph": _sssp_oracle(),
         "trip_stats": _trip_stats_oracle(),
+        "od_matrix": _od_matrix_oracle(),
+        "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
         "top_tokens": _top_tokens_oracle(),

@@ -96,3 +96,89 @@ def test_trip_stats_ts_tie_broken_by_id(spark):
     # order is 1 → 2 → 3 regardless of row order: both steps ~11.1 km
     assert pd.isna(steps[1])
     assert steps[2] > 0 and steps[3] > 0
+
+
+# ---------------------------------------------------------------- stay_points
+
+
+def _replay_stays(pdf: pd.DataFrame, stay_m: float, min_dur_s: float) -> pd.DataFrame:
+    """Sequential gaps-and-islands replay of stay_points."""
+    stay_mm = int(round(stay_m * 1000.0))
+    out = []
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        la, lo = g["lat"].values, g["lon"].values
+        ts_us = g["ts"].astype("int64").values  # ns -> handled below
+        ts_us = ts_us // 1000
+        lat_e7 = [int(round(v * 1e7)) for v in la]
+        lon_e7 = [int(round(v * 1e7)) for v in lo]
+        sid = 0
+        eps: dict[int, list[int]] = {}
+        for i in range(len(g)):
+            if i == 0:
+                sid += 1
+            else:
+                step = int(
+                    round(haversine_m_py(la[i - 1], lo[i - 1], la[i], lo[i]) * 1000.0)
+                )
+                if step >= stay_mm:
+                    sid += 1
+            eps.setdefault(sid, []).append(i)
+        for s, idxs in eps.items():
+            t0, t1 = int(ts_us[idxs[0]]), int(ts_us[idxs[-1]])
+            if t1 - t0 >= min_dur_s * 1e6:
+                out.append(
+                    {
+                        "user": uid,
+                        "stay_id": s,
+                        "t_start_us": t0,
+                        "t_end_us": t1,
+                        "dur_us": t1 - t0,
+                        "n_pings": len(idxs),
+                        "sum_lat_e7": sum(lat_e7[i] for i in idxs),
+                        "sum_lon_e7": sum(lon_e7[i] for i in idxs),
+                    }
+                )
+    return pd.DataFrame(out)
+
+
+def test_stay_points_matches_replay(spark, pings):
+    from osm_spark.geo.trips import stay_points
+
+    pdf, df = pings
+    got = (
+        stay_points(df, stay_m=50.0, min_dur_s=0.0)
+        .toPandas()
+        .sort_values(["user", "stay_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _replay_stays(pdf, 50.0, 0.0)
+        .sort_values(["user", "stay_id"])
+        .reset_index(drop=True)
+    )
+    # fixture must produce both multi-ping episodes and singleton episodes
+    assert (exp["n_pings"] > 1).any() and (exp["n_pings"] == 1).any()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stay_points_duration_filter(spark, pings):
+    from osm_spark.geo.trips import stay_points
+
+    pdf, df = pings
+    # 30 s bar: singleton episodes (dur 0) drop, 2-ping 60 s dwells survive
+    got = stay_points(df, stay_m=50.0, min_dur_s=30.0).toPandas()
+    exp = _replay_stays(pdf, 50.0, 30.0)
+    assert len(got) == len(exp) > 0
+    assert (got["dur_us"] >= 30.0 * 1e6).all()
+    assert (got["n_pings"] >= 2).all()
+
+
+def test_stay_points_single_exchange(spark, pings):
+    """The shared window spec + user-prefixed groupBy key must plan ONE
+    hash exchange: hashpartitioning(user) satisfies the (user, stay_id)
+    clustering of the aggregate."""
+    from osm_spark.geo.trips import stay_points
+
+    _, df = pings
+    plan = stay_points(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
