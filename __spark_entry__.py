@@ -2238,6 +2238,79 @@ def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hotspot_gi(_sql_points(spark, sf_dir), _HOTSPOT_Z)
 
 
+def _morans_oracle() -> str:
+    """Full replay of global Moran's I (geo/moran.py): same tile floor
+    as the hotspot oracle, 8-offset scatter (self excluded), LEFT join
+    so isolated tiles keep w = 0, HUGEINT cross/den sums (the decimal
+    analog of Spark's decimal(38,0)), identical closing float ops."""
+    n = 1 << _HOTSPOT_Z
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat, lon
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                                (1,-1), (1,0), (1,1)),
+        scattered AS (
+            SELECT c.x + o.dx AS tx, c.y + o.dy AS ty, c.cnt
+            FROM counts c CROSS JOIN offs o
+        ),
+        nbr AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum,
+                       count(*) AS w
+                FROM scattered GROUP BY tx, ty),
+        occ AS (
+            SELECT c.cnt,
+                   coalesce(n2.nbr_sum, 0) AS nbr_sum,
+                   coalesce(n2.w, 0) AS w
+            FROM counts c LEFT JOIN nbr n2 ON n2.tx = c.x AND n2.ty = c.y
+        ),
+        tot AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx
+                FROM counts),
+        parts AS (
+            SELECT any_value(n) AS n_cells,
+                   CAST(sum(w) AS BIGINT) AS w_pairs,
+                   sum(CAST(n * cnt - sx AS HUGEINT)
+                       * CAST(n * nbr_sum - w * sx AS HUGEINT)) AS cross_dl,
+                   sum(CAST(n * cnt - sx AS HUGEINT)
+                       * CAST(n * cnt - sx AS HUGEINT)) AS den
+            FROM occ CROSS JOIN tot
+        )
+        SELECT n_cells, w_pairs,
+               CASE WHEN n_cells > 1 AND den > 0 AND w_pairs > 0
+                    THEN CAST(round(
+                         (CAST(n_cells AS DOUBLE) * CAST(cross_dl AS DOUBLE))
+                         / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))
+                         * 1e6) AS BIGINT)
+               END AS i_micro,
+               CASE WHEN n_cells > 1
+                    THEN CAST(round(-1e6 / (CAST(n_cells AS DOUBLE) - 1.0))
+                              AS BIGINT)
+               END AS e_i_micro
+        FROM parts
+    """
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: global Moran's I spatial autocorrelation over the
+    z15 tile raster (geo/moran.py) — integer cross/den sums from the
+    N²-cancelled deviation form, one closing float expression,
+    micro-quantized — vs a DuckDB full replay."""
+    _prep(spark)
+    from osm_spark.geo.moran import morans_i
+
+    return morans_i(_sql_points(spark, sf_dir), _HOTSPOT_Z)
+
+
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: distributed grid DBSCAN (geo/dbscan.py) — K-disk
     cell candidates → exact eps refine → degree/core flags → min-label
@@ -3579,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
+        "morans_i": q_morans_i,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "sssp_waygraph": q_sssp_waygraph,
@@ -3601,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _dbscan_oracle(),
         "snap_roads": _snap_oracle(),
         "hotspot_gi": _hotspot_oracle(),
+        "morans_i": _morans_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
         "sssp_waygraph": _sssp_oracle(),

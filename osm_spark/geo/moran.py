@@ -1,0 +1,116 @@
+"""Global Moran's I spatial autocorrelation over the tile density raster.
+
+The corpus-level companion to geo/hotspot.py (Gi* answers "WHICH tiles
+are hot"; Moran's I answers "is the raster spatially clustered AT ALL"
+— the preflight statistic before hotspot hunting, crawl re-prioritizing
+or skew salting is worth running). Binary 3×3 queen contiguity, self
+EXCLUDED (Moran 1950; Cliff & Ord 1981 formulation):
+
+    I = (N / W) · Σ_i Σ_j w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
+
+Exactness design (the float-sum trap, same treatment as hotspot/lm):
+with d_i = N·x_i − Σx (an INTEGER), (x_i − x̄) = d_i / N and the N²
+cancels between numerator and denominator:
+
+    I = (N / W) · Σ_i d_i · L_i / Σ_i d_i²,   L_i = N·nbr_sum_i − w_i·Σx
+
+so every data-sized sum is integer arithmetic (decimal(38,0) — per-term
+magnitude is (N·x)², past int64 at planet scale; DuckDB replays in
+HUGEINT). The only float ops are the four closing casts/divides in one
+pinned expression, then micro-unit quantization — value-hash gateable.
+
+The statistical universe is the OCCUPIED tile set (hotspot.py's
+documented sparse-raster convention). Occupied tiles with no occupied
+neighbor keep w_i = 0, L_i = 0 via the left join — they still count in
+N and the denominator.
+
+Plan: tile groupBy (touches the point table once, map-side combined),
+8-offset neighbor scatter re-keyed by target (second shuffle),
+tile-keyed shuffle-hash join, then ONE single-row global aggregate —
+nothing after the first groupBy scales beyond the occupied-tile count.
+
+Output (single row): (n_cells, w_pairs, i_micro, e_i_micro) — i_micro =
+round(I·1e6), NULL for a constant or single-tile raster (den = 0);
+e_i_micro = round(−1e6/(N−1)), the null-hypothesis expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.geo.hotspot import tile_count_grid
+
+_OFFSETS8 = [
+    (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+]
+
+
+def morans_i(points: DataFrame, z: int) -> DataFrame:
+    counts = tile_count_grid(points, z)
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS8
+        ]
+    )
+    scattered = counts.select("x", "y", "cnt", F.explode(offs).alias("o")).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        "cnt",
+    )
+    nbr = scattered.groupBy("tx", "ty").agg(
+        F.sum("cnt").alias("nbr_sum"), F.count(F.lit(1)).alias("w")
+    )
+    # LEFT join: isolated occupied tiles keep w = 0 / nbr_sum = 0 but
+    # still contribute to N and the denominator (inner would drop them).
+    occ = (
+        counts.join(
+            nbr.hint("shuffle_hash"),
+            (counts["x"] == nbr["tx"]) & (counts["y"] == nbr["ty"]),
+            "left",
+        )
+        .select(
+            "cnt",
+            F.coalesce(F.col("nbr_sum"), F.lit(0)).alias("nbr_sum"),
+            F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+        )
+    )
+
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("sx")
+    )
+    j = occ.crossJoin(F.broadcast(glob))
+
+    # decimal-FIRST arithmetic: N·x already exceeds int64 at planet
+    # scale (N ~ 1e9 occupied z15 tiles × counts ~ 1e6), so promote
+    # before the multiply, not after.
+    nd_dec = F.col("n").cast("decimal(19,0)")
+    d = nd_dec * F.col("cnt") - F.col("sx")
+    lag = nd_dec * F.col("nbr_sum") - F.col("w").cast("decimal(19,0)") * F.col("sx")
+    parts = j.groupBy().agg(
+        F.first("n").alias("n_cells"),
+        F.sum("w").alias("w_pairs"),
+        F.sum(d * lag).alias("cross_dl"),
+        F.sum(d * d).alias("den"),
+    )
+
+    nd = F.col("n_cells").cast("double")
+    i_val = (nd * F.col("cross_dl").cast("double")) / (
+        F.col("w_pairs").cast("double") * F.col("den").cast("double")
+    )
+    i_micro = F.when(
+        (F.col("n_cells") > 1) & (F.col("den") > 0) & (F.col("w_pairs") > 0),
+        F.round(i_val * 1e6, 0).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    e_micro = F.when(
+        F.col("n_cells") > 1,
+        F.round(F.lit(-1e6) / (nd - 1.0), 0).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    return parts.select(
+        "n_cells",
+        "w_pairs",
+        i_micro.alias("i_micro"),
+        e_micro.alias("e_i_micro"),
+    )
