@@ -3447,6 +3447,59 @@ def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(d.select("doc_id", "text"), n=2, min_count=5)
 
 
+def _collocations_oracle(min_count: int = 5) -> str:
+    """Replay of text/collocations.py: same tokenization as the ngram
+    oracle, marginals from totals BEFORE the min_count cut, identical
+    closing double expression (products in the written order)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT unnest(toks) AS w FROM toks
+        ),
+        ucnt AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS p
+            FROM toks
+        ),
+        pcnt AS (
+            SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+            FROM pairs GROUP BY p.w1, p.w2
+        ),
+        tot AS (
+            SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM ucnt) AS t_tokens,
+                   (SELECT CAST(sum(n_pair) AS BIGINT) FROM pcnt) AS b_pairs
+        )
+        SELECT p.w1, p.w2, p.n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+               CAST(round(ln(
+                    (CAST(p.n_pair AS DOUBLE) * CAST(t.t_tokens AS DOUBLE)
+                     * CAST(t.t_tokens AS DOUBLE))
+                    / (CAST(t.b_pairs AS DOUBLE) * CAST(a.n_w AS DOUBLE)
+                       * CAST(b.n_w AS DOUBLE))) * 1e6) AS BIGINT)
+                   AS pmi_micro
+        FROM pcnt p
+        JOIN ucnt a ON a.w = p.w1
+        JOIN ucnt b ON b.w = p.w2
+        CROSS JOIN tot t
+        WHERE p.n_pair >= {min_count}
+    """
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (osm_spark/text/collocations.py): bigram
+    vs unigram marginals, corpus totals broadcast back, micro-nat
+    quantized PMI — vs a DuckDB full replay."""
+    from osm_spark.text.collocations import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d.select("text"), min_count=5)
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards
     (osm_spark/text/sharding.py): shard + position are pure functions
@@ -3633,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash_cells,
         "way_geometry": q_way_geometry,
         "ngram_stats": q_ngram_stats,
+        "collocations": q_collocations,
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4791,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_oracle(),
         "way_geometry": _way_geometry_oracle(),
         "ngram_stats": _ngram_stats_oracle(),
+        "collocations": _collocations_oracle(),
         "global_shuffle": _global_shuffle_oracle(),
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),
