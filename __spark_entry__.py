@@ -2963,6 +2963,72 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", "rank_scaled")
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph/pagerank.py personalized_pagerank):
+    teleport + dangling mass restricted to the seed set (doc_id % 50 ==
+    0), same exact fixed-point integer recurrence — the oracle is the
+    generated unrolled SQL replay (bit-exact, like pagerank's)."""
+    from osm_spark.graph.pagerank import personalized_pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    seeds = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    pr = personalized_pagerank(_link_graph(spark, sf_dir), seeds, n_iter=3)
+    return pr.select("id", "rank_scaled")
+
+
+def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+    """Generated unrolled replay of personalized_pagerank: the pagerank
+    oracle's round shape with the teleport/dangling numerators gated by
+    is_seed and divided by |S| instead of N."""
+    base_num = 15 * scale
+    rounds = []
+    for k in range(n_iter):
+        rounds.append(f"""
+            d{k} AS (SELECT CAST(COALESCE(SUM(CASE WHEN d.id IS NULL
+                                THEN r.r END), 0) AS BIGINT) AS dang
+                   FROM r{k} r LEFT JOIN deg d USING (id)),
+            s{k} AS (SELECT e.dst AS id,
+                          CAST(SUM((85 * r.r) // (100 * d.out_deg))
+                               AS BIGINT) AS in_sum
+                   FROM edges e JOIN r{k} r ON r.id = e.src
+                                JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            r{k + 1} AS (SELECT v.id, v.is_seed,
+                          CAST(({base_num} * v.is_seed) // (100 * ns.n_s)
+                               + COALESCE(s.in_sum, 0)
+                               + (85 * dd.dang * v.is_seed) // (100 * ns.n_s)
+                               AS BIGINT) AS r
+                   FROM verts v LEFT JOIN s{k} s USING (id), ns, dd{k} dd)
+        """.replace(f"dd{k} dd", f"d{k} dd"))
+    body = ",".join(rounds)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+        ),
+        verts0 AS (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        verts AS (SELECT id,
+                         CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+                  FROM verts0),
+        ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS n_s FROM verts),
+        deg AS (SELECT src AS id, count(*) AS out_deg
+                FROM edges GROUP BY src),
+        r0 AS (SELECT id, is_seed, ({scale} * is_seed) // n_s AS r
+               FROM verts, ns),
+        {body}
+        SELECT id, r AS rank_scaled FROM r{n_iter}
+    """
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (osm_spark/graph/components.py) over a
     deterministic chain+shortcut graph: runs of 10 consecutive doc_ids
@@ -3611,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_count_having": q_grouped_count_having,
         "broadcast_lookup_join": q_broadcast_lookup_join,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
@@ -4716,6 +4783,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM verts v LEFT JOIN s2 s USING (id), nv, d2 dd)
             SELECT id, r AS rank_scaled FROM r3
         """,
+        "personalized_pagerank": _ppr_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm

@@ -199,3 +199,141 @@ def pagerank(
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r") / float(scale), 12).alias("rank"),
     )
+
+
+def _step_ppr(
+    edges: DataFrame,
+    verts: DataFrame,
+    deg: DataFrame,
+    n_s: DataFrame,
+    ranks: DataFrame,
+    src: str,
+    dst: str,
+    damping_num: int,
+    damping_den: int,
+    base_num: int,
+) -> DataFrame:
+    """One personalized-PageRank iteration: identical contribution join
+    to _step, but the teleport base AND the dangling redistribution land
+    on the SEED set only ((1−d)·e_S teleport vector — Jeh & Widom 2003,
+    Page et al. 1998 §2.6 personalization). ``verts`` carries is_seed ∈
+    {0, 1}; is_seed multiplies the integer numerators, so non-seeds get
+    exactly 0 with no branch."""
+    dang = ranks.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("out_deg").isNull(), F.col("r"))), F.lit(0)
+        ).alias("dang_sum")
+    )
+    contrib = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
+        .join(
+            ranks.where(F.col("out_deg").isNotNull())
+            .select("id", "r", "out_deg")
+            .hint("shuffle_hash"),
+            "id",
+        )
+        .select(
+            F.col("_dst").alias("id"),
+            F.expr(
+                f"({damping_num}L * r) div ({damping_den}L * out_deg)"
+            ).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+    return (
+        verts.join(contrib.hint("shuffle_hash"), "id", "left")
+        .join(deg.hint("shuffle_hash"), "id", "left")
+        .crossJoin(n_s)
+        .crossJoin(dang)
+        .select(
+            "id",
+            "is_seed",
+            (
+                F.expr(f"({base_num}L * is_seed) div ({damping_den}L * n_s)")
+                + F.coalesce(F.col("in_sum"), F.lit(0))
+                + F.expr(
+                    f"({damping_num}L * dang_sum * is_seed)"
+                    f" div ({damping_den}L * n_s)"
+                )
+            ).alias("r"),
+            "out_deg",
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: teleport restricted to ``seeds`` (one
+    column ``id``). The relatedness-to-a-set ranking of web analysis —
+    "pages like these trusted domains" (TrustRank's propagation shape),
+    topic-sensitive crawl frontiers, seed-expanded dedup cohorts.
+
+    Same exact fixed-point integer recurrence as ``pagerank`` (module
+    docstring), with the uniform 1/N teleport replaced by e_S:
+
+        r0(v)  = (scale · 1[v ∈ S]) div |S|
+        r'(v)  = ((d_den−d_num)·scale·1[v ∈ S]) div (d_den·|S|)
+                 + Σ contrib  +  (d_num·Σ_dangling r·1[v ∈ S]) div (d_den·|S|)
+
+    Dangling mass teleports BACK TO THE SEEDS (the standard PPR
+    convention — keeps the stationary mass inside the seed-reachable
+    subgraph). Seeds not present in the graph are ignored (|S| counts
+    seed VERTICES). Plan shape and lineage truncation are inherited
+    unchanged from pagerank; the only addition is a 0/1 column riding
+    the rank table.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    verts = truncate_lineage(
+        vertex_ids(edges, src, dst)
+        .join(
+            seed_ids.select("id", F.lit(1).alias("is_seed")).hint(
+                "shuffle_hash"
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+    )
+    deg = truncate_lineage(out_degrees(edges, src))
+    n_s = truncate_lineage(
+        verts.agg(F.sum("is_seed").cast("long").alias("n_s"))
+    )
+
+    ranks = (
+        verts.crossJoin(n_s)
+        .join(deg.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            "is_seed",
+            F.expr(f"({scale}L * is_seed) div n_s").alias("r"),
+            "out_deg",
+        )
+    )
+    base_num = (damping_den - damping_num) * scale
+
+    for _ in range(n_iter):
+        new_ranks = truncate_lineage(
+            _step_ppr(
+                edges, verts, deg, n_s, ranks,
+                src, dst, damping_num, damping_den, base_num,
+            )
+        )
+        drop_truncated(ranks)
+        ranks = new_ranks
+
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / float(scale), 12).alias("rank"),
+    )

@@ -153,3 +153,88 @@ def test_dedup_clusters_on_jaccard_pairs(spark, sf_small_dir):
     # keeper count == cluster count; sizes sum to n_docs
     assert sum(r.is_keeper for r in got) == len({r.cluster_id for r in got})
     assert sum(r.cluster_size for r in got if r.is_keeper) == n_docs
+
+
+# ------------------------------------------------------- personalized PR
+
+
+def _py_ppr(edges, seeds, n_iter, scale=SCALE, num=85, den=100):
+    """Reference replay of the personalized recurrence."""
+    verts = sorted({u for e in edges for u in e})
+    seeds = [v for v in verts if v in set(seeds)]
+    ns = len(seeds)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: (scale * (1 if v in seeds else 0)) // ns for v in verts}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in verts if v not in deg)
+        nxt = {
+            v: ((den - num) * scale * (1 if v in seeds else 0)) // (den * ns)
+            + (num * dang * (1 if v in seeds else 0)) // (den * ns)
+            for v in verts
+        }
+        for s, d in edges:
+            nxt[d] += (num * r[s]) // (den * deg[s])
+        r = nxt
+    return r
+
+
+def test_ppr_matches_integer_oracle(spark, star_chain_edges):
+    from osm_spark.graph.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (10,)], "id long")
+    got = {
+        r.id: r.rank_scaled
+        for r in personalized_pagerank(df, seeds, n_iter=4).collect()
+    }
+    want = _py_ppr(star_chain_edges, [0, 10], n_iter=4)
+    assert got == want
+
+
+def test_ppr_zero_outside_seed_reachable(spark, star_chain_edges):
+    from osm_spark.graph.pagerank import personalized_pagerank
+
+    # seed only the 20<->21 cycle: the star and chain components are
+    # unreachable from the teleport set and must hold exactly 0 mass
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(20,)], "id long")
+    rows = {
+        r.id: r.rank_scaled
+        for r in personalized_pagerank(df, seeds, n_iter=3).collect()
+    }
+    assert rows[20] > 0 and rows[21] > 0
+    assert all(rows[v] == 0 for v in (0, 1, 2, 3, 10, 11, 12))
+
+
+def test_ppr_all_seeds_equals_uniform_pagerank(spark, star_chain_edges):
+    from osm_spark.graph.pagerank import pagerank, personalized_pagerank, vertex_ids
+
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    seeds = vertex_ids(df)
+    ppr = {
+        r.id: r.rank_scaled
+        for r in personalized_pagerank(df, seeds, n_iter=3).collect()
+    }
+    pr = {r.id: r.rank_scaled for r in pagerank(df, n_iter=3).collect()}
+    assert ppr == pr
+
+
+def test_ppr_ignores_unknown_and_duplicate_seeds(spark, star_chain_edges):
+    from osm_spark.graph.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    clean = spark.createDataFrame([(0,), (10,)], "id long")
+    noisy = spark.createDataFrame(
+        [(0,), (0,), (10,), (999,)], "id long"  # dup + not-a-vertex
+    )
+    a = {
+        r.id: r.rank_scaled
+        for r in personalized_pagerank(df, clean, n_iter=2).collect()
+    }
+    b = {
+        r.id: r.rank_scaled
+        for r in personalized_pagerank(df, noisy, n_iter=2).collect()
+    }
+    assert a == b
