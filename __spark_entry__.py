@@ -2978,6 +2978,65 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", "rank_scaled")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph/hits.py) over the synthetic link
+    graph: L1-normalized exact integer half-steps, 3 rounds — vs the
+    generated unrolled SQL replay (HUGEINT normalization multiply)."""
+    from osm_spark.graph.hits import hits
+
+    return hits(_link_graph(spark, sf_dir), n_iter=3)
+
+
+def _hits_oracle(n_iter: int = 3, scale: int = 10**9) -> str:
+    """Generated unrolled replay of graph/hits.py: same raw sums, same
+    decimal/HUGEINT normalization multiply, same truncating div."""
+    rounds = []
+    for k in range(n_iter):
+        rounds.append(f"""
+            hr{k} AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+                      FROM edges e JOIN a{k} a ON a.id = e.dst
+                      GROUP BY e.src),
+            ha{k} AS (SELECT v.id, COALESCE(h.h, 0) AS h
+                      FROM verts v LEFT JOIN hr{k} h USING (id)),
+            ht{k} AS (SELECT CAST(sum(h) AS HUGEINT) AS tot FROM ha{k}),
+            h{k + 1} AS (SELECT id,
+                         CASE WHEN tot > 0 THEN CAST(
+                              (CAST({scale} AS HUGEINT) * h) // tot AS BIGINT)
+                              ELSE 0 END AS h
+                         FROM ha{k}, ht{k}),
+            ar{k} AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+                      FROM edges e JOIN h{k + 1} h ON h.id = e.src
+                      GROUP BY e.dst),
+            aa{k} AS (SELECT v.id, COALESCE(a.a, 0) AS a
+                      FROM verts v LEFT JOIN ar{k} a USING (id)),
+            at{k} AS (SELECT CAST(sum(a) AS HUGEINT) AS tot FROM aa{k}),
+            a{k + 1} AS (SELECT id,
+                         CASE WHEN tot > 0 THEN CAST(
+                              (CAST({scale} AS HUGEINT) * a) // tot AS BIGINT)
+                              ELSE 0 END AS a
+                         FROM aa{k}, at{k})
+        """)
+    body = ",".join(rounds)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+        ),
+        verts AS (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        a0 AS (SELECT id, CAST({scale} AS BIGINT) AS a FROM verts),
+        {body}
+        SELECT h.id, h.h AS hub_scaled, a.a AS auth_scaled
+        FROM h{n_iter} h JOIN a{n_iter} a USING (id)
+    """
+
+
 def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
     """Generated unrolled replay of personalized_pagerank: the pagerank
     oracle's round shape with the teleport/dangling numerators gated by
@@ -3678,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_lookup_join": q_broadcast_lookup_join,
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
+        "hits": q_hits,
         "connected_components": q_connected_components,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
@@ -4784,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, r AS rank_scaled FROM r3
         """,
         "personalized_pagerank": _ppr_oracle(),
+        "hits": _hits_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm

@@ -238,3 +238,74 @@ def test_ppr_ignores_unknown_and_duplicate_seeds(spark, star_chain_edges):
         for r in personalized_pagerank(df, noisy, n_iter=2).collect()
     }
     assert a == b
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def _py_hits(edges, n_iter, scale=10**9):
+    verts = sorted({u for e in edges for u in e})
+    a = {v: scale for v in verts}
+
+    def norm(raw):
+        tot = sum(raw.values())
+        if tot == 0:
+            return {v: 0 for v in raw}
+        return {v: (scale * x) // tot for v, x in raw.items()}
+
+    h = None
+    for _ in range(n_iter):
+        hr = {v: 0 for v in verts}
+        for s, d in edges:
+            hr[s] += a[d]
+        h = norm(hr)
+        ar = {v: 0 for v in verts}
+        for s, d in edges:
+            ar[d] += h[s]
+        a = norm(ar)
+    return h, a
+
+
+def test_hits_matches_integer_oracle(spark, star_chain_edges):
+    from osm_spark.graph.hits import hits
+
+    df = spark.createDataFrame(star_chain_edges, "src long, dst long")
+    rows = hits(df, n_iter=3).collect()
+    want_h, want_a = _py_hits(star_chain_edges, 3)
+    assert {r.id: r.hub_scaled for r in rows} == want_h
+    assert {r.id: r.auth_scaled for r in rows} == want_a
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from osm_spark.graph.hits import hits
+
+    # pure directory graph: 0,1 point at 5,6,7; nothing points back
+    edges = [(s, d) for s in (0, 1) for d in (5, 6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.id: r for r in hits(df, n_iter=2).collect()}
+    for hub in (0, 1):
+        assert rows[hub].hub_scaled > 0 and rows[hub].auth_scaled == 0
+    for auth in (5, 6, 7):
+        assert rows[auth].auth_scaled > 0 and rows[auth].hub_scaled == 0
+
+
+def test_hits_multigraph_counts_multiplicity(spark):
+    from osm_spark.graph.hits import hits
+
+    single = [(0, 1), (2, 1), (2, 3)]
+    double = single + [(0, 1)]  # 0 endorses 1 twice -> stronger hub 0
+    h1 = {r.id: r for r in hits(
+        spark.createDataFrame(single, "src long, dst long"), n_iter=2
+    ).collect()}
+    h2 = {r.id: r for r in hits(
+        spark.createDataFrame(double, "src long, dst long"), n_iter=2
+    ).collect()}
+    assert h2[0].hub_scaled > h1[0].hub_scaled
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from osm_spark.graph.hits import hits
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, n_iter=0)
