@@ -3625,6 +3625,46 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(d.select("text"), min_count=5)
 
 
+def _tfidf_oracle(k: int = 5) -> str:
+    """Replay of text/keywords.py: same tokenization, integer tf/df/N,
+    identical closing float expression, ROW_NUMBER on the QUANTIZED
+    score with the term tie-break (rank order engine-independent)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nn AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   CAST(round(CAST(t.tf AS DOUBLE)
+                        * ln(CAST(nn.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                        * 1e6) AS BIGINT) AS score_micro
+            FROM tf t JOIN dft d USING (term) CROSS JOIN nn
+        )
+        SELECT doc_id, term, tf, df, score_micro, rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micro DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (osm_spark/text/keywords.py): exact
+    integer tf/df, micro-quantized tf·ln(N/df), top-5 per doc ranked on
+    the quantized score — vs a DuckDB full replay."""
+    from osm_spark.text.keywords import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(d.select("doc_id", "text"), k=5)
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards
     (osm_spark/text/sharding.py): shard + position are pure functions
@@ -3814,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_geometry": q_way_geometry,
         "ngram_stats": q_ngram_stats,
         "collocations": q_collocations,
+        "tfidf_keywords": q_tfidf_keywords,
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4975,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "way_geometry": _way_geometry_oracle(),
         "ngram_stats": _ngram_stats_oracle(),
         "collocations": _collocations_oracle(),
+        "tfidf_keywords": _tfidf_oracle(),
         "global_shuffle": _global_shuffle_oracle(),
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),
