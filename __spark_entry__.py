@@ -1846,6 +1846,87 @@ def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_stats(pts, stay_m=_TRIP_STAY_M)
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _cohort_oracle() -> str:
+    """Replay of pipeline/cohorts.py: Monday-start date_trunc weeks in
+    both engines, integer day-diff div 7, per-user distinct weeks."""
+    return """
+        WITH wk AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM events
+        ),
+        cohorts AS (SELECT user_id, min(w) AS cohort_week
+                    FROM wk GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+        SELECT c.cohort_week,
+               CAST(datediff('day', c.cohort_week, a.active_week) // 7
+                    AS BIGINT) AS week_offset,
+               count(*) AS n_users
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+    """
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (pipeline/cohorts.py): first-seen week
+    × week offset × exact distinct-user counts — vs a DuckDB replay."""
+    _prep(spark)
+    from osm_spark.pipeline.cohorts import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def _funnel_oracle() -> str:
+    """Min-chaining replay of pipeline/funnel.py (greedy-earliest ≡
+    earliest-after-previous): per-user ROW_NUMBER over (ts, event_id),
+    each step's match = min rn strictly after the previous match."""
+    s = _FUNNEL_STEPS
+    chain = [
+        f"""t1 AS (SELECT user_id, min(rn) AS rn1 FROM o
+                 WHERE event_type = '{s[0]}' GROUP BY user_id)"""
+    ]
+    for k in range(2, len(s) + 1):
+        chain.append(f"""
+            t{k} AS (SELECT o.user_id, min(o.rn) AS rn{k}
+                     FROM o JOIN t{k - 1} USING (user_id)
+                     WHERE o.event_type = '{s[k - 1]}'
+                       AND o.rn > t{k - 1}.rn{k - 1}
+                     GROUP BY o.user_id)""")
+    selects = " UNION ALL ".join(
+        f"""SELECT {k} AS step, '{s[k - 1]}' AS step_name,
+                   (SELECT count(*) FROM t{k}) AS n_users"""
+        for k in range(1, len(s) + 1)
+    )
+    types = ", ".join(f"'{x}'" for x in s)
+    return f"""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+            WHERE event_type IN ({types})
+              AND event_id % 11 < 2  -- deterministic thinning: step gaps
+        ),
+        {", ".join(chain)}
+        {selects}
+    """
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (pipeline/funnel.py): signup → view → click →
+    purchase completion counts via ONE per-user array fold (no K-pass
+    self-joins) — vs the DuckDB min-chaining replay. Events are
+    deterministically thinned (event_id % 11 < 2) so users drop out at
+    every step and the gate discriminates ordering, not just presence."""
+    _prep(spark)
+    from osm_spark.pipeline.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 11 < 2)
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
 _OD_Z = 12
 
 
@@ -3880,6 +3961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_waygraph": q_sssp_waygraph,
         "trip_stats": q_trip_stats,
         "od_matrix": q_od_matrix,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
         "stay_points": q_stay_points,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
@@ -3903,6 +3986,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_waygraph": _sssp_oracle(),
         "trip_stats": _trip_stats_oracle(),
         "od_matrix": _od_matrix_oracle(),
+        "cohort_retention": _cohort_oracle(),
+        "funnel": _funnel_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
