@@ -1951,6 +1951,52 @@ def _markov_oracle() -> str:
     """
 
 
+def _trending_oracle(k: int = 5) -> str:
+    """Batch replay of the streaming trending plan: same synthetic
+    arrival minutes, hour-truncated tumbling windows (the stream oracle
+    precedent), same tokenization, rank on exact integer counts with
+    the term tie-break."""
+    return f"""
+        WITH docs AS (
+            SELECT TIMESTAMP '2024-01-01 00:00:00'
+                       + to_minutes(doc_id) AS ts,
+                   text
+            FROM documents
+        ),
+        terms AS (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM docs
+        ),
+        counts AS (
+            SELECT window_start, term, count(*) AS n
+            FROM terms GROUP BY window_start, term
+        )
+        SELECT window_start, term, n, rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start
+                ORDER BY n DESC, term ASC) AS rank
+            FROM counts
+        ) WHERE rank <= {k}
+    """
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending terms (streaming/trending.py): watermarked
+    tumbling-window term counts run as an availableNow bounded backfill
+    (the SAME streaming plan a live feed runs), then per-window top-5 on
+    exact counts — vs the batch SQL replay (stream ≡ batch)."""
+    _prep(spark)
+    import os
+
+    from osm_spark.streaming.trending import run_trending_batchlike
+
+    return run_trending_batchlike(
+        spark, os.path.join(sf_dir, "documents.parquet"), k=5
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type Markov transitions (pipeline/markov.py):
     one user-keyed LAG window, one transition aggregate, vocabulary-
@@ -4000,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "markov_transitions": q_markov_transitions,
+        "trending_terms": q_trending_terms,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4027,6 +4074,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _cohort_oracle(),
         "funnel": _funnel_oracle(),
         "markov_transitions": _markov_oracle(),
+        "trending_terms": _trending_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

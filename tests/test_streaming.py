@@ -178,3 +178,60 @@ def test_attribution_join_stream_equals_batch(spark, sf_small_dir, tmp_path):
     q.awaitTermination()
     got = {(r.click_id, r.purchase_id) for r in spark.table(sink).collect()}
     assert got == exp
+
+
+def test_trending_stream_equals_batch(spark, sf_small_dir):
+    """The availableNow streaming trending plan must produce exactly the
+    batch plan's result on the same documents (stream ≡ batch)."""
+    from osm_spark.streaming.trending import (
+        rank_trending,
+        run_trending_batchlike,
+        trending_term_counts,
+        with_synthetic_ts,
+    )
+
+    docs_path = f"{sf_small_dir}/documents.parquet"
+    got = (
+        run_trending_batchlike(spark, docs_path, k=3)
+        .orderBy("window_start", "rank")
+        .collect()
+    )
+    batch = (
+        rank_trending(
+            trending_term_counts(
+                with_synthetic_ts(spark.read.parquet(docs_path))
+            ),
+            k=3,
+        )
+        .orderBy("window_start", "rank")
+        .collect()
+    )
+    assert len(got) > 0
+    assert got == batch
+    # exactly k rows per window, ranks 1..k, counts non-increasing
+    by_w = {}
+    for r in got:
+        by_w.setdefault(r.window_start, []).append(r)
+    for rows in by_w.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+
+
+def test_rank_trending_tie_breaks_on_term(spark):
+    import pandas as pd
+
+    from osm_spark.streaming.trending import rank_trending
+
+    t = pd.Timestamp("2024-01-01")
+    counts = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"window_start": t, "term": "zebra", "n": 5},
+                {"window_start": t, "term": "apple", "n": 5},
+                {"window_start": t, "term": "mango", "n": 7},
+            ]
+        )
+    )
+    got = rank_trending(counts, k=2).orderBy("rank").collect()
+    assert [(r.term, r.rank) for r in got] == [("mango", 1), ("apple", 2)]
