@@ -1997,6 +1997,50 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COVISIT_CAP = 16
+
+
+def _covisit_oracle() -> str:
+    """Replay of graph/covisit.py over the events' JSON item field:
+    same distinct → sort → cap → row-local pair expansion."""
+    return f"""
+        WITH inter AS (
+            SELECT DISTINCT user_id AS u,
+                   json_extract_string(props, '$.k') AS it
+            FROM events
+        ),
+        arrs AS (
+            SELECT u, list_sort(list(it))[1:{_COVISIT_CAP}] AS items
+            FROM inter GROUP BY u
+        ),
+        pairs AS (
+            SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(items)),
+                       i -> list_transform(
+                            items[i + 1:],
+                            y -> struct_pack(a := items[i], b := y))
+                   ))) AS p
+            FROM arrs
+        )
+        SELECT p.a AS a, p.b AS b, count(*) AS n_users
+        FROM pairs GROUP BY p.a, p.b
+    """
+
+
+def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation item pairs (graph/covisit.py): bipartite projection
+    with the deterministic per-user cap, pair expansion as a row-local
+    nested transform (no self-join) — vs a DuckDB list replay. Items are
+    the events' JSON props 'k' field (the S2 content-dispatch idiom)."""
+    _prep(spark)
+    from osm_spark.graph.covisit import covisitation
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").alias("item")
+    )
+    return covisitation(ev, user="user_id", item="item", cap=_COVISIT_CAP)
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type Markov transitions (pipeline/markov.py):
     one user-keyed LAG window, one transition aggregate, vocabulary-
@@ -4047,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "markov_transitions": q_markov_transitions,
         "trending_terms": q_trending_terms,
+        "covisitation": q_covisitation,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4075,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel_oracle(),
         "markov_transitions": _markov_oracle(),
         "trending_terms": _trending_oracle(),
+        "covisitation": _covisit_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
