@@ -1997,6 +1997,62 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRONTIER_WORKERS = 8
+_FRONTIER_CAP = 5
+
+
+def _frontier_oracle() -> str:
+    """Ground-truth replay of pipeline/frontier.py on synthetic URLs
+    whose host is known by construction (the url_dedup oracle idiom —
+    Spark must REPRODUCE it through the real url_host extraction):
+    identical salted-md5 worker assignment (the sharding.py idiom),
+    identical (priority DESC, url ASC) per-host sequencing and cap."""
+    return f"""
+        WITH urls AS (
+            SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+                   doc_id % 11 AS priority
+            FROM documents
+        ),
+        assigned AS (
+            SELECT url, host,
+                   CAST(CAST('0x' || substr(md5('fr1:' || host), 1, 8)
+                        AS BIGINT) % {_FRONTIER_WORKERS} AS INT) AS worker,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS BIGINT) AS fetch_seq
+            FROM urls
+        )
+        SELECT url, host, worker, fetch_seq
+        FROM assigned WHERE fetch_seq <= {_FRONTIER_CAP}
+    """
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness sharding (pipeline/frontier.py):
+    host→worker by salted digest, per-host deterministic fetch order,
+    per-host budget cut — vs the ground-truth DuckDB replay."""
+    _prep(spark)
+    from osm_spark.pipeline.frontier import frontier_assign
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    urls = d.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/p/"), i,
+        ).alias("url"),
+        (F.col("doc_id") % 11).alias("priority"),
+    )
+    return frontier_assign(
+        urls,
+        n_workers=_FRONTIER_WORKERS,
+        max_per_host=_FRONTIER_CAP,
+        priority_col="priority",
+    )
+
+
 _COVISIT_CAP = 16
 
 
@@ -4092,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "trending_terms": q_trending_terms,
         "covisitation": q_covisitation,
+        "frontier": q_frontier,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4121,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": _markov_oracle(),
         "trending_terms": _trending_oracle(),
         "covisitation": _covisit_oracle(),
+        "frontier": _frontier_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
