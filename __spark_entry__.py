@@ -2191,6 +2191,74 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(_od_pts(spark, sf_dir), z=_OD_Z)
 
 
+def _tile_anomaly_oracle() -> str:
+    """Replay of geo/anomaly.py at z12 over the OD point synth: same
+    tile floor (ln-spelled asinh), zero-filled global day universe,
+    identical closing float expression, 2σ cut on the quantized score."""
+    n = float(1 << _OD_Z)
+    m = 85.05112878
+    ysql = (
+        f"LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r})))"
+        f" + sqrt(tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r})))"
+        f" * tan(radians(LEAST(GREATEST(lat, {-m!r}), {m!r}))) + 1.0)) / pi())"
+        f" / 2.0 * {n!r}) AS BIGINT), 0), {(1 << _OD_Z) - 1})"
+    )
+    return f"""
+        WITH pts AS ({_od_pts_sql()}),
+        cells AS (
+            SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n!r})
+                       AS BIGINT), 0), {(1 << _OD_Z) - 1}) AS x,
+                   {ysql} AS y,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM pts
+        ),
+        counts AS (SELECT x, y, day, count(*) AS cnt
+                   FROM cells GROUP BY x, y, day),
+        days AS (SELECT DISTINCT day FROM counts),
+        tiles AS (SELECT DISTINCT x, y FROM counts),
+        filled AS (
+            SELECT t.x, t.y, d.day, COALESCE(c.cnt, 0) AS cnt
+            FROM tiles t CROSS JOIN days d
+            LEFT JOIN counts c ON c.x = t.x AND c.y = t.y AND c.day = d.day
+        ),
+        stats AS (
+            SELECT x, y, count(*) AS nn, CAST(sum(cnt) AS BIGINT) AS s,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS q
+            FROM filled GROUP BY x, y
+        ),
+        scored AS (
+            SELECT f.x, f.y, f.day, f.cnt,
+                   CASE WHEN st.nn > 1
+                             AND CAST(st.nn AS DOUBLE)
+                                 * (CAST(st.nn AS DOUBLE) * CAST(st.q AS DOUBLE)
+                                    - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                                 / (CAST(st.nn AS DOUBLE) - 1.0) > 0
+                        THEN CAST(round(
+                             CAST(st.nn * f.cnt - st.s AS DOUBLE)
+                             / sqrt(CAST(st.nn AS DOUBLE)
+                                    * (CAST(st.nn AS DOUBLE) * CAST(st.q AS DOUBLE)
+                                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                                    / (CAST(st.nn AS DOUBLE) - 1.0))
+                             * 1e6) AS BIGINT)
+                   END AS z_micro
+            FROM filled f JOIN stats st ON st.x = f.x AND st.y = f.y
+        )
+        SELECT x, y, day, cnt, z_micro
+        FROM scored
+        WHERE z_micro IS NOT NULL AND abs(z_micro) >= 2000000
+    """
+
+
+def q_tile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile temporal anomaly detection (geo/anomaly.py): zero-filled
+    per-tile day series, one-sample z-score from exact integer moments,
+    2σ cut — vs a DuckDB full replay."""
+    _prep(spark)
+    from osm_spark.geo.anomaly import tile_anomalies
+
+    return tile_anomalies(_od_pts(spark, sf_dir), z=_OD_Z, threshold_sigma=2.0)
+
+
 _STAY_M = 3000.0
 _STAY_MIN_DUR_S = 3600.0
 
@@ -4149,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": q_trending_terms,
         "covisitation": q_covisitation,
         "frontier": q_frontier,
+        "tile_anomalies": q_tile_anomalies,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4179,6 +4248,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_terms": _trending_oracle(),
         "covisitation": _covisit_oracle(),
         "frontier": _frontier_oracle(),
+        "tile_anomalies": _tile_anomaly_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
