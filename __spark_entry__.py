@@ -2326,7 +2326,7 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSSP_HOPS = 8
 
 
-def _sssp_oracle() -> str:
+def _sssp_oracle(final_select: str = "SELECT id, dist FROM dists") -> str:
     """Hop-bounded walk enumeration: after R Bellman-Ford rounds the
     engine holds min-over-walks-of-≤R-edges (graph/sssp.py docstring),
     which is EXACTLY the set this recursion enumerates — so the oracle
@@ -2383,20 +2383,17 @@ def _sssp_oracle() -> str:
             SELECT e.dst, reach.d + e.w, reach.h + 1
             FROM reach JOIN edges e ON e.src = reach.id
             WHERE reach.h < {_SSSP_HOPS}
-        )
-        SELECT id, MIN(d) AS dist FROM reach GROUP BY id
+        ),
+        dists AS (SELECT id, MIN(d) AS dist FROM reach GROUP BY id)
+        {final_select}
     """
 
 
-def q_sssp_waygraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph layer: bounded-hop Bellman-Ford SSSP (graph/sssp.py) over
-    the way-ring graph (ring edges + per-city chain shortcuts between
-    way heads; integer-millimeter haversine weights) from one source
-    vertex per city, vs a DuckDB hop-bounded walk-enumeration oracle —
-    an exact-equivalence gate for an iterative algorithm."""
-    _prep(spark)
+def _sssp_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(edges, sources) of the way-ring graph the SSSP family gates on:
+    ring edges + per-city chain shortcuts between way heads, integer-
+    millimeter haversine weights, one source vertex per city."""
     from osm_spark.geo.knn import haversine_m
-    from osm_spark.graph.sssp import shortest_paths
     from osm_spark.pipeline.geometry import synth_polygons
 
     ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
@@ -2443,7 +2440,35 @@ def q_sssp_waygraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = ways.where((F.col("way_id") - 1000) % 8 == 0).select(
         (F.col("way_id") * 100).alias("id")
     )
+    return edges, sources
+
+
+def q_sssp_waygraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: bounded-hop Bellman-Ford SSSP (graph/sssp.py) over
+    the way-ring graph (_sssp_graph), vs a DuckDB hop-bounded
+    walk-enumeration oracle — an exact-equivalence gate for an
+    iterative algorithm."""
+    _prep(spark)
+    from osm_spark.graph.sssp import shortest_paths
+
+    edges, sources = _sssp_graph(spark)
     return shortest_paths(edges, sources, _SSSP_HOPS)
+
+
+_REACH_BAND_MM = 20_000_000  # 20 km isochrone bands
+
+
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone reachability bands (graph/sssp.py reachability_zones):
+    SSSP composed with integer distance banding — same walk-enumeration
+    oracle, aggregated to (band, n_vertices, min_mm, max_mm)."""
+    _prep(spark)
+    from osm_spark.graph.sssp import reachability_zones
+
+    edges, sources = _sssp_graph(spark)
+    return reachability_zones(
+        edges, sources, _SSSP_HOPS, band_mm=_REACH_BAND_MM
+    )
 
 
 _HOTSPOT_Z = 15
@@ -4152,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roads": q_snap_roads,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
+        "reachability": q_reachability,
         # --- tail: outside the driver's 50-entry gate window. All but
         # the last three DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
@@ -4240,6 +4266,12 @@ def oracle_sql() -> dict[str, str]:
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
         "sssp_waygraph": _sssp_oracle(),
+        "reachability": _sssp_oracle(
+            f"""SELECT dist // {_REACH_BAND_MM} AS band,
+                       count(*) AS n_vertices,
+                       MIN(dist) AS min_mm, MAX(dist) AS max_mm
+                FROM dists GROUP BY band"""
+        ),
         "trip_stats": _trip_stats_oracle(),
         "od_matrix": _od_matrix_oracle(),
         "cohort_retention": _cohort_oracle(),

@@ -118,3 +118,38 @@ def shortest_paths(
         drop_truncated(prev)
     drop_truncated(e)
     return out.select("id", "dist")
+
+
+def reachability_zones(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    band_mm: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Isochrone-style reachability bands: (band, n_vertices, min_mm,
+    max_mm) where band = dist div band_mm — "how much of the network
+    lies 0-1 km, 1-2 km, ... from the seed set", the aggregate feeding
+    crawl prioritization, tile styling and coverage dashboards.
+
+    A pure composition: shortest_paths (all its exactness and
+    per-round plan guarantees inherited) followed by ONE integer band
+    projection + ONE map-side-combined aggregate over the |V|-sized
+    distance table. Everything stays exact longs, so the composed
+    operator keeps the value-hash gate."""
+    if band_mm < 1:
+        raise ValueError(f"band_mm must be >= 1, got {band_mm}")
+    sp = shortest_paths(
+        edges, sources, max_hops, src=src, dst=dst, weight=weight
+    )
+    band = F.expr(f"dist div {band_mm}L")
+    return (
+        sp.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("dist").alias("min_mm"),
+            F.max("dist").alias("max_mm"),
+        )
+    )

@@ -104,3 +104,24 @@ def test_negative_weight_rejected(spark, graph):
         shortest_paths(bad, s, 3)
     with pytest.raises(ValueError):
         shortest_paths(e, s, -1)
+
+
+def test_reachability_zones_band_shortest_paths(spark, graph):
+    from osm_spark.graph.sssp import reachability_zones, shortest_paths
+
+    n, edges, sources, e, s = graph
+    band_mm = 40
+    sp = {r.id: r.dist for r in shortest_paths(e, s, 6).collect()}
+    want: dict[int, list[int]] = {}
+    for d in sp.values():
+        want.setdefault(d // band_mm, []).append(d)
+    got = {
+        r.band: (r.n_vertices, r.min_mm, r.max_mm)
+        for r in reachability_zones(e, s, 6, band_mm).collect()
+    }
+    assert got == {
+        b: (len(ds), min(ds), max(ds)) for b, ds in want.items()
+    }
+    assert len(got) > 1  # the fixture must span multiple bands
+    with pytest.raises(ValueError):
+        reachability_zones(e, s, 6, 0)
