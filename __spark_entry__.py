@@ -1587,6 +1587,33 @@ def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_segments_to_tiles(ways, z=13, closed=True)
 
 
+def _route_density_oracle(z: int = 13) -> str:
+    """tile_clip's slab-clip replay wrapped with the identical
+    rounded-integer length + per-tile sum (geo/cliptiles.py
+    route_density)."""
+    return f"""
+        WITH clipped AS ({_tile_clip_oracle(z)})
+        SELECT z, tx, ty, count(*) AS n_segments,
+               CAST(sum(CAST(round(sqrt(
+                    CAST(x1 - x0 AS DOUBLE) * CAST(x1 - x0 AS DOUBLE)
+                    + CAST(y1 - y0 AS DOUBLE) * CAST(y1 - y0 AS DOUBLE)))
+                    AS BIGINT)) AS BIGINT) AS length_eu
+        FROM clipped GROUP BY z, tx, ty
+    """
+
+
+def q_route_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile way-network line density (geo/cliptiles.py
+    route_density): zero-shuffle clip + exact rounded-length sums — vs
+    the wrapped slab-clip replay."""
+    _prep(spark)
+    from osm_spark.geo.cliptiles import route_density
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    return route_density(ways, z=13, closed=True)
+
+
 def _radius_pairs_oracle(radius_m: float = 1500.0) -> str:
     """Brute-force DWithin (same haversine formula/op order as
     ``haversine_m``). Pair-set output only — no float rides the hash."""
@@ -4225,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "host_graph": q_host_graph,
         "tile_clip": q_tile_clip,
+        "route_density": q_route_density,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -4290,6 +4318,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_refresh": _tile_refresh_oracle(),
         "diff_assembly": _diff_assembly_oracle(),
         "tile_clip": _tile_clip_oracle(),
+        "route_density": _route_density_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

@@ -267,3 +267,39 @@ def clip_tiles_sql(
                CAST(round((ay + t1 * dy - ty) * {float(extent)!r}) AS INT) AS y1
         FROM clip WHERE t0 < t1
     """
+
+
+def route_density(
+    ways: DataFrame,
+    z: int,
+    extent: int = DEFAULT_EXTENT,
+    id_col: str = "way_id",
+    closed: bool = False,
+) -> DataFrame:
+    """(z, tx, ty, n_segments, length_eu) — per-tile way-network density:
+    how much LINE length crosses each tile, the vector analog of the
+    point-count raster (geo/tiles.py) used for road-network heatmaps and
+    tile-generalization budgets.
+
+    Pure composition over clip_segments_to_tiles (zero-shuffle clip
+    inherited), plus ONE map-side-combined groupBy(z, tx, ty). Per-piece
+    length is computed in integer extent units and ROUNDED BEFORE the
+    sum (≤ 0.5 eu/piece quantization — the trip_stats millimeter
+    recipe), so the aggregate is an exact long sum: order-independent
+    and value-hash gateable, where a raw float-length sum would depend
+    on partial-aggregation order.
+    """
+    clipped = clip_segments_to_tiles(
+        ways, z, extent=extent, id_col=id_col, closed=closed
+    )
+    dx = (F.col("x1") - F.col("x0")).cast("double")
+    dy = (F.col("y1") - F.col("y0")).cast("double")
+    len_eu = F.round(F.sqrt(dx * dx + dy * dy), 0).cast("long")
+    return (
+        clipped.select("z", "tx", "ty", len_eu.alias("len_eu"))
+        .groupBy("z", "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("len_eu").alias("length_eu"),
+        )
+    )

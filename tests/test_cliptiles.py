@@ -90,3 +90,27 @@ def test_clip_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_route_density_sums_clipped_lengths(spark):
+    import math
+
+    from osm_spark.geo.cliptiles import (
+        clip_segments_to_tiles,
+        route_density,
+    )
+
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    clipped = clip_segments_to_tiles(ways, z=13, closed=True).toPandas()
+    want: dict[tuple, list[int]] = {}
+    for r in clipped.itertuples():
+        want.setdefault((r.z, r.tx, r.ty), []).append(
+            int(round(math.hypot(r.x1 - r.x0, r.y1 - r.y0)))
+        )
+    got = route_density(ways, z=13, closed=True).toPandas()
+    assert len(got) == len(want) > 1
+    for r in got.itertuples():
+        ls = want[(r.z, r.tx, r.ty)]
+        assert (r.n_segments, r.length_eu) == (len(ls), sum(ls))
