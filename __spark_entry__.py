@@ -4046,6 +4046,44 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(d.select("doc_id", "text"), k=5)
 
 
+def _source_entropy_oracle() -> str:
+    """Replay of text/entropy.py: same tokenization, per-term micro-nat
+    quantization BEFORE the sum (exact long sum), identical closing
+    expression."""
+    return """
+        WITH tc AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        cnt AS (SELECT source, term, count(*) AS c
+                FROM tc GROUP BY source, term),
+        agg AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_terms,
+                   CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                        * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+                        AS BIGINT) AS s_micro
+            FROM cnt GROUP BY source
+        )
+        SELECT source, n_tokens, n_terms,
+               CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6
+                    - CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                    AS BIGINT) AS entropy_micro
+        FROM agg
+    """
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term entropy (osm_spark/text/entropy.py): quantized
+    c·ln(c) partials summed exactly, one closing float expression — vs
+    a DuckDB full replay."""
+    from osm_spark.text.entropy import source_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return source_entropy(d.select("source", "text"))
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards
     (osm_spark/text/sharding.py): shard + position are pure functions
@@ -4245,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "collocations": q_collocations,
         "tfidf_keywords": q_tfidf_keywords,
+        "source_entropy": q_source_entropy,
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -5424,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_stats": _ngram_stats_oracle(),
         "collocations": _collocations_oracle(),
         "tfidf_keywords": _tfidf_oracle(),
+        "source_entropy": _source_entropy_oracle(),
         "global_shuffle": _global_shuffle_oracle(),
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),

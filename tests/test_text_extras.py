@@ -96,3 +96,49 @@ def test_shard_validation(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         shard_assign(docs, "doc_id", 0)
+
+
+# -------------------------------------------------------- source entropy
+
+
+def test_source_entropy_matches_replay(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from osm_spark.text.entropy import source_entropy
+
+    docs = [
+        ("tmpl", "buy now buy now buy now"),
+        ("tmpl", "buy now"),
+        ("rich", "the quick brown fox jumps over lazy dogs"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["source", "text"]))
+    got = {
+        r.source: (r.n_tokens, r.n_terms, r.entropy_micro)
+        for r in source_entropy(df).collect()
+    }
+    want = {}
+    for src in ("tmpl", "rich"):
+        c = Counter(
+            w for s, t in docs if s == src for w in t.lower().split(" ")
+        )
+        t = sum(c.values())
+        s_micro = sum(round(x * math.log(x) * 1e6) for x in c.values())
+        want[src] = (t, len(c), round(math.log(t) * 1e6 - s_micro / t))
+    assert got == want
+    # template source must score LOWER entropy than diverse prose
+    assert got["tmpl"][2] < got["rich"][2]
+
+
+def test_source_entropy_single_term_is_zero(spark):
+    import pandas as pd
+
+    from osm_spark.text.entropy import source_entropy
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("mono", "spam spam spam")], columns=["source", "text"])
+    )
+    got = source_entropy(df).collect()[0]
+    assert got.n_terms == 1 and got.entropy_micro == 0
