@@ -4084,6 +4084,46 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_entropy(d.select("source", "text"))
 
 
+_QUANT_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _int_quantiles_oracle() -> str:
+    """Replay of functions/quantiles.py over documents.n_chars: same
+    histogram + cumulative + nearest-rank selection, all-integer."""
+    selects = " UNION ALL ".join(
+        f"""SELECT {int(round(p * 1000))} AS prob_pmille,
+                   (SELECT min(v) FROM cum
+                    WHERE cum >= CAST(ceil({p!r} * n_total) AS BIGINT))
+                       AS value,
+                   CAST(ceil({p!r} * n_total) AS BIGINT) AS rank_needed,
+                   n_total
+            FROM tot"""
+        for p in _QUANT_PROBS
+    )
+    return f"""
+        WITH hist AS (SELECT n_chars AS v, count(*) AS c
+                      FROM documents GROUP BY n_chars),
+        cum AS (
+            SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM hist
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist)
+        {selects}
+    """
+
+
+def q_int_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer quantiles without a global sort
+    (functions/quantiles.py): data-sized histogram aggregate +
+    histogram-sized cumulative + nearest-rank pick — vs a DuckDB
+    replay. All-integer output, no quantization anywhere."""
+    from osm_spark.functions.quantiles import integer_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return integer_quantiles(d, "n_chars", _QUANT_PROBS)
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards
     (osm_spark/text/sharding.py): shard + position are pure functions
@@ -4284,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "tfidf_keywords": q_tfidf_keywords,
         "source_entropy": q_source_entropy,
+        "int_quantiles": q_int_quantiles,
         "global_shuffle": q_global_shuffle,
         "viewport_points": q_viewport_points,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -5464,6 +5505,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _collocations_oracle(),
         "tfidf_keywords": _tfidf_oracle(),
         "source_entropy": _source_entropy_oracle(),
+        "int_quantiles": _int_quantiles_oracle(),
         "global_shuffle": _global_shuffle_oracle(),
         "viewport_points": _viewport_points_oracle(),
         "bm25_search": _bm25_search_oracle(),
