@@ -3418,6 +3418,71 @@ def _hits_oracle(n_iter: int = 3, scale: int = 10**9) -> str:
     """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (graph/lpa.py) over
+    the chain+shortcut graph connected_components gates on — pinned
+    plurality/smallest-label tie-break, fixed 3 rounds, vs the
+    generated unrolled SQL replay."""
+    from osm_spark.graph.lpa import label_propagation
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    chain = d.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 1).alias("b")
+    )
+    shortcut = (
+        d.where(F.col("doc_id") % 17 == 0)
+        .crossJoin(n)
+        .select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 3 + 2) % F.col("n_docs")).alias("b"),
+        )
+    )
+    pairs = chain.unionByName(shortcut)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    return label_propagation(sym, n_iter=3)
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Generated unrolled replay of graph/lpa.py on the components
+    graph: per-round plurality with the (cnt DESC, label ASC) pick."""
+    rounds = []
+    for k in range(n_iter):
+        rounds.append(f"""
+            v{k} AS (SELECT s.u AS id, l.label, count(*) AS cnt
+                     FROM sym s JOIN l{k} l ON l.id = s.v
+                     GROUP BY s.u, l.label),
+            w{k} AS (SELECT id, label FROM (
+                         SELECT id, label, ROW_NUMBER() OVER (
+                             PARTITION BY id
+                             ORDER BY cnt DESC, label ASC) AS rn
+                         FROM v{k}) WHERE rn = 1),
+            l{k + 1} AS (SELECT l.id, COALESCE(w.label, l.label) AS label
+                         FROM l{k} l LEFT JOIN w{k} w USING (id))
+        """)
+    body = ",".join(rounds)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        pairs AS (
+            SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+            WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 2) % n_docs
+            FROM documents, nn WHERE doc_id % 17 = 0
+        ),
+        sym AS (SELECT a AS u, b AS v FROM pairs
+                UNION SELECT b, a FROM pairs),
+        verts AS (SELECT DISTINCT u AS id FROM sym),
+        l0 AS (SELECT id, id AS label FROM verts),
+        {body}
+        SELECT id, label FROM l{n_iter}
+    """
+
+
 def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
     """Generated unrolled replay of personalized_pagerank: the pagerank
     oracle's round shape with the teleport/dangling numerators gated by
@@ -4283,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
         "reachability": q_reachability,
+        "label_propagation": q_label_propagation,
         # --- tail: outside the driver's 50-entry gate window. All but
         # the last three DO ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally); the last three are the
@@ -5373,6 +5439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "personalized_pagerank": _ppr_oracle(),
         "hits": _hits_oracle(),
+        "label_propagation": _lpa_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm

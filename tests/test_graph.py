@@ -309,3 +309,72 @@ def test_hits_rejects_zero_iterations(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, n_iter=0)
+
+
+# ------------------------------------------------------------------ LPA
+
+
+def _py_lpa(edges_sym, n_iter):
+    verts = sorted({u for e in edges_sym for u in e})
+    lab = {v: v for v in verts}
+    for _ in range(n_iter):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in edges_sym:
+            votes.setdefault(d, {})[lab[s]] = (
+                votes.setdefault(d, {}).get(lab[s], 0) + 1
+            )
+        nxt = {}
+        for v in verts:
+            if v in votes:
+                nxt[v] = min(votes[v], key=lambda l: (-votes[v][l], l))
+            else:
+                nxt[v] = lab[v]
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_python_replay(spark):
+    from osm_spark.graph.lpa import label_propagation
+
+    # two triangles joined by one bridge + an isolated self-pair
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(2, 10)]
+    und = tri1 + tri2 + bridge
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    for it in (1, 2, 3):
+        got = {
+            r.id: r.label
+            for r in label_propagation(df, n_iter=it).collect()
+        }
+        assert got == _py_lpa(sym, it), f"n_iter={it}"
+
+
+def test_lpa_separates_weakly_joined_cliques(spark):
+    from osm_spark.graph.lpa import label_propagation
+
+    # two 4-cliques joined by a single bridge: communities stay apart
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    und = c1 + c2 + [(3, 10)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.id: r.label for r in label_propagation(df, n_iter=3).collect()
+    }
+    left = {got[v] for v in range(4)}
+    right = {got[v] for v in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_lpa_argmax_stays_in_hash_aggregate(spark):
+    from osm_spark.graph.lpa import label_propagation
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    plan = (
+        label_propagation(df, n_iter=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the struct-min plurality pick must not degrade to SortAggregate
+    assert "SortAggregate" not in plan
