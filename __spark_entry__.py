@@ -2056,6 +2056,71 @@ def _frontier_oracle() -> str:
     """
 
 
+def _path_rollup_oracle() -> str:
+    """Ground-truth replay of functions/urls.py path_rollup on synthetic
+    URLs with known depth-0..4 paths (the url_dedup oracle idiom —
+    Spark must reproduce through the real host/path parsing): counts
+    per (host, prefix) at depths 1..3, '/' rows for path-less URLs."""
+    return """
+        WITH u AS (
+            SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                   doc_id % 5 AS d,
+                   's' || CAST(doc_id % 3 AS VARCHAR) AS s1,
+                   't' || CAST(doc_id % 5 AS VARCHAR) AS s2,
+                   'u' || CAST(doc_id % 2 AS VARCHAR) AS s3
+            FROM documents
+        ),
+        pref AS (
+            SELECT host, 0 AS depth, '/' AS prefix FROM u WHERE d = 0
+            UNION ALL
+            SELECT host, 1, '/' || s1 FROM u WHERE d >= 1
+            UNION ALL
+            SELECT host, 2, '/' || s1 || '/' || s2 FROM u WHERE d >= 2
+            UNION ALL
+            SELECT host, 3, '/' || s1 || '/' || s2 || '/' || s3
+            FROM u WHERE d >= 3
+        )
+        SELECT host, prefix, depth, count(*) AS n_pages
+        FROM pref GROUP BY host, prefix, depth
+    """
+
+
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-prefix rollup (functions/urls.py path_rollup): the
+    per-site directory-tree profile driving crawl budgeting — vs the
+    ground-truth DuckDB replay. URL depth varies 0-4 so the depth cap,
+    the '/' fallback and every prefix level are all exercised."""
+    _prep(spark)
+    from osm_spark.functions.urls import path_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s1 = F.concat(F.lit("s"), (i % 3).cast("string"))
+    s2 = F.concat(F.lit("t"), (i % 5).cast("string"))
+    s3 = F.concat(F.lit("u"), (i % 2).cast("string"))
+    s4 = F.concat(F.lit("p"), i.cast("string"))
+    dd = i % 5
+    path = (
+        F.when(dd == 0, F.lit(""))
+        .when(dd == 1, F.concat(F.lit("/"), s1))
+        .when(dd == 2, F.concat(F.lit("/"), s1, F.lit("/"), s2))
+        .when(dd == 3, F.concat(F.lit("/"), s1, F.lit("/"), s2, F.lit("/"), s3))
+        .otherwise(
+            F.concat(
+                F.lit("/"), s1, F.lit("/"), s2, F.lit("/"), s3, F.lit("/"), s4
+            )
+        )
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("http://h"), (i % 7).cast("string"),
+            F.lit(".example.com"), path,
+            F.lit("?q="), i.cast("string"),  # query must NOT leak into path
+        ).alias("url")
+    )
+    return path_rollup(urls, max_depth=3)
+
+
 def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness sharding (pipeline/frontier.py):
     host→worker by salted digest, per-host deterministic fetch order,
@@ -4418,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "frontier": q_frontier,
         "tile_anomalies": q_tile_anomalies,
+        "path_rollup": q_path_rollup,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4455,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "covisitation": _covisit_oracle(),
         "frontier": _frontier_oracle(),
         "tile_anomalies": _tile_anomaly_oracle(),
+        "path_rollup": _path_rollup_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

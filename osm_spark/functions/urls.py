@@ -88,3 +88,69 @@ def canonical_url(url: Column | str) -> Column:
         ),
     )
     return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component ('' when absent): everything after the authority,
+    before '?' or '#'. Case-preserved (RFC 3986 — paths are
+    case-sensitive, unlike hosts)."""
+    u = F.trim(_c(url))
+    tail = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    return tail
+
+
+def path_rollup(
+    urls: "DataFrame",
+    max_depth: int = 3,
+    url_col: str = "url",
+) -> "DataFrame":
+    """(host, prefix, depth, n_pages) — page counts per path-prefix up
+    to ``max_depth`` segments: the directory-tree profile of a site
+    ("/wiki/* holds 92% of pages") that drives crawl budgeting and
+    sitemap diffing.
+
+    One pure-Column prefix expansion (≤ max_depth rows per URL — a
+    constant fan-out, never a shuffle amplifier) feeding one
+    combiner-reduced (host, prefix) aggregate; URLs with no path
+    contribute to depth 0 under the empty prefix. The reference walks
+    term→usage maps per record (SURVEY.md §2.2 P3/P4 map semantics);
+    this is the same split-and-fold over URL structure.
+    """
+    from pyspark.sql import functions as _F
+
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    host = url_host(url_col)
+    path = url_path(url_col)
+    # segments: drop the leading '' from the initial '/'; '' path -> []
+    segs = _F.filter(_F.split(path, "/"), lambda s: s != "")
+    depth = _F.least(_F.size(segs), _F.lit(max_depth))
+    prefixes = _F.transform(
+        _F.sequence(_F.lit(1), depth),
+        lambda i: _F.struct(
+            i.cast("int").alias("depth"),
+            _F.concat(
+                _F.lit("/"),
+                _F.array_join(_F.slice(segs, 1, i), "/"),
+            ).alias("prefix"),
+        ),
+    )
+    rolled = (
+        urls.select(
+            host.alias("host"),
+            _F.explode(
+                _F.when(depth >= 1, prefixes).otherwise(
+                    _F.array(
+                        _F.struct(
+                            _F.lit(0).alias("depth"),
+                            _F.lit("/").alias("prefix"),
+                        )
+                    )
+                )
+            ).alias("p"),
+        )
+        .groupBy("host", _F.col("p.prefix").alias("prefix"),
+                 _F.col("p.depth").alias("depth"))
+        .agg(_F.count(_F.lit(1)).alias("n_pages"))
+    )
+    return rolled

@@ -89,3 +89,64 @@ def test_canonical_url_null_safe(spark):
     rows = df.select(canonical_url("url").alias("c")).collect()
     assert rows[0].c is None
     assert rows[1].c == ""
+
+
+# ----------------------------------------------------------- path rollup
+
+
+def test_url_path_extraction(spark):
+    import pandas as pd
+
+    from osm_spark.functions.urls import url_path
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "http://a.com/x/Y/z?q=1#f",  # case preserved, query cut
+                    "https://a.com",              # no path at all
+                    "http://a.com/?q=1",          # bare slash
+                    "not a url",                  # no scheme -> ''
+                ]
+            }
+        )
+    )
+    got = [r[0] for r in df.select(url_path("url")).collect()]
+    assert got == ["/x/Y/z", "", "/", ""]
+
+
+def test_path_rollup_counts_and_depth_cap(spark):
+    import pandas as pd
+
+    from osm_spark.functions.urls import path_rollup
+
+    urls = [
+        "http://a.com/wiki/Cat",
+        "http://a.com/wiki/Dog?ref=1",
+        "http://a.com/news",
+        "http://a.com/w/x/y/z",  # depth 4 caps at 3
+        "http://a.com",          # no path -> '/' at depth 0
+        "http://b.org/wiki/Cat",  # other host: separate tree
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = {
+        (r.host, r.prefix, r.depth): r.n_pages
+        for r in path_rollup(df, max_depth=3).collect()
+    }
+    assert got[("a.com", "/wiki", 1)] == 2
+    assert got[("a.com", "/wiki/Cat", 2)] == 1
+    assert got[("a.com", "/w/x/y", 3)] == 1  # capped, no depth-4 rows
+    assert got[("a.com", "/", 0)] == 1
+    assert got[("b.org", "/wiki", 1)] == 1
+    assert not any(d > 3 for (_, _, d) in got)
+
+
+def test_path_rollup_validates_depth(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from osm_spark.functions.urls import path_rollup
+
+    df = spark.createDataFrame(pd.DataFrame({"url": ["http://a.com/x"]}))
+    with _pytest.raises(ValueError):
+        path_rollup(df, max_depth=0)
