@@ -2056,6 +2056,76 @@ def _frontier_oracle() -> str:
     """
 
 
+def _linkage_name_sql() -> str:
+    """The deterministic synthetic-name expression shared (as identical
+    arithmetic) by q_fuzzy_pairs and its oracle: ids come in groups of
+    four where member 3 clones member 0's name with exactly one letter
+    substituted, so true edit-distance-1 twins are planted on top of
+    whatever incidental near pairs the low-entropy alphabet produces.
+    Lengths vary 7-9 so cross-length candidates exercise the blocked
+    join's ±k length window."""
+    parts = []
+    for j in range(9):
+        base = f"(b * {j + 3} + {j * j})"
+        ch = (
+            f"chr(CAST(97 + (CASE WHEN mut AND m = {j} "
+            f"THEN {base} + 13 ELSE {base} END) % 26 AS INT))"
+        )
+        parts.append(f"CASE WHEN {j} < len THEN {ch} ELSE '' END")
+    return " || ".join(parts)
+
+
+def _fuzzy_pairs_oracle() -> str:
+    """Brute-force ground truth for the blocked fuzzy join: EVERY
+    ordered pair within levenshtein distance 2 (DuckDB's levenshtein is
+    the same classic edit distance Spark's is — parity spot-checked in
+    tests). The blocked join must reproduce this exactly, which is the
+    PassJoin completeness guarantee under test."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 4 = 3 THEN doc_id - 3
+                        ELSE doc_id END AS b,
+                   doc_id % 4 = 3 AS mut
+            FROM documents
+        ),
+        named AS (
+            SELECT id, {_linkage_name_sql()} AS s
+            FROM (SELECT id, b, mut, 7 + b % 3 AS len, b % 7 AS m FROM base)
+        )
+        SELECT a.id AS id_a, c.id AS id_b,
+               CAST(levenshtein(a.s, c.s) AS INT) AS dist
+        FROM named a JOIN named c ON a.id < c.id
+        WHERE levenshtein(a.s, c.s) <= 2
+    """
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocked fuzzy join (text/linkage.py
+    fuzzy_self_pairs): PassJoin segment blocking + exact levenshtein
+    refine, checked against the BRUTE-FORCE cross join in DuckDB — the
+    gate therefore attests blocking completeness, not just refine
+    correctness. Names are synthesized deterministically from doc_id
+    with planted distance-1 twins (see _linkage_name_sql)."""
+    _prep(spark)
+    from osm_spark.text.linkage import fuzzy_self_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    b = F.when(i % 4 == 3, i - 3).otherwise(i)
+    mut = i % 4 == 3
+    ln = (F.lit(7) + b % 3).cast("int")
+    m = (b % 7).cast("int")
+    chars = []
+    for j in range(9):
+        code = b * (j + 3) + j * j
+        code = F.when(mut & (m == j), code + 13).otherwise(code)
+        ch = F.char((F.lit(97) + code % 26).cast("int"))
+        chars.append(F.when(F.lit(j) < ln, ch).otherwise(F.lit("")))
+    names = d.select(i.alias("id"), F.concat(*chars).alias("s"))
+    return fuzzy_self_pairs(names, max_dist=2)
+
+
 def _path_rollup_oracle() -> str:
     """Ground-truth replay of functions/urls.py path_rollup on synthetic
     URLs with known depth-0..4 paths (the url_dedup oracle idiom —
@@ -4484,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "tile_anomalies": q_tile_anomalies,
         "path_rollup": q_path_rollup,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4522,6 +4593,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier": _frontier_oracle(),
         "tile_anomalies": _tile_anomaly_oracle(),
         "path_rollup": _path_rollup_oracle(),
+        "fuzzy_pairs": _fuzzy_pairs_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
