@@ -2126,6 +2126,50 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(names, max_dist=2)
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 12, 8
+
+
+def _doc_chunks_oracle() -> str:
+    """Window-by-window replay of text/chunking.py over the REAL
+    document text: same single-space tokenizer (string_split parity
+    pinned by the token_stats/lm oracles), generate_series starts,
+    1-based inclusive list_slice windows. chunk text is compared
+    byte-exactly, so the tokenize→slice→re-join path carries the
+    reference's extracted-text invariant through the chunker."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        s AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(0, len(ws) - 1, {_CHUNK_STRIDE}))
+                       AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+               CAST(start AS INT) AS start,
+               CAST(len(list_slice(ws, start + 1, start + {_CHUNK_SIZE}))
+                    AS INT) AS n_tokens,
+               array_to_string(
+                   list_slice(ws, start + 1, start + {_CHUNK_SIZE}),
+                   ' ') AS chunk
+        FROM s
+    """
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (text/chunking.py chunk_documents): overlapping
+    token windows over the real corpus text, zero-shuffle row-local
+    plan, byte-exact chunk text vs the DuckDB window replay."""
+    _prep(spark)
+    from osm_spark.text.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
 def _path_rollup_oracle() -> str:
     """Ground-truth replay of functions/urls.py path_rollup on synthetic
     URLs with known depth-0..4 paths (the url_dedup oracle idiom —
@@ -4555,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_anomalies": q_tile_anomalies,
         "path_rollup": q_path_rollup,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "doc_chunks": q_doc_chunks,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4594,6 +4639,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_anomalies": _tile_anomaly_oracle(),
         "path_rollup": _path_rollup_oracle(),
         "fuzzy_pairs": _fuzzy_pairs_oracle(),
+        "doc_chunks": _doc_chunks_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
