@@ -2126,6 +2126,60 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(names, max_dist=2)
 
 
+def _neighborhood_oracle(max_hops: int = 3) -> str:
+    """Generated unrolled BFS replay of graph/neighborhood.py
+    neighborhood_function over the shared _link_graph arithmetic:
+    r0 = identity pairs, each round joins the frontier through the
+    (deduplicated) edge set and re-distincts — converged per-hop
+    reachable counts are iteration-order independent, so the iterative
+    operator IS SQL-checkable (the connected_components oracle idiom)."""
+    rounds = []
+    hops = []
+    for k in range(max_hops):
+        rounds.append(f"""
+            r{k + 1} AS (SELECT DISTINCT id, dst FROM (
+                SELECT r.id, e.dst FROM r{k} r JOIN edges e ON e.src = r.dst
+                UNION ALL SELECT id, dst FROM r{k}))
+        """)
+        hops.append(
+            f"SELECT id, {k + 1} AS hops, count(*) AS n_reachable "
+            f"FROM r{k + 1} GROUP BY id"
+        )
+    body = ",".join(rounds)
+    union = " UNION ALL ".join(hops)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM e0),
+        verts AS (SELECT DISTINCT src AS id FROM edges
+                  UNION SELECT dst FROM edges),
+        r0 AS (SELECT id, id AS dst FROM verts),
+        {body}
+        SELECT id, CAST(hops AS INT) AS hops,
+               CAST(n_reachable AS BIGINT) AS n_reachable
+        FROM ({union})
+    """
+
+
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function (graph/neighborhood.py) over the
+    synthetic link graph: per-vertex reachable-set sizes at hops 1..3,
+    vs the unrolled DuckDB BFS replay. The HyperBall variant (constant
+    per-vertex HLL state — the 100 TB path) is pinned to this exact
+    operator by tests/test_neighborhood.py sparse-mode parity."""
+    _prep(spark)
+    from osm_spark.graph.neighborhood import neighborhood_function
+
+    return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 12, 8
 
 
@@ -4600,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "fuzzy_pairs": q_fuzzy_pairs,
         "doc_chunks": q_doc_chunks,
+        "neighborhood": q_neighborhood,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4640,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         "path_rollup": _path_rollup_oracle(),
         "fuzzy_pairs": _fuzzy_pairs_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
+        "neighborhood": _neighborhood_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

@@ -1,0 +1,134 @@
+"""Neighborhood function: how many vertices are reachable within h hops.
+
+Two implementations of the same quantity ``N(u, h) = |{v : d(u, v) ≤ h}|``
+(shortest-path distance, self included at distance 0):
+
+* :func:`neighborhood_function` — EXACT.  Maintains the materialized
+  reachable set as distinct ``(id, dst)`` pairs and grows it one
+  BFS round per hop (frontier join + union + distinct — all keyed
+  shuffles).  Exact is the audit oracle: the reachable-set size is
+  O(n · reach) rows, which on a web graph explodes within a few hops,
+  so this path is for bounded h / bounded components and for gating.
+
+* :func:`hyperball` — the HyperBall algorithm (Boldi & Vigna, "In-core
+  computation of geometric centralities with HyperBall", 2013 — public
+  algorithm, independently implemented): per vertex keep a HyperLogLog
+  sketch of the reachable set, per round union each vertex's sketch
+  into its in-neighbors'.  State per vertex is CONSTANT (2^lg_k
+  registers) regardless of reach, so the per-round cost is one edge
+  join + one ``hll_union_agg`` — the 100 TB path.  Spark's DataSketches
+  HLL functions keep small sets in exact (sparse) mode, so on test
+  graphs the estimates equal the exact counts and the parity test is
+  deterministic; at scale the usual ~1.6 %/sqrt(2^lg_k) error applies.
+
+Both loops run through lineage truncation (graph/iterate.py) so plans
+and Catalyst stats stay bounded — the BENCH findings #11/#12 classes.
+
+Reference parity: robertgauld/osm walks member↔section networks one
+API call at a time (lib/osm/section.rb); the neighborhood function is
+the whole-graph generalization (effective-diameter / centrality input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from osm_spark.graph.iterate import drop_truncated, truncate_lineage
+
+__all__ = ["neighborhood_function", "hyperball"]
+
+
+def _clean_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.col("src").alias("src"), F.col("dst").alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+
+
+def _vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def neighborhood_function(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Exact ``(id, hops, n_reachable)`` for hops 1..max_hops over the
+    directed graph ``edges(src, dst)``; ``n_reachable`` includes the
+    vertex itself (distance 0), so it is monotone in ``hops`` and every
+    vertex appears at every hop."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = _clean_edges(edges)
+    reach = _vertices(e).select("id", F.col("id").alias("dst"))
+    out = None
+    prev = None
+    for h in range(1, max_hops + 1):
+        reach = truncate_lineage(
+            reach.unionByName(
+                reach.alias("r")
+                .join(e.alias("e"), F.col("r.dst") == F.col("e.src"))
+                .select(F.col("r.id").alias("id"), F.col("e.dst").alias("dst"))
+            ).distinct()
+        )
+        if prev is not None:
+            drop_truncated(prev)
+        prev = reach
+        # The per-hop counts outlive the round state (they are the
+        # output), so they get their OWN small leaf before the backing
+        # reach frame is superseded and dropped next round.
+        counts = truncate_lineage(
+            reach.groupBy("id")
+            .agg(F.count("*").cast("bigint").alias("n_reachable"))
+            .select("id", F.lit(h).cast("int").alias("hops"), "n_reachable")
+        )
+        out = counts if out is None else out.unionByName(counts)
+    drop_truncated(reach)
+    return out
+
+
+def hyperball(
+    edges: DataFrame, max_hops: int = 3, lg_k: int = 12
+) -> DataFrame:
+    """HyperBall ``(id, hops, est_reachable)``: HLL-sketched reachable
+    sets, constant state per vertex.  See module docstring for the
+    exactness-on-small-sets property the parity test uses."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = _clean_edges(edges)
+    # b0(u) = sketch({u})
+    cur = _vertices(e).groupBy("id").agg(
+        F.hll_sketch_agg(F.col("id").cast("string"), F.lit(lg_k)).alias("sk")
+    )
+    out = None
+    prev = None
+    for h in range(1, max_hops + 1):
+        contrib = (
+            e.join(cur, e["dst"] == cur["id"])
+            .select(F.col("src").alias("id"), "sk")
+        )
+        cur = truncate_lineage(
+            contrib.unionByName(cur.select("id", "sk"))
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+        if prev is not None:
+            drop_truncated(prev)
+        prev = cur
+        # estimates outlive the sketch state — own leaf (see exact path)
+        est = truncate_lineage(
+            cur.select(
+                "id",
+                F.lit(h).cast("int").alias("hops"),
+                F.hll_sketch_estimate("sk").cast("bigint").alias(
+                    "est_reachable"
+                ),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    drop_truncated(cur)
+    return out
