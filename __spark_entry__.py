@@ -2180,6 +2180,56 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+_CMS_D, _CMS_W = 3, 8
+
+
+def _cms_oracle() -> str:
+    """Cell-by-cell replay of the count-min sketch: same salted-md5
+    buckets (the sampling/sharding portable-hash idiom), same
+    depth×width cell aggregation, same min-over-rows estimate. Width 8
+    is far below the corpus vocabulary so collisions are dense and the
+    min genuinely selects among different collision masses."""
+    b = (
+        "CAST(CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' "
+        "|| tok), 1, 8) AS BIGINT) % {w} AS INT)"
+    ).format(w=_CMS_W)
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        js AS (SELECT unnest([{', '.join(str(j) for j in range(_CMS_D))}]) AS j),
+        cells AS (
+            SELECT j, {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks, js GROUP BY 1, 2
+        ),
+        qs AS (SELECT DISTINCT tok FROM toks),
+        probe AS (SELECT tok, j, {b} AS bucket FROM qs, js)
+        SELECT p.tok, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM probe p LEFT JOIN cells c USING (j, bucket)
+        GROUP BY p.tok
+    """
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (text/cms.py): build the depth×width sketch over
+    the corpus token stream, then estimate every distinct token's
+    frequency from it — the sketch cells AND the min-estimates replay
+    bit-exactly in DuckDB because the hashes are the portable salted
+    md5. The overestimate bound itself is pinned in tests/test_cms.py."""
+    _prep(spark)
+    from osm_spark.text.cms import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    cms = cms_build(d, depth=_CMS_D, width=_CMS_W)
+    qs = (
+        d.where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    return cms_estimate(cms, qs, depth=_CMS_D, width=_CMS_W)
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 12, 8
 
 
@@ -4655,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "doc_chunks": q_doc_chunks,
         "neighborhood": q_neighborhood,
+        "cms_counts": q_cms_counts,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4696,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": _fuzzy_pairs_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
         "neighborhood": _neighborhood_oracle(),
+        "cms_counts": _cms_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
