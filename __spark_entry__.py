@@ -4271,6 +4271,23 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area centroid (geo/measure.py way_centroid): shoelace
+    centroid in vertex-1-centered coordinates with the deterministic
+    vertex-mean fallback on degenerate rings, vs the DuckDB list_reduce
+    replay in the same fold order (the way_geometry convention —
+    trig-free here, rounded to 6 decimals)."""
+    from osm_spark.geo.measure import way_centroid
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    cent = way_centroid(synth_polygons(spark))
+    return cent.select(
+        "way_id",
+        F.round("c_lat", 6).alias("c_lat"),
+        F.round("c_lon", 6).alias("c_lon"),
+    )
+
+
 def q_way_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measurement (osm_spark/geo/measure.py): per-way ring
     perimeter (haversine fold, closing edge included) and equirect
@@ -4669,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_lines": q_simplify_lines,
         "geohash_cells": q_geohash_cells,
         "way_geometry": q_way_geometry,
+        "way_centroid": q_way_centroid,
         "ngram_stats": q_ngram_stats,
         "collocations": q_collocations,
         "tfidf_keywords": q_tfidf_keywords,
@@ -5861,6 +5879,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_lines": _simplify_lines_oracle(),
         "geohash_cells": _geohash_cells_oracle(),
         "way_geometry": _way_geometry_oracle(),
+        "way_centroid": _way_centroid_oracle(),
         "ngram_stats": _ngram_stats_oracle(),
         "collocations": _collocations_oracle(),
         "tfidf_keywords": _tfidf_oracle(),
@@ -6127,6 +6146,28 @@ def _way_geometry_oracle() -> str:
                round(perimeter_m, 3) AS perimeter_m,
                round(area_m2, 3) AS area_m2
         FROM stats
+    """
+
+
+def _way_centroid_oracle() -> str:
+    from osm_spark.geo.measure import way_centroid_sql
+
+    inner = way_centroid_sql("polys")
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (
+            VALUES {_polygons_values_sql()}
+        ),
+        polys AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        cent AS ({inner})
+        SELECT way_id,
+               round(c_lat, 6) AS c_lat,
+               round(c_lon, 6) AS c_lon
+        FROM cent
     """
 
 

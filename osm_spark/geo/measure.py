@@ -118,6 +118,104 @@ def way_geometry_stats(
     )
 
 
+def way_centroid(
+    polygons: DataFrame,
+    id_col: str = "way_id",
+    lat_col: str = "vlat",
+    lon_col: str = "vlon",
+) -> DataFrame:
+    """(way_id, c_lat, c_lon): the polygon's area centroid via the
+    shoelace centroid formula, computed (like the area) in coordinates
+    CENTERED on vertex 1 — the centroid formula is translation-
+    equivariant, and centering removes the catastrophic cancellation
+    raw lon/lat would suffer (see the area comment above).
+
+    ``Cx = x0 + Σ(cx_i+cx_{i+1})·cross_i / (3·Σcross_i)`` with the same
+    wraparound successor as the area fold.  Degenerate rings (signed
+    double-area exactly 0: fewer than 3 vertices or collinear) fall
+    back to the plain vertex mean — deterministic, and the SQL replay
+    takes the same branch.  Zero shuffle, zero UDF: three sequential
+    ``F.aggregate`` folds the oracle mirrors term by term."""
+    vlat, vlon = F.col(lat_col), F.col(lon_col)
+    n = F.size(vlat)
+    idx = F.sequence(F.lit(1), n)
+    nxt = lambda i: (i % n) + 1  # noqa: E731
+    x0 = F.element_at(vlon, 1)
+    y0 = F.element_at(vlat, 1)
+    cx = lambda i: F.element_at(vlon, i) - x0  # noqa: E731
+    cy = lambda i: F.element_at(vlat, i) - y0  # noqa: E731
+
+    def cross(i):
+        return cx(i.cast("int")) * cy(nxt(i).cast("int")) - cx(
+            nxt(i).cast("int")
+        ) * cy(i.cast("int"))
+
+    a2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + cross(i))
+    sx = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (cx(i.cast("int")) + cx(nxt(i).cast("int"))) * cross(i),
+    )
+    sy = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (cy(i.cast("int")) + cy(nxt(i).cast("int"))) * cross(i),
+    )
+    mean_lon = F.aggregate(vlon, F.lit(0.0), lambda a, v: a + v) / n.cast(
+        "double"
+    )
+    mean_lat = F.aggregate(vlat, F.lit(0.0), lambda a, v: a + v) / n.cast(
+        "double"
+    )
+    ok = n >= 1
+    degen = a2 == 0.0
+    return polygons.select(
+        F.col(id_col),
+        F.when(ok, F.when(degen, mean_lat).otherwise(y0 + sy / (3.0 * a2)))
+        .alias("c_lat"),
+        F.when(ok, F.when(degen, mean_lon).otherwise(x0 + sx / (3.0 * a2)))
+        .alias("c_lon"),
+    )
+
+
+def way_centroid_sql(verts_table: str = "polys") -> str:
+    """DuckDB replay of :func:`way_centroid` — same centered folds,
+    same fold order, same degenerate-ring vertex-mean branch."""
+    cxi = "(vlon[i] - vlon[1])"
+    cyi = "(vlat[i] - vlat[1])"
+    cxn = "(vlon[((i % nn) + 1)] - vlon[1])"
+    cyn = "(vlat[((i % nn) + 1)] - vlat[1])"
+    cross = f"({cxi} * {cyn} - {cxn} * {cyi})"
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, nn),"
+        " i -> {term})), (acc, v) -> acc + v)"
+    )
+    a2 = fold.format(term=cross)
+    sx = fold.format(term=f"({cxi} + {cxn}) * {cross}")
+    sy = fold.format(term=f"({cyi} + {cyn}) * {cross}")
+    mean = (
+        "list_reduce(list_prepend(0.0, {arr}), (acc, v) -> acc + v)"
+        " / CAST(nn AS DOUBLE)"
+    )
+    return f"""
+        SELECT way_id,
+               CASE WHEN nn >= 1 THEN
+                   CASE WHEN a2 = 0.0 THEN {mean.format(arr="vlat")}
+                        ELSE vlat[1] + sy / (3.0 * a2) END END AS c_lat,
+               CASE WHEN nn >= 1 THEN
+                   CASE WHEN a2 = 0.0 THEN {mean.format(arr="vlon")}
+                        ELSE vlon[1] + sx / (3.0 * a2) END END AS c_lon
+        FROM (
+            SELECT way_id, vlat, vlon, nn,
+                   {a2} AS a2, {sx} AS sx, {sy} AS sy
+            FROM (SELECT way_id, vlat, vlon, len(vlat) AS nn
+                  FROM {verts_table})
+        )
+    """
+
+
 def way_geometry_stats_sql(verts_table: str = "polys") -> str:
     """DuckDB replay over ``{verts_table}(way_id, vlat list, vlon list)``.
 
