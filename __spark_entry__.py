@@ -2180,6 +2180,49 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+_PHRASE = "stream table hash"
+
+
+def _phrase_oracle() -> str:
+    """Position-replay ground truth for phrase_search: postings derived
+    from generate_series subscripts (NOT substring search — the
+    tokenizer, not the byte stream, defines adjacency), then the same
+    offset-folded intersection, generated per phrase term."""
+    terms = _PHRASE.split(" ")
+    joins = []
+    for i, t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN toks m{i} ON m{i}.doc_id = m0.doc_id "
+            f"AND m{i}.pos = m0.pos + {i} AND m{i}.tok = '{t}'"
+        )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              FROM t),
+        toks AS (SELECT doc_id, ws[i] AS tok, i - 1 AS pos FROM p)
+        SELECT m0.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(m0.pos) AS INT) AS first_pos
+        FROM toks m0 {' '.join(joins)}
+        WHERE m0.tok = '{terms[0]}'
+        GROUP BY m0.doc_id
+    """
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (text/phrase.py): positional inverted index,
+    term-pruned postings, offset-folded (doc_id, pos) intersection —
+    vs the DuckDB position replay. The phrase is a trigram that occurs
+    in the corpus, so both chained joins carry real matches."""
+    _prep(spark)
+    from osm_spark.text.phrase import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
 _CMS_D, _CMS_W = 3, 8
 
 
@@ -4724,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "neighborhood": q_neighborhood,
         "cms_counts": q_cms_counts,
+        "phrase_search": q_phrase_search,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4766,6 +4810,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle(),
         "neighborhood": _neighborhood_oracle(),
         "cms_counts": _cms_oracle(),
+        "phrase_search": _phrase_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
