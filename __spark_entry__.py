@@ -2180,6 +2180,73 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+_SIM_THRESHOLD, _SIM_MAX_DF = 0.9, 1.0
+
+
+def _cosine_pairs_oracle() -> str:
+    """Term-join replay of the APSS cosine join: same micro-quantized
+    tf·ln(N/df) weights (the keywords.py recipe), HUGEINT dot/norm sums
+    (↔ Spark decimal(38,0)), one closing float expression rounded to 6
+    and thresholded on the ROUNDED value in both engines."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tf AS (
+            SELECT doc_id, tok AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM base)
+            GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nn AS (SELECT count(*) AS n_docs FROM base),
+        w AS (
+            SELECT doc_id, term,
+                   CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6)
+                        AS BIGINT) AS wq
+            FROM tf JOIN dfs USING (term), nn
+            WHERE CAST(df AS DOUBLE) <= {_SIM_MAX_DF} * n_docs
+        ),
+        norms AS (
+            SELECT doc_id, sum(CAST(wq AS HUGEINT) * wq) AS nq
+            FROM w GROUP BY doc_id
+            HAVING sum(CAST(wq AS HUGEINT) * wq) > 0
+        ),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
+            FROM w a JOIN w b USING (term)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, sim FROM (
+            SELECT id_a, id_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.nq AS DOUBLE))
+                            * sqrt(CAST(nb.nq AS DOUBLE))), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+        ) WHERE sim >= {_SIM_THRESHOLD}
+    """
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-IDF cosine similarity join (text/simjoin.py):
+    inverted-index term-keyed candidates, exact integer dot/norm sums,
+    df-cut scale guard — vs the DuckDB term-join replay. The exact-
+    cosine complement to minhash/simhash/embedding near-dup pairs."""
+    _prep(spark)
+    from osm_spark.text.simjoin import cosine_sim_join
+
+    return cosine_sim_join(
+        _t(spark, sf_dir, "documents"),
+        threshold=_SIM_THRESHOLD,
+        max_df_ratio=_SIM_MAX_DF,
+    )
+
+
 _PHRASE = "stream table hash"
 
 
@@ -4768,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood": q_neighborhood,
         "cms_counts": q_cms_counts,
         "phrase_search": q_phrase_search,
+        "cosine_pairs": q_cosine_pairs,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4811,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood": _neighborhood_oracle(),
         "cms_counts": _cms_oracle(),
         "phrase_search": _phrase_oracle(),
+        "cosine_pairs": _cosine_pairs_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
