@@ -2180,6 +2180,62 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def _quantize_oracle() -> str:
+    """Component replay of the absmax int8 quantization: float32→double
+    widening is exact in both engines, abs-max and integer sums are
+    order-free, round/clamp integer-identical. The gate compares the
+    quantized representation via exact integer summaries (sum, sum of
+    squares) plus the nano-quantized scale."""
+    qexpr = (
+        "CASE WHEN scale = 0 THEN 0 ELSE "
+        "greatest(-127, least(127, "
+        "CAST(round(CAST(x AS DOUBLE) / scale) AS INT))) END"
+    )
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   COALESCE(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 0.0) / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(round(scale * 1e9) AS BIGINT) AS scale_nano,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST({qexpr} AS BIGINT))) AS BIGINT) AS qsum,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST({qexpr} AS BIGINT)
+                        * CAST({qexpr} AS BIGINT))) AS BIGINT) AS qnorm
+        FROM s
+    """
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (vector/quantize.py): per-vector
+    absmax scale + clamped rounded components, gated through exact
+    integer summaries of the quantized representation (the array itself
+    stays out of the hash — engines stringify arrays differently)."""
+    _prep(spark)
+    from osm_spark.vector.quantize import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    qsum = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v.cast("bigint"),
+    )
+    qnorm = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v.cast("bigint") * v.cast("bigint"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale") * 1e9, 0).cast("bigint").alias("scale_nano"),
+        qsum.alias("qsum"),
+        qnorm.alias("qnorm"),
+    )
+
+
 _SIM_THRESHOLD, _SIM_MAX_DF = 0.9, 1.0
 
 
@@ -4836,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "phrase_search": q_phrase_search,
         "cosine_pairs": q_cosine_pairs,
+        "quantize_embeddings": q_quantize_embeddings,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4880,6 +4937,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _cms_oracle(),
         "phrase_search": _phrase_oracle(),
         "cosine_pairs": _cosine_pairs_oracle(),
+        "quantize_embeddings": _quantize_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
