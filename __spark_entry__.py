@@ -2180,6 +2180,77 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def _hull_points_sql() -> str:
+    """Shared synthetic point cloud for the hull gate: md5-derived
+    pseudo-random integer coordinates (the portable-hash idiom), which
+    are empirically in generic position on every group's hull edges —
+    checked exhaustively during development (lattice-structured affine
+    coordinates were NOT: they put collinear triples on hull edges,
+    which breaks the pair-certificate oracle below)."""
+    h = (
+        "CAST(CAST('0x' || substr(md5('{ax}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8) AS BIGINT) % 100000 AS DOUBLE)"
+    )
+    return f"""
+        SELECT DISTINCT 'g' || CAST(doc_id % 5 AS VARCHAR) AS grp,
+               {h.format(ax='hx')} AS px,
+               {h.format(ax='hy')} AS py
+        FROM documents
+    """
+
+
+def _hull_oracle() -> str:
+    """Pair-certificate ground truth: p is a strict hull vertex iff
+    some q exists with EVERY other point strictly to the left of line
+    p→q (the supporting-edge certificate; valid because the point cloud
+    has no collinear triples on hull edges — see _hull_points_sql).
+    Exact integer-valued double cross products (coords < 1e5, products
+    < 2^53)."""
+    return f"""
+        WITH pts AS ({_hull_points_sql()})
+        SELECT DISTINCT p.grp, p.px, p.py
+        FROM pts p JOIN pts q
+          ON q.grp = p.grp AND (q.px <> p.px OR q.py <> p.py)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts r
+            WHERE r.grp = p.grp
+              AND (r.px <> p.px OR r.py <> p.py)
+              AND (r.px <> q.px OR r.py <> q.py)
+              AND ((q.px - p.px) * (r.py - p.py)
+                   - (q.py - p.py) * (r.px - p.px)) <= 0
+        )
+    """
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex hull (geo/hull.py): per-partition partial
+    hulls + one group-keyed merge (hull-merge associativity), strict
+    vertex semantics — vs the O(n²·n) pair-certificate oracle, a
+    completely independent characterization of the same vertex set."""
+    _prep(spark)
+    from osm_spark.geo.hull import convex_hull
+
+    d = _t(spark, sf_dir, "documents")
+
+    def hcoord(ax: str):
+        digest = F.md5(
+            F.concat(F.lit(f"{ax}:"), F.col("doc_id").cast("string"))
+        )
+        return (
+            F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+            % 100000
+        ).cast("double")
+
+    pts = d.select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 5).cast("string")).alias(
+            "grp"
+        ),
+        hcoord("hx").alias("px"),
+        hcoord("hy").alias("py"),
+    )
+    return convex_hull(pts)
+
+
 def _quantize_oracle() -> str:
     """Component replay of the absmax int8 quantization: float32→double
     widening is exact in both engines, abs-max and integer sums are
@@ -4893,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "cosine_pairs": q_cosine_pairs,
         "quantize_embeddings": q_quantize_embeddings,
+        "convex_hull": q_convex_hull,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -4938,6 +5010,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_oracle(),
         "cosine_pairs": _cosine_pairs_oracle(),
         "quantize_embeddings": _quantize_oracle(),
+        "convex_hull": _hull_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
