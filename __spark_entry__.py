@@ -2180,6 +2180,93 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Generated unrolled replay of text/bpe.py bpe_train. DuckDB can't
+    fold lists, so each round's greedy left-to-right merge replays
+    POSITIONALLY: adjacent-pair counts by LEAD, the (cnt DESC, l, r)
+    argmax, match flags, maximal match streaks by gaps-and-islands
+    (overlap only exists when left == right, so merges start at even
+    streak offsets), then drop-and-renumber. CTEs are MATERIALIZED —
+    the kcore oracle lesson: DuckDB inlines CTEs and re-opens the whole
+    round chain exponentially otherwise."""
+    rounds = []
+    bests = []
+    for k in range(n_merges):
+        rounds.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT word, freq, sym AS l,
+                       LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+                FROM s{k})
+            WHERE r IS NOT NULL GROUP BY 1, 2
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT l, r, cnt FROM p{k}
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ),
+        m{k} AS MATERIALIZED (
+            SELECT word, freq, pos, sym, b.l, b.r,
+                   (sym = b.l AND COALESCE(
+                        LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                            = b.r, FALSE)) AS mt
+            FROM s{k}, b{k} b
+        ),
+        g{k} AS MATERIALIZED (
+            SELECT *, CASE WHEN mt THEN pos - ROW_NUMBER() OVER (
+                       PARTITION BY word, mt ORDER BY pos) END AS streak
+            FROM m{k}
+        ),
+        t{k} AS MATERIALIZED (
+            SELECT *, (mt AND (pos - MIN(pos) OVER (
+                       PARTITION BY word, mt, streak)) % 2 = 0) AS is_start
+            FROM g{k}
+        ),
+        s{k + 1} AS MATERIALIZED (
+            SELECT word, freq,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+                   CASE WHEN is_start THEN l || r ELSE sym END AS sym
+            FROM (SELECT *, COALESCE(LAG(is_start) OVER (
+                      PARTITION BY word ORDER BY pos), FALSE) AS skip
+                  FROM t{k})
+            WHERE NOT skip
+        )""")
+        bests.append(
+            f'SELECT CAST({k + 1} AS INT) AS step, l AS "left", '
+            f'r AS "right", cnt AS pair_count FROM b{k}'
+        )
+    body = ",".join(rounds)
+    union = " UNION ALL ".join(bests)
+    return f"""
+        WITH wf AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents WHERE text IS NOT NULL)
+            WHERE len(word) > 0 GROUP BY word
+        ),
+        s0 AS MATERIALIZED (
+            SELECT word, freq, CAST(pos AS BIGINT) AS pos,
+                   substr(word, CAST(pos AS INT), 1) AS sym
+            FROM (SELECT word, freq,
+                         unnest(generate_series(1, len(word))) AS pos
+                  FROM wf)
+        ),
+        {body}
+        {union}
+    """
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction (text/bpe.py bpe_train): 3 merge rounds
+    over the corpus word-frequency table, deterministic argmax
+    tie-break, greedy non-overlapping merge — vs the generated unrolled
+    positional replay. The merge table IS the trained tokenizer."""
+    _prep(spark)
+    from osm_spark.text.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 def _hull_points_sql() -> str:
     """Shared synthetic point cloud for the hull gate: md5-derived
     pseudo-random integer coordinates (the portable-hash idiom), which
@@ -4965,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "quantize_embeddings": q_quantize_embeddings,
         "convex_hull": q_convex_hull,
+        "bpe_merges": q_bpe_merges,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -5011,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": _cosine_pairs_oracle(),
         "quantize_embeddings": _quantize_oracle(),
         "convex_hull": _hull_oracle(),
+        "bpe_merges": _bpe_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
