@@ -2180,7 +2180,7 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
+def _bpe_oracle(n_merges: int = 3, final_select: str | None = None) -> str:
     """Generated unrolled replay of text/bpe.py bpe_train. DuckDB can't
     fold lists, so each round's greedy left-to-right merge replays
     POSITIONALLY: adjacent-pair counts by LEAD, the (cnt DESC, l, r)
@@ -2237,6 +2237,7 @@ def _bpe_oracle(n_merges: int = 3) -> str:
         )
     body = ",".join(rounds)
     union = " UNION ALL ".join(bests)
+    final = final_select if final_select is not None else union
     return f"""
         WITH wf AS MATERIALIZED (
             SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -2252,8 +2253,35 @@ def _bpe_oracle(n_merges: int = 3) -> str:
                   FROM wf)
         ),
         {body}
-        {union}
+        {final}
     """
+
+
+def _bpe_vocab_oracle(n_merges: int = 3) -> str:
+    """Same unrolled rounds as _bpe_oracle, but the final select counts
+    the POST-MERGE symbol occurrences — the encode (vocabulary-usage)
+    surface, exercising that every round's merge application (not just
+    its argmax) replays exactly."""
+    return _bpe_oracle(
+        n_merges,
+        final_select=(
+            f"SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences "
+            f"FROM s{n_merges} GROUP BY sym"
+        ),
+    )
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode (text/bpe.py bpe_encode): train 3 merges, apply them
+    to the corpus, return the subword vocabulary usage — gates the
+    merge APPLICATION path end-to-end (bpe_merges gates the argmax)."""
+    _prep(spark)
+    from osm_spark.text.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    trained = bpe_train(d, n_merges=3)
+    merges = [(r.left, r.right) for r in trained.orderBy("step").collect()]
+    return bpe_encode(d, merges)
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5053,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "convex_hull": q_convex_hull,
         "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -5100,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _quantize_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
+        "bpe_vocab": _bpe_vocab_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from osm_spark.graph.iterate import drop_truncated, truncate_lineage
 
-__all__ = ["bpe_train", "word_frequencies"]
+__all__ = ["bpe_train", "bpe_encode", "word_frequencies"]
 
 
 def word_frequencies(
@@ -127,4 +127,32 @@ def bpe_train(
         drop_truncated(prev)
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge list to the corpus and return the subword
+    vocabulary usage ``(sym, n_occurrences)`` — the table a tokenizer
+    ships with.  ``merges`` is ordered (step order matters: later
+    merges see earlier merges' symbols); each is applied as the same
+    greedy fold ``bpe_train`` used, inlined as literals, so encode is a
+    single zero-join pass over the word-frequency table no matter how
+    many merges were trained."""
+    wf = word_frequencies(docs, id_col=id_col, text_col=text_col)
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    for left, right in merges:
+        syms = _merge_fold(syms, left, right)
+    return (
+        wf.select("freq", F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
     )

@@ -81,3 +81,46 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         bpe_train(df, n_merges=0)
+
+
+def _python_encode(texts, merges):
+    freq = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.lower().split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    out = {}
+    for w, f in freq.items():
+        syms = list(w)
+        for l, r in merges:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == l and s == r:
+                    nxt[-1] = l + r
+                else:
+                    nxt.append(s)
+            syms = nxt
+        for s in syms:
+            out[s] = out.get(s, 0) + f
+    return out
+
+
+def test_encode_matches_python(spark):
+    from osm_spark.text.bpe import bpe_encode
+
+    texts = ["low lower lowest low low", "new newer newest new", "aaaa ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [(l, r) for _, l, r, _ in _python_bpe(texts, 3)]
+    got = {
+        r.sym: r.n_occurrences
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert got == _python_encode(texts, merges)
+    # encode over the trained merges actually compresses: fewer symbol
+    # occurrences than raw characters
+    raw_chars = sum(len(w) for t in texts for w in t.split(" "))
+    assert sum(got.values()) < raw_chars
