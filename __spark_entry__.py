@@ -2257,6 +2257,47 @@ def _bpe_oracle(n_merges: int = 3, final_select: str | None = None) -> str:
     """
 
 
+def _weighted_sample_oracle() -> str:
+    """Key-by-key replay of the A-ES weighted sample: the 52-bit digest
+    uniform (exactly representable in a double), -ln(u)/w exponential
+    keys, nano-quantized rank with the doc_id tie-break, top 5 per
+    source. Weight = n_chars, so long documents win proportionally."""
+    two52 = float(16**13)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, source, n_chars,
+                   -ln((CAST(CAST('0x' || substr(
+                           md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                        AS BIGINT) AS DOUBLE) + 1.0) / {two52!r})
+                     / CAST(n_chars AS DOUBLE) AS key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, source, n_chars, rk FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(round(key * 1e9) AS BIGINT), doc_id)
+                   AS INT) AS rk
+            FROM w
+        ) WHERE rk <= 5
+    """
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (text/sampling.py weighted_sample, Efraimidis–Spirakis): top 5 docs
+    per source, weight-proportional by n_chars, byte-stable across
+    partitionings — vs the DuckDB key replay."""
+    _prep(spark)
+    from osm_spark.text.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(
+        d, "n_chars", 5, "doc_id", group_col="source", salt="ws"
+    )
+
+
 def _bpe_vocab_oracle(n_merges: int = 3) -> str:
     """Same unrolled rounds as _bpe_oracle, but the final select counts
     the POST-MERGE symbol occurrences — the encode (vocabulary-usage)
@@ -5082,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "weighted_sample": q_weighted_sample,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -5130,6 +5172,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

@@ -82,6 +82,57 @@ def mixture_sample(
     return df.filter(digest < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+    group_col: str | None = None,
+    salt: str = "s1",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, public algorithm): each
+    row draws a reproducible uniform ``u ∈ (0, 1]`` from its salted
+    digest and competes on the exponential key ``-ln(u) / w``; the ``n``
+    SMALLEST keys are exactly a weight-proportional without-replacement
+    sample.  Because ``u`` comes from the md5 digest (not ``rand()``),
+    membership is byte-stable across runs, partitionings and cluster
+    sizes — the hash_sample/quota_sample guarantee extended to weighted
+    draws.  Keys are nano-quantized before ranking (the engine's
+    micro-quantization idiom) so rank order is engine-exact for the
+    DuckDB twin; ties break on the key column (total order).
+
+    ``group_col=None`` ranks globally — the sort is over candidate
+    KEYS, and for global top-n over a huge corpus callers should prefer
+    a per-group quota first (the int_quantiles-style caveat); with a
+    group the shuffle is one hash-partition on the group key.
+
+    Rows with non-positive or null weight never qualify (a zero-weight
+    row has infinite key) and are filtered up front.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    digest = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    # first 13 hex nibbles → 52 bits: exactly representable in a double,
+    # identical arithmetic in DuckDB; +1 keeps u > 0 so ln(u) is finite
+    u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        float(16**13)
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    key_q = F.round(key * 1e9, 0).cast("bigint")
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(key_q, F.col(key_col))
+    return (
+        df.where(
+            F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0.0)
+        )
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
