@@ -2126,7 +2126,9 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(names, max_dist=2)
 
 
-def _neighborhood_oracle(max_hops: int = 3) -> str:
+def _neighborhood_oracle(
+    max_hops: int = 3, final_select: str | None = None
+) -> str:
     """Generated unrolled BFS replay of graph/neighborhood.py
     neighborhood_function over the shared _link_graph arithmetic:
     r0 = identity pairs, each round joins the frontier through the
@@ -2147,6 +2149,12 @@ def _neighborhood_oracle(max_hops: int = 3) -> str:
         )
     body = ",".join(rounds)
     union = " UNION ALL ".join(hops)
+    final = final_select if final_select is not None else f"""
+        SELECT id, CAST(hops AS INT) AS hops,
+               CAST(n_reachable AS BIGINT) AS n_reachable
+        FROM ({union})
+    """
+    final = final.replace("__HOPS_UNION__", union)
     return f"""
         WITH nn AS (SELECT count(*) AS n_docs FROM documents),
         e0 AS (
@@ -2162,10 +2170,35 @@ def _neighborhood_oracle(max_hops: int = 3) -> str:
                   UNION SELECT dst FROM edges),
         r0 AS (SELECT id, id AS dst FROM verts),
         {body}
-        SELECT id, CAST(hops AS INT) AS hops,
-               CAST(n_reachable AS BIGINT) AS n_reachable
-        FROM ({union})
+        {final}
     """
+
+
+def _eff_diameter_oracle(max_hops: int = 3, q: float = 0.9) -> str:
+    """Effective diameter from the same unrolled BFS rounds: per-hop
+    pair totals, smallest hop at ≥ q × the max-hop total."""
+    final = f"""
+        SELECT CAST(t.hops AS INT) AS eff_diameter,
+               CAST(t.pairs AS BIGINT) AS pairs_at_h,
+               CAST(m.pairs AS BIGINT) AS pairs_at_max
+        FROM (SELECT hops, CAST(sum(n_reachable) AS BIGINT) AS pairs
+              FROM (__HOPS_UNION__) GROUP BY hops) t,
+             (SELECT CAST(sum(n_reachable) AS BIGINT) AS pairs
+              FROM (__HOPS_UNION__) WHERE hops = {max_hops}) m
+        WHERE CAST(t.pairs AS DOUBLE) >= {q} * CAST(m.pairs AS DOUBLE)
+        ORDER BY t.hops LIMIT 1
+    """
+    return _neighborhood_oracle(max_hops, final_select=final)
+
+
+def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q=0.9 effective diameter (graph/neighborhood.py
+    effective_diameter) of the synthetic link graph — the integer-exact
+    distance summary closed over the gated neighborhood rounds."""
+    _prep(spark)
+    from osm_spark.graph.neighborhood import effective_diameter
+
+    return effective_diameter(_link_graph(spark, sf_dir), q=0.9, max_hops=3)
 
 
 def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5124,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
+        "eff_diameter": q_eff_diameter,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -5173,6 +5207,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "eff_diameter": _eff_diameter_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

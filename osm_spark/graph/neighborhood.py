@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from osm_spark.graph.iterate import drop_truncated, truncate_lineage
 
-__all__ = ["neighborhood_function", "hyperball"]
+__all__ = ["neighborhood_function", "hyperball", "effective_diameter"]
 
 
 def _clean_edges(edges: DataFrame) -> DataFrame:
@@ -89,6 +89,46 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 3) -> DataFrame:
         out = counts if out is None else out.unionByName(counts)
     drop_truncated(reach)
     return out
+
+
+def effective_diameter(
+    edges: DataFrame, *, q: float = 0.9, max_hops: int = 3
+) -> DataFrame:
+    """The q-effective diameter (integer form): the smallest hop count
+    ``h ≤ max_hops`` at which the total number of reachable (u, v)
+    pairs is at least ``q`` × the total at ``max_hops`` — the standard
+    web-graph distance summary (usually quoted at q=0.9), here closed
+    from exact integer pair totals so the result is engine-exact (the
+    interpolated fractional variant is a display convention, not a
+    different measurement).  One row: (eff_diameter, pairs_at_h,
+    pairs_at_max).  Derived from :func:`neighborhood_function`; at
+    scale, swap in :func:`hyperball`'s estimates for the same fold."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    nf = neighborhood_function(edges, max_hops=max_hops)
+    totals = nf.groupBy("hops").agg(
+        F.sum("n_reachable").cast("bigint").alias("pairs")
+    )
+    tmax = totals.where(F.col("hops") == max_hops).select(
+        F.col("pairs").alias("pairs_at_max")
+    )
+    hit = (
+        totals.crossJoin(F.broadcast(tmax))
+        .where(
+            F.col("pairs").cast("double")
+            >= F.lit(float(q)) * F.col("pairs_at_max").cast("double")
+        )
+        .groupBy("pairs_at_max")
+        .agg(
+            F.min_by(F.col("hops"), F.col("hops")).alias("eff_diameter"),
+            F.min_by(F.col("pairs"), F.col("hops")).alias("pairs_at_h"),
+        )
+    )
+    return hit.select(
+        F.col("eff_diameter").cast("int").alias("eff_diameter"),
+        "pairs_at_h",
+        "pairs_at_max",
+    )
 
 
 def hyperball(

@@ -67,3 +67,26 @@ def test_validation(spark):
         neighborhood_function(df, max_hops=0)
     with pytest.raises(ValueError):
         hyperball(df, max_hops=0)
+
+
+def test_effective_diameter(spark):
+    from osm_spark.graph.neighborhood import effective_diameter
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    counts = _bfs_counts(EDGES, 3)
+    totals = {
+        h: sum(v for (u, hh), v in counts.items() if hh == h)
+        for h in (1, 2, 3)
+    }
+    row = effective_diameter(df, q=0.9, max_hops=3).collect()[0]
+    want = min(h for h in (1, 2, 3) if totals[h] >= 0.9 * totals[3])
+    assert (row.eff_diameter, row.pairs_at_h, row.pairs_at_max) == (
+        want,
+        totals[want],
+        totals[3],
+    )
+    # q=1.0 always lands on the last hop's total
+    row1 = effective_diameter(df, q=1.0, max_hops=3).collect()[0]
+    assert row1.pairs_at_h == row1.pairs_at_max
+    with pytest.raises(ValueError):
+        effective_diameter(df, q=0.0)
