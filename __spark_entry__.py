@@ -442,6 +442,32 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dups (multimodal/media.py media_dhash +
+    the simhash pigeonhole Hamming join). ROWS-ONLY by necessity: the
+    dHash grid comes from the binary payload inside mapInPandas, which
+    SQL cannot replay — but the Hamming blocking layer it rides is
+    hash-gated via simhash/simhash_near_dups' twin, and the byte→grid
+    stand-in is pytest-pinned against a brute-force Hamming join
+    (tests/test_multimodal.py). Each payload gets a same-length
+    tail-edited twin (ids offset by 10^6) so true perceptual near-dups
+    exist: only grid samples near the tail differ, keeping twins within
+    the Hamming budget while unrelated payloads stay far outside it."""
+    from osm_spark.multimodal.media import media_near_dups, synth_media
+
+    base = synth_media(spark, sf_dir)
+    t = F.decode(F.col("bytes"), "utf-8")
+    edited = base.select(
+        (F.col("media_id") + 1_000_000).alias("media_id"),
+        "kind",
+        F.encode(
+            F.concat(F.substring(t, 1, F.length(t) - 1), F.lit("~")), "utf-8"
+        ).alias("bytes"),
+        "meta",
+    )
+    return media_near_dups(base.unionByName(edited), max_hamming=8)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: binary payload → typed features via mapInPandas
     (the deterministic fake decode keeps this oracle-checkable). Absorbs
@@ -5162,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
+        "media_near_dups": q_media_near_dups,
     }
 
 

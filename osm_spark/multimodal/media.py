@@ -190,3 +190,61 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
             )
 
     return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit difference hash (dHash) per payload — the
+    image near-dup primitive, on the same honest-plumbing terms as
+    decode_media: the REAL pipeline resizes the decoded image to a 9×8
+    grayscale grid (Pillow hook, absent in this container); the
+    deterministic stand-in samples 72 evenly-spaced payload bytes as
+    the grid, so payloads sharing most bytes (re-encodes, tail edits)
+    get nearby hashes and the downstream Hamming machinery is exercised
+    for real. Bit (r, c) = grid[r][c+1] > grid[r][c], packed row-major
+    into one signed long — schema-compatible with
+    text/dedup.simhash_near_dups, whose pigeonhole blocking (recall
+    bound and all) provides the scale path for pairing; that blocking
+    layer is hash-gated via the simhash twin, so only the byte→grid
+    stand-in itself is pytest-pinned.
+
+    One Arrow pass, payload dropped on output — nothing downstream
+    shuffles the binary (the decode_media discipline).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for b in pdf["bytes"]:
+                n = len(b)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                # 72 evenly spaced byte samples -> 9 cols x 8 rows grid
+                idx = (np.arange(72, dtype=np.int64) * n) // 72
+                grid = np.frombuffer(b, dtype=np.uint8)[idx].reshape(8, 9)
+                bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                # two's-complement into a signed 64-bit long
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["media_id"].to_numpy(),
+                    "simhash": np.array(hashes, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(gen, "doc_id long, simhash long")
+
+
+def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate media pairs: dHash + the simhash
+    pigeonhole Hamming join (text/dedup.py) — (doc_a, doc_b, hamming)."""
+    from osm_spark.text.dedup import simhash_near_dups
+
+    return simhash_near_dups(media_dhash(media), max_hamming=max_hamming)

@@ -97,3 +97,40 @@ def test_resize_media_plumbing(media):
             assert r.width > 0 and r.height > 0
     again = {r.media_id: bytes(r.bytes) for r in resize_media(media, 64, 64).collect()}
     assert again == {m: bytes(r.bytes) for m, r in rows.items()}
+
+
+def test_media_dhash_properties(spark, sf_small_dir):
+    """dHash: deterministic, near-identical payloads land within small
+    Hamming distance, unrelated payloads far; pair op matches the
+    brute-force Hamming join."""
+    from osm_spark.multimodal.media import media_dhash, media_near_dups
+    import pyspark.sql.functions as F
+
+    base = b"abcdefgh" * 40
+    rows = [
+        (1, "image", base),
+        (2, "image", base[:-1] + b"z"),   # tail edit: near dup
+        (3, "image", bytes(range(256)) * 2),  # unrelated
+        (4, "image", base),               # exact dup of 1
+        (5, "image", b""),                # empty payload -> hash 0
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, bytes binary"
+    )
+    h = {r.doc_id: r.simhash for r in media_dhash(media).collect()}
+    assert h[1] == h[4]
+    assert h[5] == 0
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) <= 3 < ham(h[1], h[3])
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in media_near_dups(media, max_hamming=3).collect()
+    )
+    want = sorted(
+        (a, b, ham(h[a], h[b]))
+        for a in h
+        for b in h
+        if a < b and ham(h[a], h[b]) <= 3
+    )
+    assert got == want
