@@ -2316,6 +2316,91 @@ def _bpe_oracle(n_merges: int = 3, final_select: str | None = None) -> str:
     """
 
 
+_ROBOTS_RULES = [
+    (f"h{k}.example.com", "/", k % 2 == 0) for k in range(7)
+] + [
+    (f"h{k}.example.com", "/s0", True) for k in range(7)
+] + [
+    (f"h{k}.example.com", "/s0/t2", False) for k in range(7)
+] + [
+    # equal-length conflicting pair on one host: allow must win
+    ("h3.example.com", "/s1", True),
+    ("h3.example.com", "/s2", False),
+]
+
+
+def _robots_oracle() -> str:
+    values = ", ".join(
+        f"('{h}', '{p}', {str(bool(a)).upper()})" for h, p, a in _ROBOTS_RULES
+    )
+    return f"""
+        WITH u AS (
+            SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                       AS host,
+                   doc_id % 4 AS d,
+                   's' || CAST(doc_id % 3 AS VARCHAR) AS s1,
+                   't' || CAST(doc_id % 5 AS VARCHAR) AS s2
+            FROM documents
+        ),
+        urls AS (
+            SELECT DISTINCT 'http://' || host ||
+                   CASE WHEN d = 0 THEN ''
+                        WHEN d = 1 THEN '/' || s1
+                        ELSE '/' || s1 || '/' || s2 END AS url,
+                   host,
+                   CASE WHEN d = 0 THEN '/'
+                        WHEN d = 1 THEN '/' || s1
+                        ELSE '/' || s1 || '/' || s2 END AS path
+            FROM u
+        ),
+        rules(host, prefix, allow) AS (VALUES {values}),
+        j AS (
+            SELECT u.url, r.prefix, r.allow
+            FROM urls u LEFT JOIN rules r
+              ON r.host = u.host AND starts_with(u.path, r.prefix)
+        )
+        SELECT url, COALESCE(allow, TRUE) AS allowed,
+               prefix AS matched_prefix
+        FROM (SELECT url, prefix, allow, ROW_NUMBER() OVER (
+                  PARTITION BY url
+                  ORDER BY (prefix IS NOT NULL) DESC, len(prefix) DESC,
+                           allow DESC, prefix ASC) AS rk
+              FROM j)
+        WHERE rk = 1
+    """
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style longest-prefix URL rule filter (pipeline/robots.py):
+    broadcast rule dim, pure-Column prefix match, most-specific rule
+    with the allow-wins tie — vs the DuckDB window replay. URLs span
+    depth 0-3 so the '/' fallback, both conflict pairs and the default
+    allow (unruled host paths) are all exercised."""
+    _prep(spark)
+    from osm_spark.pipeline.robots import apply_url_rules
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s1 = F.concat(F.lit("s"), (i % 3).cast("string"))
+    s2 = F.concat(F.lit("t"), (i % 5).cast("string"))
+    dd = i % 4
+    path = (
+        F.when(dd == 0, F.lit(""))
+        .when(dd == 1, F.concat(F.lit("/"), s1))
+        .otherwise(F.concat(F.lit("/"), s1, F.lit("/"), s2))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("http://h"), (i % 7).cast("string"),
+            F.lit(".example.com"), path,
+        ).alias("url")
+    ).distinct()
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    return apply_url_rules(urls, rules)
+
+
 def _weighted_sample_oracle() -> str:
     """Key-by-key replay of the A-ES weighted sample: the 52-bit digest
     uniform (exactly representable in a double), -ln(u)/w exponential
@@ -5184,6 +5269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "eff_diameter": q_eff_diameter,
+        "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
         "simhash_near_dups": q_simhash_near_dups,
         "pip_join": q_pip_join,
@@ -5235,6 +5321,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
+        "robots_filter": _robots_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
