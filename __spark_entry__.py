@@ -2317,7 +2317,11 @@ def _bpe_oracle(n_merges: int = 3, final_select: str | None = None) -> str:
 
 
 _ROBOTS_RULES = [
-    (f"h{k}.example.com", "/", k % 2 == 0) for k in range(7)
+    # h5 deliberately gets NO '/' catch-all: its rule set is prefix-only,
+    # so h5 URLs whose path matches no prefix exercise the
+    # ruled-host-no-match default-allow branch (ADVICE r4: previously
+    # every ruled host carried '/', leaving that branch ungated).
+    (f"h{k}.example.com", "/", k % 2 == 0) for k in range(7) if k != 5
 ] + [
     (f"h{k}.example.com", "/s0", True) for k in range(7)
 ] + [
@@ -2421,7 +2425,8 @@ def _weighted_sample_oracle() -> str:
             SELECT doc_id, source, n_chars,
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY source
-                       ORDER BY CAST(round(key * 1e9) AS BIGINT), doc_id)
+                       ORDER BY CAST(LEAST(round(key * 1e9), 9e18)
+                                     AS BIGINT), doc_id)
                    AS INT) AS rk
             FROM w
         ) WHERE rk <= 5
@@ -2624,6 +2629,7 @@ def _cosine_pairs_oracle() -> str:
             SELECT doc_id, tok AS term, count(*) AS tf
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM base)
+            WHERE len(tok) > 0
             GROUP BY 1, 2
         ),
         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2732,8 +2738,10 @@ def _cms_oracle() -> str:
     ).format(w=_CMS_W)
     return f"""
         WITH toks AS (
-            SELECT unnest(string_split(lower(text), ' ')) AS tok
-            FROM documents WHERE text IS NOT NULL
+            SELECT tok FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
         ),
         js AS (SELECT unnest([{', '.join(str(j) for j in range(_CMS_D))}]) AS j),
         cells AS (
@@ -2762,6 +2770,7 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = (
         d.where(F.col("text").isNotNull())
         .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
         .distinct()
     )
     return cms_estimate(cms, qs, depth=_CMS_D, width=_CMS_W)

@@ -82,9 +82,14 @@ def convex_hull(
         F.col(x_col).cast("double").alias("px"),
         F.col(y_col).cast("double").alias("py"),
     ).where(
+        # NaN passes isNotNull but corrupts _chain's sort and the
+        # strict-turn sign tests (NaN comparisons are always false),
+        # silently yielding a wrong hull — filter it with the nulls.
         F.col("grp").isNotNull()
         & F.col("px").isNotNull()
         & F.col("py").isNotNull()
+        & ~F.isnan("px")
+        & ~F.isnan("py")
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -24,7 +24,27 @@ from pyspark.sql import DataFrame, functions as F
 
 from osm_spark.functions.urls import url_host
 
-__all__ = ["apply_url_rules"]
+__all__ = ["apply_url_rules", "rules_strategy"]
+
+# host(string ~40B) + prefix(string ~20B) + bool, struct overhead — the
+# same per-row sizing convention as geo/knn.py's _NODE_ROW_BYTES.
+_RULE_ROW_BYTES = 72
+RULES_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def rules_strategy(n_rules: int) -> str:
+    """Pick the rule-dim join strategy from a rule-count estimate — the
+    same estimate-driven pattern as ``geo/knn.py``'s
+    ``phase1_strategy``/``phase2_strategy``.  A curated per-host policy
+    table (thousands of hosts) broadcasts; a web-scale robots corpus
+    (millions of hosts × a few rules ≈ GBs) is past any sane broadcast
+    ceiling and hash-joins on host instead (shuffle_hash — the build
+    side is the rule dim, never sort-merge over the page table)."""
+    return (
+        "broadcast"
+        if n_rules * _RULE_ROW_BYTES <= RULES_BROADCAST_MAX_BYTES
+        else "shuffle_hash"
+    )
 
 
 def apply_url_rules(
@@ -32,11 +52,23 @@ def apply_url_rules(
     rules: DataFrame,
     *,
     url_col: str = "url",
-    broadcast_rules: bool = True,
+    strategy: str = "auto",
+    n_rules: int | None = None,
 ) -> DataFrame:
     """Filter ``urls`` by the rule table: returns the input columns plus
     ``allowed`` (boolean) and ``matched_prefix`` (NULL when no rule
     matched — default allow).  ``rules`` columns: host, prefix, allow.
+
+    ``strategy``: "auto" (default — pick by rule-count estimate via
+    ``rules_strategy``; ``n_rules`` threads a catalog/lineage stat in,
+    else one bounded count runs), "broadcast", or "shuffle_hash".
+
+    A URL whose host HAS rules but matches none of their prefixes is
+    default-allowed exactly like an unruled host: non-matching rules
+    contribute NULL to the longest-match aggregate (the match test is
+    folded into the aggregate guard, NOT a pre-aggregate filter — a
+    filter would drop the URL row entirely), so the coalesce(TRUE)
+    default fires with matched_prefix NULL.
 
     The path is extracted with the engine's canonical host/path parsing
     (functions/urls.py) so rules see the same path the dedup and
@@ -63,17 +95,26 @@ def apply_url_rules(
         F.col("prefix").alias("_prefix"),
         F.col("allow").cast("boolean").alias("_allow"),
     )
-    if broadcast_rules:
+    if strategy == "auto":
+        strategy = rules_strategy(
+            n_rules if n_rules is not None else rules.count()
+        )
+    if strategy == "broadcast":
         r = F.broadcast(r)
-    joined = u.join(r, on="_host", how="left").where(
-        F.col("_prefix").isNull()
-        | F.col("_path").startswith(F.col("_prefix"))
-    )
+    elif strategy == "shuffle_hash":
+        r = r.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown rules strategy: {strategy!r}")
+    joined = u.join(r, on="_host", how="left")
     # most-specific rule: longest prefix wins; equal-length tie → allow
-    # wins (sort key: (-len, allow DESC) via boolean NOT)
+    # wins (sort key: (-len, allow DESC) via boolean NOT).  The prefix
+    # MATCH test lives here in the aggregate guard: rules that exist for
+    # the host but don't match the path yield NULL structs, keeping the
+    # URL row alive for the default-allow coalesce below.
     pick = F.min(
         F.when(
-            F.col("_prefix").isNotNull(),
+            F.col("_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("_prefix")),
             F.struct(
                 (-F.length("_prefix")).alias("neg_len"),
                 (~F.col("_allow")).alias("deny_first"),

@@ -47,12 +47,18 @@ def cms_build(
     width: int = 256,
 ) -> DataFrame:
     """Sketch table ``(j, bucket, cnt)`` — one row per non-empty cell.
-    Tokenization is the engine-wide single-space split; null texts
-    contribute nothing."""
+    Tokenization is the engine-wide single-space split with the
+    ``word_frequencies`` empty-token policy (zero-length tokens from
+    doubled spaces are dropped — ADVICE r4 tokenizer alignment); null
+    texts contribute nothing."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     tok = F.explode(F.split(F.lower(text_col), " ")).alias("tok")
-    toks = df.where(F.col(text_col).isNotNull()).select(tok)
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(tok)
+        .where(F.length("tok") > 0)
+    )
     cells = F.array(
         *[
             F.struct(
@@ -82,7 +88,10 @@ def cms_estimate(
     never hashed there, so its true count is 0).  ``depth``/``width``
     must match the build.  The sketch side is at most depth×width rows,
     so Spark broadcasts it and the probe is shuffle-free on the query
-    side."""
+    side.  Zero-length query tokens are dropped, mirroring the build's
+    ``word_frequencies`` policy — '' never acquires sketch mass, so an
+    estimate for it would be pure collision noise."""
+    queries = queries.where(F.length(token_col) > 0)
     probes = queries.select(
         F.col(token_col).alias("tok"),
         F.explode(

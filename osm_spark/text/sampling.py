@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# weighted_sample key-quantization ceiling: an exact IEEE double below
+# Long.MAX so double→bigint never overflows in either engine.
+_KEY_Q_SATURATE = 9.0e18
+
 
 def sample_threshold(fraction: float, nibbles: int = 8) -> str:
     """32-char lowercase-hex threshold whose prefix encodes ``fraction``
@@ -120,7 +124,16 @@ def weighted_sample(
         float(16**13)
     )
     key = -F.log(u) / F.col(weight_col).cast("double")
-    key_q = F.round(key * 1e9, 0).cast("bigint")
+    # Saturate the nano-quantized key BELOW Long.MAX before the bigint
+    # cast: for weights < ~4e-9 the product overflows, and Spark's
+    # double→long cast saturates silently while DuckDB's CAST errors —
+    # a cross-engine divergence (ADVICE r4).  9e18 < 2^63-1 is the same
+    # IEEE double in both engines, so clamped rows (hopeless candidates
+    # whose keys are astronomically large anyway) collapse to one
+    # deterministic sentinel and fall to the key_col tie-break in both.
+    key_q = F.least(F.round(key * 1e9, 0), F.lit(_KEY_Q_SATURATE)).cast(
+        "bigint"
+    )
     parts = [group_col] if group_col else []
     w = Window.partitionBy(*parts).orderBy(key_q, F.col(key_col))
     return (

@@ -43,14 +43,17 @@ def tfidf_weights(
     max_df_ratio: float = 0.5,
 ) -> DataFrame:
     """Micro-quantized TF-IDF inverted index ``(doc_id, term, wq)``
-    over the engine-wide lowercase single-space tokenizer, with the
-    df-cut applied (terms in more than ``max_df_ratio``·N docs drop)."""
+    over the engine-wide lowercase single-space tokenizer (empty tokens
+    from doubled spaces dropped — the ``word_frequencies`` policy,
+    ADVICE r4 alignment), with the df-cut applied (terms in more than
+    ``max_df_ratio``·N docs drop)."""
     base = docs.where(F.col(text_col).isNotNull())
     tf = (
         base.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(text_col), " ")).alias("term"),
         )
+        .where(F.length("term") > 0)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -78,6 +78,21 @@ def test_tiny_groups(spark):
     }
 
 
+def test_nan_coordinates_filtered(spark):
+    """NaN passes isNotNull; it must be dropped before _chain or the
+    sort/turn tests silently corrupt the hull (ADVICE r4)."""
+    rows = [
+        ("s", 0.0, 0.0),
+        ("s", 2.0, 0.0),
+        ("s", 2.0, 2.0),
+        ("s", 0.0, 2.0),
+        ("s", float("nan"), 1.0),
+        ("s", 1.0, float("nan")),
+    ]
+    got = _spark_hull(spark, rows)
+    assert got["s"] == {(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)}
+
+
 def test_partitioning_invariance(spark):
     rng = random.Random(11)
     rows = [

@@ -57,3 +57,25 @@ def test_weight_proportionality_over_salts(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         weighted_sample(_df(spark), "w", 0, "id")
+
+
+def test_tiny_weights_saturate_not_overflow(spark):
+    """Weights < ~4e-9 used to push key*1e9 past Long.MAX, where the
+    double→long cast saturates silently (ADVICE r4). The clamp makes
+    the saturation explicit + deterministic: tiny-weight rows still
+    rank (by the id tie-break among clamped keys), normal-weight rows
+    always beat them, and the sample stays partitioning-invariant."""
+    rows = [(0, 1e-12), (1, 2e-12), (2, 5.0), (3, 10.0)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    out = weighted_sample(df, "w", 2, "id").collect()
+    assert sorted(r.id for r in out) == [2, 3]  # normal weights win
+    # a pure-tiny-weight table still produces a full deterministic sample
+    tiny = spark.createDataFrame(rows[:2], "id int, w double")
+    a = sorted(r.id for r in weighted_sample(tiny, "w", 2, "id").collect())
+    b = sorted(
+        r.id
+        for r in weighted_sample(
+            tiny.repartition(5), "w", 2, "id"
+        ).collect()
+    )
+    assert a == b == [0, 1]
