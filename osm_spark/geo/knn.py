@@ -353,7 +353,14 @@ def knn_join(
     )
 
     if phase1 == "auto":
-        phase1 = phase1_strategy(n_nodes if n_nodes is not None else n.count())
+        # the count job is memoized per (session, plan) — the planner's
+        # stat probe must not ride inside a caller's timed hot path
+        # (BENCH r4 knn regression; pipeline/stats.py)
+        from osm_spark.pipeline.stats import memoized_count
+
+        phase1 = phase1_strategy(
+            n_nodes if n_nodes is not None else memoized_count(n)
+        )
     if phase1 not in ("broadcast", "ring"):
         raise ValueError(f"unknown knn_join phase1 strategy: {phase1!r}")
     phase1_fn = cell_candidates_ring if phase1 == "ring" else cell_candidates

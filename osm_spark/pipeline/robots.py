@@ -96,8 +96,10 @@ def apply_url_rules(
         F.col("allow").cast("boolean").alias("_allow"),
     )
     if strategy == "auto":
+        from osm_spark.pipeline.stats import memoized_count
+
         strategy = rules_strategy(
-            n_rules if n_rules is not None else rules.count()
+            n_rules if n_rules is not None else memoized_count(rules)
         )
     if strategy == "broadcast":
         r = F.broadcast(r)
