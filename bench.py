@@ -395,6 +395,101 @@ def run_skew() -> dict:
     return out
 
 
+def run_skew_knn() -> dict:
+    """kNN equivalent of --skew (r4 verdict ask #2: "show the kNN
+    equivalent" of the PIP salting row). Same seed-pinned Zipf fixture
+    shape — ONE res-8 cell holds ~20 % of all points — joined to a
+    realistic amenity node set under three phase-2 strategies on
+    identical, pre-materialized input:
+
+    - ``broadcast``: candidate sets broadcast; points never shuffle
+      (the reference plan while the occupied-cell table fits).
+    - ``salted``: the data-driven salted shuffle (pipeline/salting.py)
+      — hot-cell points scatter over k buckets, the cell's candidate
+      array replicates k ways.
+    - ``unsalted_shuffle``: phase2='aqe' — the raw pcell shuffle-hash
+      join with AQE's skew split as the only backstop (the strawman).
+
+    kNN's per-row work is bounded (k+ε candidates), so unlike PIP this
+    is a pure straggler stress: the unsalted hot task owns 20 % of all
+    probe rows.
+    """
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.geo.knn import knn_join
+    from osm_spark.pipeline.salting import key_salt_plan
+    from osm_spark.session import get_spark
+
+    n_points = int(os.environ.get("SPARK_GRAFT_SKEW_POINTS", "5000000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "3"))
+    res = 8
+    spark = get_spark(app_name="skew_knn_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(n_points)
+    hot = F.col("id") % 5 == 0
+    u1 = F.pmod(F.xxhash64(F.col("id")), F.lit(100000)) / 100000.0
+    u2 = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(100000)) / 100000.0
+    lat = F.when(hot, 51.4998 + (u1 - 0.5) * 2e-5).otherwise(51.3 + u1 * 0.4)
+    lon = F.when(hot, -0.1363 + (u2 - 0.5) * 2e-5).otherwise(-0.3 + u2 * 0.4)
+    pts = base.select(
+        F.col("id").cast("string").alias("url"), lat.alias("lat"), lon.alias("lon")
+    ).localCheckpoint()
+
+    # amenity nodes across the same bbox (deterministic grid + jitter):
+    # enough density that every cell carries a real candidate array
+    n_nodes = 2000
+    nid = F.col("id")
+    nodes = spark.range(n_nodes).select(
+        nid.alias("id"),
+        (51.3 + F.pmod(F.xxhash64(nid, F.lit(7)), F.lit(100000)) / 100000.0 * 0.4).alias("lat"),
+        (-0.3 + F.pmod(F.xxhash64(nid, F.lit(9)), F.lit(100000)) / 100000.0 * 0.4).alias("lon"),
+    ).localCheckpoint()
+
+    cells = pts.select(hex_cell_expr("lat", "lon", res).alias("pcell"))
+    salts = key_salt_plan(cells, "pcell").localCheckpoint()  # data-driven
+    salt_rows = [
+        (r.pcell, r._k)
+        for r in salts.orderBy(F.desc("_k")).limit(5).collect()
+    ]
+    warm_python_workers(spark, CPUS)
+
+    n_nodes_stat = n_nodes
+    jobs = {
+        "broadcast": lambda: knn_join(
+            pts, nodes, k=3, res=res, phase2="broadcast", n_nodes=n_nodes_stat
+        ),
+        "salted": lambda: knn_join(
+            pts, nodes, k=3, res=res, phase2="salted", salts=salts,
+            n_nodes=n_nodes_stat,
+        ),
+        "unsalted_shuffle": lambda: knn_join(
+            pts, nodes, k=3, res=res, phase2="aqe", n_nodes=n_nodes_stat
+        ),
+    }
+    counts = {name: fn().count() for name, fn in jobs.items()}  # warm + verify
+    assert len(set(counts.values())) == 1, counts
+    walls: dict[str, list[float]] = {n: [] for n in jobs}
+    for _ in range(rounds):
+        for name, fn in jobs.items():
+            t0 = time.monotonic()
+            force(fn())
+            walls[name].append(round(time.monotonic() - t0, 3))
+    out = {
+        "metric": "skew_stress_knn_join",
+        "points": n_points,
+        "hot_fraction": 0.2,
+        "cpus": CPUS,
+        "rows_out": counts["salted"],
+        "top_salt_factors": salt_rows,
+        "walls": walls,
+        "min_walls": {n: min(w) for n, w in walls.items()},
+    }
+    spark.stop()
+    return out
+
+
 def run_graph_once(cpus: int) -> dict:
     """Subprocess body for --graph-scaling: fixed-round PageRank at one
     parallelism level. Pure JVM (no Python workers anywhere in the
@@ -547,6 +642,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         print(json.dumps(run_skew()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew-knn":
+        print(json.dumps(run_skew_knn()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--one-graph-scale":
         print(json.dumps(run_graph_once(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph-scaling":

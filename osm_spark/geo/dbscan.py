@@ -62,6 +62,7 @@ def eps_pairs(
     eps_m: float,
     res: int | None = None,
     max_abs_lat: float | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id) with a_id < b_id — every unordered point pair within
     ``eps_m`` meters. ``points``: (id, lat, lon), ids unique.
@@ -69,7 +70,16 @@ def eps_pairs(
     ``max_abs_lat`` bounds the coverage ring; when omitted it is ONE
     map-reduced scalar over the points table (a full scan — at planet
     scale pass the catalog stat instead, same contract as radius_join's
-    ``n_nodes``)."""
+    ``n_nodes``).
+
+    ``salts`` opts the cell join into explicit hot-cell splitting
+    (pipeline/salting.py — pass ``key_salt_plan`` output over the
+    single-cell side, or any ``(cell, _k)`` stat): the left side's
+    hot-cell rows scatter over ``pmod(xxhash64(a_id), k)`` and the disk
+    side's rows for that cell replicate k ways, splitting a dense
+    urban cell's build+probe across k tasks. Per-cell PAIR volume is
+    still occupancy² — the irreducible DBSCAN cost — but no single
+    task owns it."""
     if eps_m <= 0:
         raise ValueError(f"eps_m must be > 0, got {eps_m}")
     if max_abs_lat is None:
@@ -95,8 +105,14 @@ def eps_pairs(
             hex_disk_expr(hex_cell_expr("lat", "lon", res), res, ring)
         ).alias("cell"),
     )
+    if salts is not None:
+        from osm_spark.pipeline.salting import salted_equi_join
+
+        joined = salted_equi_join(left, right, "cell", salts, "a_id")
+    else:
+        joined = left.join(right.hint("shuffle_hash"), "cell")
     return (
-        left.join(right.hint("shuffle_hash"), "cell")
+        joined
         .where(F.col("a_id") < F.col("b_id"))
         .where(
             haversine_m(
@@ -115,6 +131,7 @@ def dbscan(
     res: int | None = None,
     max_abs_lat: float | None = None,
     max_iter: int = 50,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster, role) — DBSCAN labels for every input point.
 
@@ -124,7 +141,9 @@ def dbscan(
     point a singleton core)."""
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
-    pairs = eps_pairs(points, eps_m, res=res, max_abs_lat=max_abs_lat)
+    pairs = eps_pairs(
+        points, eps_m, res=res, max_abs_lat=max_abs_lat, salts=salts
+    )
 
     # Degree = |neighborhood| - 1 (self excluded); one combiner-reduced
     # shuffle over 16-byte endpoint rows, never the coordinates.

@@ -290,6 +290,7 @@ def knn_join(
     phase2: str = "auto",
     n_cells: int | None = None,
     n_nodes: int | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(url, node_id, dist_m, rank) — k nearest nodes per page point.
 
@@ -333,6 +334,16 @@ def knn_join(
       best case loses only the network fetch of a shuffle the points
       side has already written. Callers who want the broadcast plan
       supply the stat (``n_cells``) or pass ``phase2='broadcast'``.
+    - ``'salted'``: the shuffle plan with explicit hot-cell splitting
+      (pipeline/salting.py — the PIP family's scatter/replicate shape
+      on the pcell key): points in a hot cell scatter over
+      ``pmod(xxhash64(url), k)``, that cell's candidate ARRAY
+      replicates into all k buckets, and the join key becomes
+      (pcell, _salt) so no single task owns a dense urban cell's whole
+      point mass. ``salts`` supplies the per-cell plan (a
+      ``key_salt_plan`` result / lineage-metric stat); when omitted it
+      is computed from the points' own cell histogram (one aggregate
+      job — callers on a timed path should precompute).
 
     In every phase-2 variant the per-cell candidate set arrives as an
     ARRAY and the top-k is transform → array_sort → slice → posexplode —
@@ -394,6 +405,12 @@ def knn_join(
         # and the best case loses only the network fetch of an
         # already-written shuffle. See the docstring trade-off.
         joined = pts.join(cand_sets.hint("shuffle_hash"), "pcell")
+    elif phase2 == "salted":
+        from osm_spark.pipeline.salting import key_salt_plan, salted_equi_join
+
+        if salts is None:
+            salts = key_salt_plan(pts, "pcell")
+        joined = salted_equi_join(pts, cand_sets, "pcell", salts, "url")
     else:
         raise ValueError(f"unknown knn_join phase2 strategy: {phase2!r}")
     scored = joined.withColumn(

@@ -97,6 +97,7 @@ def radius_join(
     strategy: str = "auto",
     n_nodes: int | None = None,
     max_abs_lat: float | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(url, node_id, dist_m) — every pair within ``radius_m`` meters.
 
@@ -113,6 +114,14 @@ def radius_join(
     ``knn_join(phase2='aqe')``: unhinted, the static planner falls back
     to SortMergeJoin (the Generate output has no usable stats) and the
     worst case sorts the 10^12-row points side.
+
+    ``strategy='salted'`` adds explicit hot-cell splitting to the
+    shuffle plan (pipeline/salting.py, the PIP scatter/replicate shape
+    on pcell): hot-cell points scatter over ``pmod(xxhash64(url), k)``
+    and that cell's node-candidate rows replicate k ways, so a dense
+    urban cell's pair mass spreads over k tasks instead of relying on
+    AQE's block-level split. ``salts`` supplies the per-cell plan; when
+    omitted it is computed from the points' own cell histogram.
     """
     if radius_m <= 0:
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
@@ -159,6 +168,12 @@ def radius_join(
         joined = pts.join(cand.hint("shuffle_hash"), "pcell")
     elif strategy == "broadcast":
         joined = pts.join(F.broadcast(cand), "pcell")
+    elif strategy == "salted":
+        from osm_spark.pipeline.salting import key_salt_plan, salted_equi_join
+
+        if salts is None:
+            salts = key_salt_plan(pts, "pcell")
+        joined = salted_equi_join(pts, cand, "pcell", salts, "url")
     else:
         raise ValueError(f"unknown radius_join strategy: {strategy!r}")
 
