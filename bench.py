@@ -115,6 +115,10 @@ def build_queries(spark):
         "simhash_near_dups": lambda s: entrymod.q_simhash_near_dups(s, SF_DIR),
         "cosine_topk": lambda s: entrymod.q_cosine_topk(s, SF_DIR),
         "stream_window_counts": lambda s: entrymod.q_stream_window_counts(s, SF_DIR),
+        # the composed end-to-end corpus job (r5): url dedup -> robots ->
+        # quality/LM cuts -> line dedup -> LSH near-dup clusters ->
+        # quota -> packing, all stages chained (pipeline/corpus.py)
+        "corpus_pipeline": lambda s: entrymod.q_corpus_pipeline(s, SF_DIR),
     }
     return pages, qs
 
@@ -146,6 +150,9 @@ def run_bench() -> dict:
         # 1.7-2.1s steady; the r1->r2 driver delta (3.2->4.2s) was this
         # single-run noise, not a plan change
         "stream_window_counts": 2,
+        # the composed pipeline is iterative-free but touches every
+        # text-stage codegen path — first run pays their compilation
+        "corpus_pipeline": 2,
     }
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -1,0 +1,209 @@
+"""End-to-end LLM training-corpus pipeline — the composed form of the
+engine's individually-gated corpus stages (r4 verdict ask #1: "the
+100 TB job IS this composition").
+
+Stage chain (each stage is an existing gated operator; this module
+attests that their schemas, dtypes and semantics COMPOSE):
+
+1. URL canonicalization (functions/urls.py ``canonical_url``) +
+   keep-best-per-URL crawl dedup (longest text, tie min doc_id).
+2. Robots-rule filtering (pipeline/robots.py ``apply_url_rules``) on
+   the canonical URL — longest-prefix, allow-wins ties, default allow.
+3. Quality filter (text/analysis.py ``quality_features``): composite
+   score ≥ ``quality_min`` (compared on the rounded output column, so
+   the cut replays exactly in SQL).
+4. LM fluency filter (text/lm.py ``lm_score``): the unigram model is
+   trained on THIS stage's survivors — filter composition changes the
+   model, which is exactly the coupling the end-to-end gate pins.
+5. Corpus-global line dedup (text/lines.py ``line_dedup``), CCNet
+   keep-first; documents whose every line was seen earlier drop.
+   The synthetic corpus is single-line, so ``reline_words`` re-chunks
+   text into fixed-word lines first (None to skip for real multi-line
+   text).
+6. MinHash→LSH→exact-Jaccard near-dup clustering (text/dedup.py) over
+   the line-deduped text + keeper election (graph/components.py
+   ``dedup_clusters``, min-doc_id keeper); non-keepers drop.
+7. Per-source quota sampling (text/sampling.py ``quota_sample``) —
+   deterministic salted-digest rank.
+8. Sequence packing (text/packing.py ``pack_sequences``) — exact
+   global token prefix sum over the final survivors.
+
+Scale shape: stages 1–5 are row-local or single-key-shuffle ops over
+the full corpus and run BEFORE the near-dup machinery, so the heavy
+banding/refine work sees only the filtered survivor set; the near-dup
+stage is the gated LSH plan (no O(n²) axis); packing's prefix sum is
+the bucketed two-phase form (no single-partition window). Nothing
+here collects unbounded data to the driver.
+
+Output: one row per packed document — (doc_id, source, canon_url,
+clean_text, rk, n_tok, cum_tokens, pack_id, pack_offset). clean_text
+is the byte-exact line-deduped text (newline-separated), the
+value-hash column that makes the end-to-end gate byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.functions.urls import canonical_url
+from osm_spark.graph.components import dedup_clusters
+from osm_spark.pipeline.robots import apply_url_rules
+from osm_spark.text.analysis import quality_features
+from osm_spark.text.dedup import (
+    jaccard_pairs,
+    lsh_bands_from_array,
+    lsh_candidate_pairs,
+    lsh_tune,
+    minhash_array,
+)
+from osm_spark.text.lines import line_dedup
+from osm_spark.text.lm import lm_score
+from osm_spark.text.packing import pack_sequences
+from osm_spark.text.sampling import quota_sample
+
+__all__ = ["corpus_pipeline", "reline"]
+
+
+def reline(text, words: int):
+    """Re-chunk a single-line text Column into ``words``-word lines
+    (newline-joined) — the same windowing the line_dedup gate uses for
+    the synthetic single-line corpus."""
+    ws = F.split(text, " ")
+    n_lines = F.greatest(
+        F.lit(1), F.ceil(F.size(ws) / F.lit(words))
+    ).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * words + 1, words), " "),
+        ),
+        "\n",
+    )
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    quality_min: float = 0.5,
+    lm_min: float = -3.405,
+    reline_words: int | None = 8,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 32,
+    quota_n: int = 20,
+    pack_budget: int = 256,
+    salt: str = "cp",
+    n_rules: int | None = None,
+) -> DataFrame:
+    """Run the full corpus pipeline. ``docs``: (doc_id, source, text,
+    ``url_col``); ``rules``: (host, prefix, allow). See module
+    docstring for the stage chain and output schema."""
+    d = docs.select(
+        "doc_id", "source", "text", F.col(url_col).alias("_url")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    # 1. canonicalize + keep best version per canonical URL
+    d = d.withColumn("canon_url", canonical_url("_url")).drop("_url")
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "n_chars")
+    )
+
+    # 2. robots policy on the canonical URL
+    d = (
+        apply_url_rules(d, rules, url_col="canon_url", n_rules=n_rules)
+        .where(F.col("allowed"))
+        .drop("allowed", "matched_prefix")
+    )
+    # Stage boundary: the survivor set feeds THREE downstream consumers
+    # (quality join, LM vocab aggregate + score join) — without a
+    # materialization barrier the whole upstream chain recomputes per
+    # consumer (measured 60-90 s vs ~7 s single-pass at sf0.01). In
+    # production this boundary is an Iceberg stage table (lineage.py);
+    # in-session, persist is its exact analog.
+    d = d.persist()
+
+    # 3. quality cut (on the rounded output column — SQL-exact)
+    qf = quality_features(d.select("doc_id", "text"))
+    d = d.join(
+        qf.where(F.col("quality_score") >= F.lit(float(quality_min))).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+
+    # 4. LM fluency cut — model trained on stage-3 survivors.
+    # vocab_join pinned to shuffle: a web-corpus unigram vocabulary is
+    # far past any broadcast ceiling (the scale-correct path), and the
+    # explicit choice keeps the auto-probe's count job out of the
+    # pipeline's build (it would materialize the chain driver-side
+    # before the single end-to-end action).
+    lm = lm_score(d.select("doc_id", "text"), vocab_join="shuffle")
+    d = d.join(
+        lm.where(F.col("mean_logp") >= F.lit(float(lm_min))).select("doc_id"),
+        "doc_id",
+    )
+
+    # 5. corpus-global keep-first line dedup
+    lined = (
+        d.withColumn("text", reline(F.col("text"), reline_words))
+        if reline_words
+        else d
+    )
+    ld = line_dedup(lined.select("doc_id", "text"))
+    d = d.drop("text").join(
+        ld.where(F.col("n_kept") > 0).select("doc_id", "clean_text"),
+        "doc_id",
+    )
+    # newline → space for token-level downstream stages; clean_text
+    # keeps the line structure for the byte-exact output column
+    d = d.withColumn("flat_text", F.translate("clean_text", "\n", " "))
+    # Stage boundary again: this table feeds minhash banding, the
+    # Jaccard token-array attach (twice), the keeper join, the quota
+    # window and the packing prefix sum — the widest fan-out in the
+    # pipeline.
+    d = d.persist()
+
+    # 6. near-dup clusters over the deduped text; keep min-id keepers
+    dd = d.select("doc_id", F.col("flat_text").alias("text"))
+    # the wide signature row is the natural persist unit (see
+    # minhash_array docstring): banding AND the refine's agreement
+    # prune both read it
+    sigs = minhash_array(dd, num_hashes).persist()
+    pairs = lsh_candidate_pairs(
+        lsh_bands_from_array(
+            sigs, lsh_tune(num_hashes, jaccard_threshold), num_hashes
+        )
+    )
+    jp = jaccard_pairs(
+        dd, pairs, threshold=jaccard_threshold, signatures=sigs
+    )
+    clusters = dedup_clusters(dd, jp, a="doc_a", b="doc_b")
+    d = d.join(
+        clusters.where(F.col("is_keeper")).select("doc_id"), "doc_id"
+    )
+
+    # 7. per-source quota
+    d = quota_sample(d, "source", quota_n, "doc_id", salt=salt)
+
+    # 8. pack the final survivors' token stream
+    packed = pack_sequences(
+        d.select("doc_id", F.col("flat_text").alias("text")), pack_budget
+    )
+    return d.join(packed, "doc_id").select(
+        "doc_id",
+        "source",
+        "canon_url",
+        "clean_text",
+        "rk",
+        "n_tok",
+        "cum_tokens",
+        "pack_id",
+        "pack_offset",
+    )
