@@ -444,15 +444,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual media near-dups (multimodal/media.py media_dhash +
-    the simhash pigeonhole Hamming join). ROWS-ONLY by necessity: the
-    dHash grid comes from the binary payload inside mapInPandas, which
-    SQL cannot replay — but the Hamming blocking layer it rides is
-    hash-gated via simhash/simhash_near_dups' twin, and the byte→grid
-    stand-in is pytest-pinned against a brute-force Hamming join
-    (tests/test_multimodal.py). Each payload gets a same-length
-    tail-edited twin (ids offset by 10^6) so true perceptual near-dups
-    exist: only grid samples near the tail differ, keeping twins within
-    the Hamming budget while unrelated payloads stay far outside it."""
+    the simhash pigeonhole Hamming join), EXACT-gated since r5: the
+    dHash stand-in samples 72 evenly-spaced payload bytes, and the
+    payload is the document text as UTF-8 (pure ASCII corpus), so the
+    grid, the MSB-first bit packing, the two's-complement long and the
+    brute-force Hamming pairs all replay in DuckDB (ord/substr + HUGEINT
+    bit math) — the engine's pigeonhole blocking is recall-exact for
+    max_hamming < num_blocks, so all-pairs IS the ground truth. Each
+    payload gets a same-length tail-edited twin (ids offset by 10^6) so
+    true perceptual near-dups exist: only grid samples near the tail
+    differ, keeping twins within the Hamming budget while unrelated
+    payloads stay far outside it."""
     from osm_spark.multimodal.media import media_near_dups, synth_media
 
     base = synth_media(spark, sf_dir)
@@ -5462,10 +5464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "covisitation": q_covisitation,
         # --- tail: outside the driver's 50-entry gate window. All but
-        # the last three DO ship exact oracle_sql twins (verified by
-        # tools/check_oracle.py locally); the last three are the
-        # rows-only operators whose driver-gated twins run the same
-        # engine code above (simhash, pip_pairs, knn_pairs) ---
+        # three DO ship exact oracle_sql twins (verified by
+        # tools/check_oracle.py locally; media_near_dups gained its
+        # exact twin in r5); the remaining rows-only operators
+        # (simhash_near_dups, pip_join, knn_join) have driver-gated
+        # twins running the same engine code above (simhash, pip_pairs,
+        # knn_pairs) ---
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
         "grouped_count_having": q_grouped_count_having,
@@ -6729,6 +6733,50 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _host_graph_oracle(),
         "zonal_counts": _zonal_counts_oracle(),
         "geofence_counts": _geofence_oracle(),
+        # dHash stand-in = 72 evenly-spaced payload bytes (the payload
+        # is the document text as UTF-8; the corpus is pure ASCII —
+        # max code point 121 — so ord(char) == byte), packed MSB-first
+        # into a two's-complement BIGINT; pairs brute-forced (the
+        # engine's pigeonhole blocking is recall-exact for
+        # max_hamming < num_blocks, so all-pairs IS the ground truth).
+        "media_near_dups": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       substr(text, 1, length(text) - 1) || '~'
+                FROM documents
+            ),
+            g AS (
+                SELECT media_id, k,
+                       ord(substr(text,
+                           CAST((k * length(text)) // 72 AS INT) + 1, 1))
+                           AS byte
+                FROM m, UNNEST(range(72)) AS t(k)
+            ),
+            b AS (
+                SELECT a.media_id, (a.k // 9) * 8 + (a.k % 9) AS bitpos,
+                       CASE WHEN n.byte > a.byte THEN 1 ELSE 0 END AS bit
+                FROM g a JOIN g n
+                  ON n.media_id = a.media_id AND n.k = a.k + 1
+                WHERE a.k % 9 < 8
+            ),
+            h AS (
+                SELECT media_id,
+                       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                                 THEN s - 18446744073709551616::HUGEINT
+                                 ELSE s END AS BIGINT) AS simhash
+                FROM (SELECT media_id,
+                             SUM(CAST(bit AS HUGEINT)
+                                 * (1::HUGEINT << (63 - bitpos))) AS s
+                      FROM b GROUP BY media_id)
+            )
+            SELECT a.media_id AS doc_a, b2.media_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT)
+                       AS hamming
+            FROM h a JOIN h b2 ON a.media_id < b2.media_id
+            WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8
+        """,
     }
 
 
