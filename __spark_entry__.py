@@ -2423,8 +2423,8 @@ _CP_QUALITY_MIN, _CP_LM_MIN = 0.5, -3.405
 # jaccard pathologically high (median candidate-pair similarity 0.87),
 # so the pipeline's near-dup cut sits at the distribution's tail —
 # every stage then removes a meaningful but non-degenerate fraction
-# (500 docs -> 249 url-keepers -> 166 allowed -> 153 quality -> 112 LM
-# -> 112 lined -> 68 near-dup keepers -> quota -> pack)
+# (sf0.01: 500 docs -> 250 url-keepers -> 150 allowed -> 140 quality
+# -> 101 LM -> 101 lined -> 61 near-dup keepers -> quota -> pack)
 _CP_JACCARD = 0.95  # lsh_tune(32, 0.95) = 2 bands of 16 rows
 
 
@@ -2442,10 +2442,10 @@ def _corpus_pipeline_oracle() -> str:
     return rf"""
         WITH RECURSIVE base AS (
             SELECT doc_id, source, text,
-                   'http://h' || (doc_id % 3) || '.example.com/page/'
-                       || (doc_id % 83) AS canon_url,
-                   'h' || (doc_id % 3) || '.example.com' AS host,
-                   '/page/' || (doc_id % 83) AS path
+                   'http://h' || ((doc_id // 2) % 3) || '.example.com/page/'
+                       || (doc_id // 2) AS canon_url,
+                   'h' || ((doc_id // 2) % 3) || '.example.com' AS host,
+                   '/page/' || (doc_id // 2) AS path
             FROM documents
         ),
         kept AS (
@@ -2627,8 +2627,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
-    host = F.concat(F.lit("h"), (i % 3).cast("string"), F.lit(".example.com"))
-    slot = (i % 83).cast("string")
+    # pairs (2k, 2k+1) share a canonical URL at EVERY scale factor (a
+    # modulo slot space would freeze the canonical-URL count at the
+    # modulus, collapsing the corpus to a constant 249 docs at sf>=0.1
+    # and turning the bench row into pure overhead)
+    pair = F.expr("doc_id div 2")
+    host = F.concat(
+        F.lit("h"), (pair % 3).cast("string"), F.lit(".example.com")
+    )
+    slot = pair.cast("string")
     tailp = F.concat(F.lit("/page/"), slot)
     raw = (
         F.when(
