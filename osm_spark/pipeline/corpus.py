@@ -132,10 +132,11 @@ def corpus_pipeline(
     # 3. quality cut (on the rounded output column — SQL-exact)
     qf = quality_features(d.select("doc_id", "text"))
     d = d.join(
-        qf.where(F.col("quality_score") >= F.lit(float(quality_min))).select(
-            "doc_id"
-        ),
+        qf.where(F.col("quality_score") >= F.lit(float(quality_min)))
+        .select("doc_id")
+        .hint("shuffle_hash"),
         "doc_id",
+        "left_semi",
     )
 
     # 4. LM fluency cut — model trained on stage-3 survivors.
@@ -146,8 +147,11 @@ def corpus_pipeline(
     # before the single end-to-end action).
     lm = lm_score(d.select("doc_id", "text"), vocab_join="shuffle")
     d = d.join(
-        lm.where(F.col("mean_logp") >= F.lit(float(lm_min))).select("doc_id"),
+        lm.where(F.col("mean_logp") >= F.lit(float(lm_min)))
+        .select("doc_id")
+        .hint("shuffle_hash"),
         "doc_id",
+        "left_semi",
     )
 
     # 5. corpus-global keep-first line dedup
@@ -158,7 +162,9 @@ def corpus_pipeline(
     )
     ld = line_dedup(lined.select("doc_id", "text"))
     d = d.drop("text").join(
-        ld.where(F.col("n_kept") > 0).select("doc_id", "clean_text"),
+        ld.where(F.col("n_kept") > 0)
+        .select("doc_id", "clean_text")
+        .hint("shuffle_hash"),
         "doc_id",
     )
     # newline → space for token-level downstream stages; clean_text
@@ -186,7 +192,9 @@ def corpus_pipeline(
     )
     clusters = dedup_clusters(dd, jp, a="doc_a", b="doc_b")
     d = d.join(
-        clusters.where(F.col("is_keeper")).select("doc_id"), "doc_id"
+        clusters.where(F.col("is_keeper")).select("doc_id").hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
     )
 
     # 7. per-source quota
@@ -196,7 +204,7 @@ def corpus_pipeline(
     packed = pack_sequences(
         d.select("doc_id", F.col("flat_text").alias("text")), pack_budget
     )
-    return d.join(packed, "doc_id").select(
+    return d.join(packed.hint("shuffle_hash"), "doc_id").select(
         "doc_id",
         "source",
         "canon_url",

@@ -76,6 +76,17 @@ def test_schema_contract(spark):
     assert types["rk"] == "int" and types["pack_id"] == "bigint"
 
 
+def test_plan_no_cartesian_no_sortmerge(spark):
+    """The composed plan must stay inside the engine's join discipline:
+    no CartesianProduct anywhere, and no SortMergeJoin (every stage
+    join is broadcast or shuffle_hash-hinted — a statless-aggregate SMJ
+    would sort the corpus side)."""
+    out = _run(spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_partitioning_invariant(spark):
     d = spark.createDataFrame(
         DOCS, "doc_id long, source string, text string, url string"
