@@ -2415,8 +2415,10 @@ _CP_RULES = [
     ("h1.example.com", "/", False),
     ("h1.example.com", "/page/2", True),    # allow islands in deny-all
     ("h1.example.com", "/page/4", True),
+    ("h1.example.com", "/page/b", True),    # fresh ingest slots island
     # prefix-only host (no '/'): unmatched paths take the default allow
     ("h2.example.com", "/page/5", False),
+    ("h2.example.com", "/page/b2", False),  # denies an ingest fresh slot
 ]
 _CP_QUALITY_MIN, _CP_LM_MIN = 0.5, -3.405
 # the synthetic corpus's tiny shared vocabulary makes unigram-token
@@ -2426,6 +2428,11 @@ _CP_QUALITY_MIN, _CP_LM_MIN = 0.5, -3.405
 # (sf0.01: 500 docs -> 250 url-keepers -> 150 allowed -> 140 quality
 # -> 101 LM -> 101 lined -> 61 near-dup keepers -> quota -> pack)
 _CP_JACCARD = 0.95  # lsh_tune(32, 0.95) = 2 bands of 16 rows
+# the ingest LM cut is looser than the batch pipeline's: the batch is
+# scored under the CORPUS model where OOV words take the Laplace floor
+# (~-10 nats), which shifts the whole batch distribution down (measured
+# median -3.408 vs the self-model's -3.402)
+_CI_LM_MIN = -3.412
 
 
 def _corpus_pipeline_oracle() -> str:
@@ -2665,6 +2672,272 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules,
         quality_min=_CP_QUALITY_MIN,
         lm_min=_CP_LM_MIN,
+        jaccard_threshold=_CP_JACCARD,
+        n_rules=len(_CP_RULES),
+    )
+
+
+def _corpus_ingest_oracle() -> str:
+    """Full-chain replay of pipeline/corpus.py corpus_ingest: batch
+    keep-best → corpus-URL anti join → robots → quality → LM scored
+    against the CORPUS model (OOV Laplace floor via LEFT JOIN +
+    coalesce) → corpus-priority union line dedup → incremental
+    minhash/band cross+within candidate pairs → jaccard ≥ threshold
+    rejection. Batch ids ride offset by 10^6 (the ingest-reality
+    precondition: new ids allocate after the standing corpus's)."""
+    rule_values = ", ".join(
+        f"('{h}', '{p}', {str(bool(a)).upper()})" for h, p, a in _CP_RULES
+    )
+    return rf"""
+        WITH corp AS (
+            SELECT doc_id,
+                   'http://h' || ((doc_id // 2) % 3) || '.example.com/page/'
+                       || (doc_id // 2) AS canon_url,
+                   text
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        b0 AS (
+            SELECT doc_id + 1000000 AS doc_id, source, text,
+                   'h' || (CASE WHEN doc_id % 20 = 0
+                                THEN (doc_id // 2) % 3
+                                ELSE (doc_id // 40) % 3 END)
+                       || '.example.com' AS host,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN '/page/' || (doc_id // 2)
+                        ELSE '/page/b' || (doc_id // 40) END AS path
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        b1 AS (
+            SELECT doc_id, source, text, host, path,
+                   'http://' || host || path AS canon_url
+            FROM b0
+        ),
+        bk AS (
+            SELECT * FROM (
+                SELECT b1.*, ROW_NUMBER() OVER (
+                    PARTITION BY canon_url
+                    ORDER BY length(text) DESC, doc_id) AS rn
+                FROM b1) WHERE rn = 1
+        ),
+        bu AS (
+            SELECT bk.* FROM bk
+            WHERE NOT EXISTS (SELECT 1 FROM corp c
+                              WHERE c.canon_url = bk.canon_url)
+        ),
+        rules(rhost, prefix, allow) AS (VALUES {rule_values}),
+        rbest AS (
+            SELECT doc_id, allow FROM (
+                SELECT k.doc_id, r.allow, ROW_NUMBER() OVER (
+                    PARTITION BY k.doc_id
+                    ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix) AS rk
+                FROM bu k JOIN rules r
+                  ON r.rhost = k.host AND starts_with(k.path, r.prefix)
+            ) WHERE rk = 1
+        ),
+        allowed AS (
+            SELECT k.* FROM bu k LEFT JOIN rbest USING (doc_id)
+            WHERE COALESCE(rbest.allow, TRUE)
+        ),
+        qcut AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, round(
+                    least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.25
+                  + len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the','a','of','and','to','is','in')))
+                    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 0.25
+                  + len(list_distinct(string_split(lower(text), ' ')))
+                    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 0.25
+                  + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / CAST(length(text) AS DOUBLE)) * 0.125
+                  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                           / CAST(length(text) AS DOUBLE)) * 0.125, 6) AS qs
+                FROM allowed
+            ) WHERE qs >= {_CP_QUALITY_MIN}
+        ),
+        qa AS (SELECT a.* FROM allowed a JOIN qcut USING (doc_id)),
+        v AS (
+            SELECT word, count(*) AS c FROM (
+                SELECT unnest(string_split_regex(text, '\s+')) AS word
+                FROM corp) WHERE word <> '' GROUP BY word
+        ),
+        s AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v_size FROM v),
+        btok AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+                FROM qa) WHERE word <> ''
+        ),
+        lw AS (
+            SELECT btok.doc_id,
+                   CAST(round(ln((COALESCE(v.c, 0) + 1)::DOUBLE
+                                 / (s.total + s.v_size)::DOUBLE)
+                              * 1000000.0) AS BIGINT) AS lw
+            FROM btok LEFT JOIN v USING (word) CROSS JOIN s
+        ),
+        lmcut AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       round(CAST(sum(lw) AS DOUBLE) / 1000000.0 / count(*), 6) AS m
+                FROM lw GROUP BY doc_id
+            ) WHERE m >= {_CI_LM_MIN}
+        ),
+        la AS (SELECT qa.* FROM qa JOIN lmcut USING (doc_id)),
+        uni AS (
+            SELECT doc_id, text FROM corp
+            UNION ALL
+            SELECT doc_id, text FROM la
+        ),
+        w_ AS (SELECT doc_id, string_split(text, ' ') AS ws FROM uni),
+        l_ AS (
+            SELECT doc_id, i::BIGINT AS line_no,
+                   array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS line
+            FROM w_, UNNEST(range(greatest(1, (len(ws)+7)//8))) AS t(i)
+        ),
+        k_ AS (
+            SELECT doc_id, line_no, line, row_number() OVER (
+                PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+            FROM l_
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no)
+                       FILTER (WHERE rn = 1) AS clean_text,
+                   count(*) FILTER (WHERE rn = 1) AS n_kept
+            FROM k_ GROUP BY doc_id
+        ),
+        bclean AS (
+            SELECT la.doc_id, la.source, la.canon_url, agg.clean_text,
+                   replace(agg.clean_text, chr(10), ' ') AS flat_text
+            FROM la JOIN agg USING (doc_id) WHERE agg.n_kept > 0
+        ),
+        cclean AS (
+            SELECT corp.doc_id,
+                   replace(agg.clean_text, chr(10), ' ') AS flat_text
+            FROM corp JOIN agg USING (doc_id) WHERE agg.n_kept > 0
+        ),
+        tokb AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(lower(flat_text), ' '))) AS tok
+            FROM bclean
+        ),
+        tokc AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(lower(flat_text), ' '))) AS tok
+            FROM cclean
+        ),
+        sigb AS (
+            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS minhash
+            FROM tokb CROSS JOIN (SELECT unnest(range(32)) AS seed) sx
+            GROUP BY doc_id, seed
+        ),
+        sigc AS (
+            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS minhash
+            FROM tokc CROSS JOIN (SELECT unnest(range(32)) AS seed) sx
+            GROUP BY doc_id, seed
+        ),
+        bandb AS (
+            SELECT doc_id, seed % 2 AS band,
+                   md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+            FROM sigb GROUP BY doc_id, seed % 2
+        ),
+        bandc AS (
+            SELECT doc_id, seed % 2 AS band,
+                   md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+            FROM sigc GROUP BY doc_id, seed % 2
+        ),
+        prs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bandc a JOIN bandb b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+            UNION
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM bandb a JOIN bandb b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id
+        ),
+        alltok AS (
+            SELECT * FROM tokb UNION ALL SELECT * FROM tokc
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM alltok GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM prs p
+            JOIN alltok ta ON ta.doc_id = p.doc_a
+            JOIN alltok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        rejected AS (
+            SELECT DISTINCT doc_b AS doc_id FROM (
+                SELECT i.doc_a, i.doc_b,
+                       round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS j
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.doc_a
+                JOIN sizes sb ON sb.doc_id = i.doc_b
+            ) WHERE j >= {_CP_JACCARD}
+        )
+        SELECT b.doc_id, b.source, b.canon_url, b.clean_text,
+               CAST(len(string_split(b.flat_text, ' ')) AS BIGINT) AS n_tok
+        FROM bclean b
+        WHERE NOT EXISTS (SELECT 1 FROM rejected r
+                          WHERE r.doc_id = b.doc_id)
+    """
+
+
+def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion composition (pipeline/corpus.py
+    corpus_ingest): an incoming batch (doc_id % 10 == 0, ids offset by
+    10^6 — the ingest-reality new-ids-after-old precondition) admitted
+    against the standing corpus (the rest) through batch keep-best →
+    corpus-URL anti join → robots → quality → LM-against-corpus-model
+    (OOV Laplace floor) → corpus-priority line dedup → incremental
+    near-dup rejection — vs the full-chain DuckDB replay. Half the
+    batch collides with corpus URLs by construction (doc_id % 20 == 0
+    shares the sibling's canonical slot) and fresh-slot batch docs pair
+    up within the batch (slot b{doc_id div 40}), so the anti join, the
+    within-batch keep-best AND the corpus-vs-batch near-dup paths all
+    do real work."""
+    _prep(spark)
+    from osm_spark.pipeline.corpus import corpus_ingest
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    corpus = d.where(i % 10 != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.expr("doc_id div 2") % 3).cast("string"),
+            F.lit(".example.com/page/"),
+            F.expr("doc_id div 2").cast("string"),
+        ).alias("canon_url"),
+        "text",
+    )
+    hidx = F.when(
+        i % 20 == 0, F.expr("doc_id div 2") % 3
+    ).otherwise(F.expr("doc_id div 40") % 3)
+    host = F.concat(
+        F.lit("h"), hidx.cast("string"), F.lit(".example.com")
+    )
+    path = F.when(
+        i % 20 == 0,
+        F.concat(F.lit("/page/"), F.expr("doc_id div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/page/b"), F.expr("doc_id div 40").cast("string"))
+    )
+    tailq = F.when(i % 4 == 1, F.lit("?utm_source=x")).otherwise(F.lit(""))
+    batch = d.where(i % 10 == 0).select(
+        (i + 1_000_000).alias("doc_id"),
+        "source",
+        "text",
+        F.concat(F.lit("http://"), host, path, tailq).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        _CP_RULES, "host string, prefix string, allow boolean"
+    )
+    return corpus_ingest(
+        corpus,
+        batch,
+        rules,
+        quality_min=_CP_QUALITY_MIN,
+        lm_min=_CI_LM_MIN,
         jaccard_threshold=_CP_JACCARD,
         n_rules=len(_CP_RULES),
     )
@@ -5434,7 +5707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly": q_way_assembly,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash": q_simhash,
         "quality_features": q_quality_features,
@@ -5460,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reachability": q_reachability,
         "label_propagation": q_label_propagation,
         "corpus_pipeline": q_corpus_pipeline,
+        "corpus_ingest": q_corpus_ingest,
         "fuzzy_pairs": q_fuzzy_pairs,
         "cosine_pairs": q_cosine_pairs,
         "bpe_merges": q_bpe_merges,
@@ -5477,6 +5750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (simhash_near_dups, pip_join, knn_join) have driver-gated
         # twins running the same engine code above (simhash, pip_pairs,
         # knn_pairs) ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
         "grouped_count_having": q_grouped_count_having,
@@ -5612,6 +5886,7 @@ def oracle_sql() -> dict[str, str]:
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),
+        "corpus_ingest": _corpus_ingest_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),

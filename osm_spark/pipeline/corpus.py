@@ -62,7 +62,7 @@ from osm_spark.text.lm import lm_score
 from osm_spark.text.packing import pack_sequences
 from osm_spark.text.sampling import quota_sample
 
-__all__ = ["corpus_pipeline", "reline"]
+__all__ = ["corpus_ingest", "corpus_pipeline", "reline"]
 
 
 def reline(text, words: int):
@@ -214,4 +214,169 @@ def corpus_pipeline(
         "cum_tokens",
         "pack_id",
         "pack_offset",
+    )
+
+
+def corpus_ingest(
+    corpus: DataFrame,
+    batch: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    quality_min: float = 0.5,
+    lm_min: float = -3.405,
+    reline_words: int | None = 8,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 32,
+    n_rules: int | None = None,
+) -> DataFrame:
+    """Continuous-ingestion form of ``corpus_pipeline``: admit an
+    incoming crawl ``batch`` against a STANDING ``corpus`` without ever
+    re-pairing corpus × corpus (the daily-drop production shape).
+
+    ``corpus``: already-accepted docs (doc_id, canon_url, text);
+    ``batch``: candidate docs (doc_id, source, text, ``url_col``).
+    Batch doc_ids must all be distinct from corpus ids; the corpus-
+    priority line dedup additionally assumes ingest reality — the
+    standing corpus's (doc_id, line_no) keys order BEFORE the batch's
+    (new ids are allocated after old ones), so the global keep-first
+    election automatically prefers corpus lines.
+
+    Stages (each the batch-vs-index form of the batch pipeline's
+    stage):
+
+    1. canonicalize + keep-best WITHIN the batch;
+    2. drop batch docs whose canonical URL already exists in the corpus
+       (anti join against the corpus URL index);
+    3. robots filter (same rule table as the batch pipeline);
+    4. quality cut (row-local, batch only);
+    5. LM cut — scored against the STANDING corpus's model
+       (``lm_score_against``: OOV words take the Laplace floor), never
+       retrained per batch;
+    6. corpus-priority line dedup: one ``line_dedup`` over corpus ∪
+       batch (production: the stored line-digest index), batch rows
+       kept — a batch line survives only if unseen in the corpus AND
+       not earlier in the batch;
+    7. incremental near-dup rejection: ``incremental_near_dups`` pairs
+       the batch against the corpus index + itself (corpus × corpus is
+       never paired; candidate volume scales with the batch); any batch
+       doc with a qualifying pair is REJECTED (the standing/earlier doc
+       is the keeper by construction).
+
+    Output: the ACCEPTED batch docs — (doc_id, source, canon_url,
+    clean_text, n_tok). Packing is deliberately absent: appending to
+    the corpus's running token stream is the writer's job (merge.py),
+    not the admission filter's.
+    """
+    from osm_spark.text.dedup import incremental_near_dups
+    from osm_spark.text.lm import lm_score_against
+
+    b = batch.select(
+        "doc_id", "source", "text", F.col(url_col).alias("_url")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    # 1. canonicalize + keep best within the batch
+    b = b.withColumn("canon_url", canonical_url("_url")).drop("_url")
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    b = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "n_chars")
+    )
+
+    # 2. URL-level incremental dedup: the corpus URL index wins
+    b = b.join(
+        corpus.select("canon_url").hint("shuffle_hash"),
+        "canon_url",
+        "left_anti",
+    )
+
+    # 3. robots
+    b = (
+        apply_url_rules(b, rules, url_col="canon_url", n_rules=n_rules)
+        .where(F.col("allowed"))
+        .drop("allowed", "matched_prefix")
+    )
+    b = b.persist()  # stage boundary (same rationale as corpus_pipeline)
+
+    # 4. quality cut
+    qf = quality_features(b.select("doc_id", "text"))
+    b = b.join(
+        qf.where(F.col("quality_score") >= F.lit(float(quality_min)))
+        .select("doc_id")
+        .hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 5. LM cut against the standing corpus's model
+    lm = lm_score_against(
+        corpus.select("doc_id", "text"), b.select("doc_id", "text")
+    )
+    b = b.join(
+        lm.where(F.col("mean_logp") >= F.lit(float(lm_min)))
+        .select("doc_id")
+        .hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 6. corpus-priority line dedup over corpus ∪ batch
+    def _lined(df):
+        return (
+            df.withColumn("text", reline(F.col("text"), reline_words))
+            if reline_words
+            else df
+        )
+
+    union = _lined(corpus.select("doc_id", "text")).unionByName(
+        _lined(b.select("doc_id", "text"))
+    )
+    ld = line_dedup(union)
+    b = b.drop("text").join(
+        ld.where(F.col("n_kept") > 0)
+        .select("doc_id", "clean_text")
+        .hint("shuffle_hash"),
+        "doc_id",
+    )
+    b = b.withColumn(
+        "flat_text", F.translate("clean_text", "\n", " ")
+    ).persist()
+
+    # corpus clean text for the near-dup index comes from the SAME
+    # line-dedup pass (production: the stored clean corpus)
+    corpus_clean = (
+        ld.join(
+            corpus.select("doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left_semi",
+        )
+        .where(F.col("n_kept") > 0)
+        .select(
+            "doc_id",
+            F.translate("clean_text", "\n", " ").alias("text"),
+        )
+    )
+
+    # 7. incremental near-dup rejection
+    nd = incremental_near_dups(
+        corpus_clean,
+        b.select("doc_id", F.col("flat_text").alias("text")),
+        num_hashes=num_hashes,
+        threshold=jaccard_threshold,
+    )
+    b = b.join(
+        nd.select(F.col("doc_b").alias("doc_id")).hint("shuffle_hash"),
+        "doc_id",
+        "left_anti",
+    )
+
+    return b.select(
+        "doc_id",
+        "source",
+        "canon_url",
+        "clean_text",
+        F.size(F.split("flat_text", " ")).cast("long").alias("n_tok"),
     )

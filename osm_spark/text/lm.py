@@ -121,3 +121,63 @@ def lm_score(
             ).alias("mean_logp"),
         )
     )
+
+
+def lm_score_against(
+    model_docs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_join: str = "shuffle",
+) -> DataFrame:
+    """Score ``docs`` under a unigram model trained on ``model_docs`` —
+    the continuous-ingestion form of ``lm_score``: the standing corpus
+    IS the reference model and the incoming batch is scored against it
+    (in production the vocab is the stored ``train_unigram`` table, not
+    retrained per batch).
+
+    Out-of-vocabulary words take the Laplace floor count 0 →
+    ``ln(1 / (total + V))`` (a LEFT join + coalesce, so unseen words
+    penalize instead of silently vanishing — ``lm_score``'s inner join
+    is only correct because its model and its documents are the same
+    corpus). Same micro-nat quantized longs, same (id, n_tokens,
+    sum_logp_micro, mean_logp) output, SQL-replayable."""
+    if vocab_join not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"vocab_join must be broadcast|shuffle, got {vocab_join!r}"
+        )
+    vocab = train_unigram(tokenize(model_docs, id_col, text_col))
+    stats = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v_size")
+    )
+    hinted = (
+        F.broadcast(vocab)
+        if vocab_join == "broadcast"
+        else vocab.hint("shuffle_hash")
+    )
+    toks = tokenize(docs, id_col, text_col)
+    lw = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("total") + F.col("v_size")).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        toks.join(hinted, "word", "left")
+        .crossJoin(stats)
+        .select(id_col, lw.alias("lw"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lw").alias("sum_logp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_logp_micro",
+            F.round(
+                F.col("sum_logp_micro") / F.lit(1e6) / F.col("n_tokens"), 6
+            ).alias("mean_logp"),
+        )
+    )

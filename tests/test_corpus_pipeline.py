@@ -76,6 +76,68 @@ def test_schema_contract(spark):
     assert types["rk"] == "int" and types["pack_id"] == "bigint"
 
 
+def test_corpus_ingest_semantics(spark):
+    """Ingest admission: URL-index rejection, corpus-priority line
+    dedup, near-dup rejection against the standing corpus, and
+    OOV-floor LM scoring — each branch exercised by one batch doc."""
+    from osm_spark.pipeline.corpus import corpus_ingest
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "the quick brown fox jumps over the lazy dog"),
+            (2, "http://a.com/y", "a stitch in time saves nine they say of the old work"),
+        ],
+        "doc_id long, canon_url string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # URL collides with corpus -> rejected at the URL index
+            (101, "s1", "fresh words entirely novel content here", "http://a.com/x"),
+            # near-dup of corpus doc 2 -> rejected by the incremental pass
+            (102, "s1", "a stitch in time saves nine they say of the old work", "http://a.com/n1"),
+            # every line already in corpus doc 1 -> line-dedup empties it
+            (103, "s1", "the quick brown fox jumps over the lazy dog", "http://a.com/n2"),
+            # genuinely new -> accepted
+            (104, "s1", "completely original sentence with unique vocabulary tokens", "http://a.com/n3"),
+            # robots-denied path
+            (105, "s1", "more original material that would otherwise pass", "http://a.com/private/z"),
+        ],
+        "doc_id long, source string, text string, url string",
+    )
+    rules = spark.createDataFrame(RULES, "host string, prefix string, allow boolean")
+    out = corpus_ingest(
+        corpus, batch, rules,
+        quality_min=0.0, lm_min=-99.0, jaccard_threshold=0.9,
+        n_rules=len(RULES),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {104}
+    assert rows[104].clean_text.startswith("completely original")
+    assert rows[104].n_tok == 7
+
+
+def test_lm_score_against_oov_floor(spark):
+    """OOV words take the Laplace floor (left join + coalesce) instead
+    of vanishing: a doc of unseen words scores exactly
+    ln(1/(total+V)) per token."""
+    import math
+
+    from osm_spark.text.lm import lm_score_against
+
+    model = spark.createDataFrame(
+        [(1, "a a b")], "doc_id long, text string"
+    )  # total=3, V=2
+    docs = spark.createDataFrame(
+        [(10, "zz zz"), (11, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_score_against(model, docs).collect()}
+    floor = round(math.log(1.0 / 5.0) * 1e6)
+    assert got[10].sum_logp_micro == 2 * floor
+    a_lw = round(math.log(3.0 / 5.0) * 1e6)  # c=2 -> (2+1)/5
+    b_lw = round(math.log(2.0 / 5.0) * 1e6)  # c=1 -> (1+1)/5
+    assert got[11].sum_logp_micro == a_lw + b_lw
+
+
 def test_plan_no_cartesian_no_sortmerge(spark):
     """The composed plan must stay inside the engine's join discipline:
     no CartesianProduct anywhere, and no SortMergeJoin (every stage
