@@ -371,7 +371,11 @@ def hex_cell_backend(
     if backend == "native":
         return hex_cell_expr(lat, lon, res)
     if backend == "h3":
+        # Build the UDF first: its hard `import h3` is the loud guard,
+        # and F.col asserts an active SparkContext (which would mask the
+        # ImportError with an AssertionError when called session-less).
+        udf = h3_cell_udf(res)
         la = F.col(lat) if isinstance(lat, str) else lat
         lo = F.col(lon) if isinstance(lon, str) else lon
-        return h3_cell_udf(res)(la, lo)
+        return udf(la, lo)
     raise ValueError(f"unknown hex backend: {backend!r}")

@@ -52,7 +52,10 @@ def _face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 def _uv_to_st(u: np.ndarray) -> np.ndarray:
     """S2 quadratic projection: equalizes cell area across a face."""
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # np.where evaluates both branches, so each sqrt sees the other
+    # branch's out-of-domain values — suppress the spurious warning.
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
 
 
 def _hilbert_pos(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:

@@ -2,11 +2,13 @@
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, Arrow
-batch shapes — is real and tested. The codec itself is stubbed: this
-container ships no image/audio libraries, so ``decode_media`` computes a
-deterministic fake "decode" from the bytes (documented below), and the
-place where Pillow/ffmpeg would slot in is a single clearly-marked
-function (``_decode_real``) that raises ``NotImplementedError``.
+batch shapes — is real and tested. The codec itself is import-guarded:
+this container ships no image/audio libraries, so by default
+``decode_media`` computes a deterministic fake "decode" from the bytes
+(documented below); ``backend='real'`` routes through the
+Pillow-backed hooks (``_decode_real`` / ``_resize_real``) which raise
+``NotImplementedError`` when the library is absent — the seam is
+exercised both ways by ``tools/check_real_backends.py``.
 
 Scale design: media bytes dominate row size, so every stage projects the
 binary column away as early as possible (decode emits features only);
@@ -64,13 +66,31 @@ def synth_media(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
 
 
 def _decode_real(kind: str, payload: bytes) -> tuple[int, int, int]:
-    """Real codec hook (Pillow / soundfile / pyav). Not available in this
-    container — the deterministic fake below exercises the identical
-    Spark plumbing."""
-    raise NotImplementedError(
-        "media codecs are not installed; decode_media uses the "
-        "deterministic fake decode"
-    )
+    """Real codec hook: import-guarded Pillow decode for images.
+
+    When Pillow is on the path this returns the true (width, height,
+    n_frames) of the encoded payload; when it is absent (this container)
+    it raises NotImplementedError and ``decode_media`` stays on the
+    deterministic fake. Audio/video hooks (soundfile / pyav) follow the
+    same shape and remain unimplemented here. The swap point is
+    exercised by ``tools/check_real_backends.py`` (PASS with Pillow,
+    BLOCKED without)."""
+    if kind != "image":
+        raise NotImplementedError(
+            "audio/video codecs are not installed; decode_media uses the "
+            "deterministic fake decode"
+        )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # the documented sandbox outcome
+        raise NotImplementedError(
+            "media codecs are not installed; decode_media uses the "
+            "deterministic fake decode"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, getattr(img, "n_frames", 1)
 
 
 def _fake_decode(n_bytes: np.ndarray, first_byte: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -87,12 +107,18 @@ def _fake_decode(n_bytes: np.ndarray, first_byte: np.ndarray) -> tuple[np.ndarra
     return w.astype(np.int32), h.astype(np.int32), fr.astype(np.int32)
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """binary payload → typed features via one Arrow ``mapInPandas`` pass.
 
     Emits features only (drops ``bytes``) so nothing downstream shuffles
-    the payload. Vectorized per batch; no per-row Python beyond pandas'
-    own bytes accessors."""
+    the payload. ``backend='fake'`` (default — the container ships no
+    codecs) derives dimensions deterministically from the bytes,
+    vectorized per batch; ``backend='real'`` routes every row through
+    ``_decode_real`` (Pillow, import-guarded — per-row Python is
+    inherent to codecs, but the transfer stays Arrow-batched and the
+    payload is still dropped on output)."""
+    if backend not in ("fake", "real"):
+        raise ValueError(f"unknown media backend: {backend!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -102,8 +128,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                 continue
             payload = pdf["bytes"]
             n_bytes = payload.map(len).to_numpy(np.int64)
-            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
-            w, h, fr = _fake_decode(n_bytes, first)
+            if backend == "real":
+                dims = [
+                    _decode_real(k, b) for k, b in zip(pdf["kind"], payload)
+                ]
+                w = np.array([d[0] for d in dims], dtype=np.int32)
+                h = np.array([d[1] for d in dims], dtype=np.int32)
+                frames = np.array([d[2] for d in dims], dtype=np.int32)
+            else:
+                first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
+                w, h, fr = _fake_decode(n_bytes, first)
+                frames = np.where(pdf["kind"] == "image", 1, fr).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -111,7 +146,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     "n_bytes": n_bytes,
                     "width": w,
                     "height": h,
-                    "n_frames": np.where(pdf["kind"] == "image", 1, fr).astype(np.int32),
+                    "n_frames": frames,
                     "checksum": payload.map(lambda b: hashlib.md5(b).hexdigest()),
                 }
             )
@@ -140,16 +175,31 @@ RESIZED_SCHEMA = (
 
 
 def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
-    """Real resize hook (Pillow thumbnail / swscale). Not available in
-    this container — the deterministic fake below exercises the
-    identical Spark plumbing (binary in, binary out, Arrow batches)."""
-    raise NotImplementedError(
-        "image codecs are not installed; resize_media uses the "
-        "deterministic fake resample"
-    )
+    """Real resize hook: import-guarded Pillow decode→resample→re-encode.
+
+    With Pillow present this is the true preprocessing stage (PNG out,
+    deterministic — no chroma/quality nondeterminism); without it (this
+    container) it raises NotImplementedError and ``resize_media`` stays
+    on the deterministic stride fake. Exercised by
+    ``tools/check_real_backends.py``."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs are not installed; resize_media uses the "
+            "deterministic fake resample"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        out = io.BytesIO()
+        img.resize((tw, th)).save(out, format="PNG")
+        return out.getvalue()
 
 
-def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, backend: str = "fake"
+) -> DataFrame:
     """Image resize stage: binary payload → resized binary payload via
     one Arrow ``mapInPandas`` pass (the feature-extraction preprocessing
     shape: decode → resample → re-encode).
@@ -159,7 +209,11 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
     batch shapes, binary Arrow transfer and output schema are exactly
     what the Pillow-backed ``_resize_real`` would produce. Non-image
     rows pass through untouched with their decoded dimensions.
+    ``backend='real'`` swaps the stride fake for the Pillow
+    decode→resample→re-encode in ``_resize_real`` (import-guarded).
     """
+    if backend not in ("fake", "real"):
+        raise ValueError(f"unknown media backend: {backend!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,9 +221,31 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
                 continue
             payload = pdf["bytes"]
             n_bytes = payload.map(len).to_numpy(np.int64)
+            is_img = (pdf["kind"] == "image").to_numpy()
+            if backend == "real":
+                dims = [
+                    _decode_real(k, b) if k == "image" else (0, 0, 1)
+                    for k, b in zip(pdf["kind"], payload)
+                ]
+                w = np.array([d[0] for d in dims], dtype=np.int64)
+                h = np.array([d[1] for d in dims], dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].to_numpy(),
+                        "kind": pdf["kind"],
+                        "bytes": [
+                            _resize_real(b, int(wi), int(hi), target_w, target_h)
+                            if img
+                            else b
+                            for b, wi, hi, img in zip(payload, w, h, is_img)
+                        ],
+                        "width": np.where(is_img, target_w, w).astype(np.int32),
+                        "height": np.where(is_img, target_h, h).astype(np.int32),
+                    }
+                )
+                continue
             first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
             w, h, _fr = _fake_decode(n_bytes, first)
-            is_img = (pdf["kind"] == "image").to_numpy()
             ratio = (float(target_w) * target_h) / np.maximum(
                 w.astype(np.float64) * h, 1.0
             )
