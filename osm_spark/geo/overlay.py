@@ -56,7 +56,13 @@ from osm_spark.geo.hexgrid import (
     hex_center_expr,
     hex_disk_expr,
 )
-from osm_spark.pipeline.spatial_join import BROADCAST_MAX_CELLS, pip_cover_expr
+from osm_spark.pipeline.spatial_join import (
+    BROADCAST_MAX_CELLS,
+    HOT_CELL_TARGET,
+    attach_polygon_dim,
+    pip_cover_expr,
+    way_salt_plan,
+)
 
 
 def edges_cross_expr(
@@ -182,6 +188,31 @@ def overlay_strategy(n_cells_smaller: int) -> str:
     return "broadcast" if n_cells_smaller <= BROADCAST_MAX_CELLS else "shuffle"
 
 
+def overlay_salt_plan(
+    cells_a: DataFrame, cells_b: DataFrame, target: int = HOT_CELL_TARGET
+) -> DataFrame:
+    """Data-driven hot-cell plan for the big × big overlay path:
+    (cell, k) for cells whose candidate-pair mass |A rows| × |B rows|
+    exceeds ``target`` — the overlay analog of ``salt_plan``, whose
+    per-cell mass is a point count. Derived from the covering tables
+    (polygons × covering budget rows), never from a point table, so the
+    stat job is bounded by the dims. Feeds ``way_salt_plan`` per side:
+    a polygon covering a hot cell receives that cell's pair mass as
+    candidate rows keyed by ITS OWN id, so it inherits the cell's split
+    factor for the vertex attach (north_rule: salt factors come from
+    data, not constants)."""
+    na = cells_a.groupBy("cell").agg(F.count("*").alias("_na"))
+    nb = cells_b.groupBy("cell").agg(F.count("*").alias("_nb"))
+    return (
+        na.join(nb, "cell")
+        .filter(F.col("_na") * F.col("_nb") > target)
+        .select(
+            "cell",
+            F.ceil(F.col("_na") * F.col("_nb") / target).cast("int").alias("k"),
+        )
+    )
+
+
 def overlay_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
@@ -191,6 +222,7 @@ def overlay_join(
     self_join: bool = False,
     levels_a: list[int] | None = None,
     levels_b: list[int] | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """All (a_id, b_id) pairs whose polygons intersect.
 
@@ -206,7 +238,20 @@ def overlay_join(
     - ``shuffle``: both coverings shuffle-hash on the cell id and the
       vertex dims hash-join on the polygon ids — the big × big path;
       the only exchanges are on cell and on the two polygon ids, with
-      AQE skew join as the hot-cell backstop.
+      AQE skew join as the hot-cell backstop on the cell prejoin.
+
+    ``salts`` (shuffle path only): an (cell, k) hot-cell plan from
+    ``overlay_salt_plan``. The polygon-id keys of the vertex attaches
+    are their own skew axis — a continent ring intersecting millions of
+    small polygons concentrates its whole pair mass on one hash-join
+    task — so with a plan supplied both attaches go through
+    ``attach_polygon_dim``'s two-side salt (candidate rows scatter over
+    pmod(xxhash64(other id), k); hot polygons' vertex rows replicate k
+    ways; join key (id, salt)) with per-way factors inherited from the
+    covering via ``way_salt_plan`` — the identical machinery the PIP
+    family's vertex attach uses (round-4 verdict ask #8). Without a
+    plan the attaches stay plain shuffle-hash joins with AQE as the
+    backstop. The salt changes the schedule, never the pairs.
 
     ``self_join=True`` keeps each unordered pair once (a_id < b_id) and
     drops the identity pair — the "overlapping polygons within one
@@ -223,6 +268,8 @@ def overlay_join(
     """
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
+    if salts is not None and strategy != "shuffle":
+        raise ValueError("salts applies to the shuffle path only")
     if (levels_a is None) != (levels_b is None):
         raise ValueError("pass levels_a and levels_b together (or neither)")
     if levels_a is not None:
@@ -270,10 +317,20 @@ def overlay_join(
         # the pair list is skinny and already repartitioned on the pair
         # key, so this is one bounded exchange of the A vertex dim, not
         # a driver-memory-blowing broadcast of it.
-        va, vb = va.hint("shuffle_hash"), F.broadcast(vb)
+        cand = pairs.join(va.hint("shuffle_hash"), "a_id").join(
+            F.broadcast(vb), "b_id"
+        )
     else:
-        va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
-    cand = pairs.join(va, "a_id").join(vb, "b_id")
+        ws_a = ws_b = None
+        if salts is not None:
+            ws_a = way_salt_plan(cells_a, salts).withColumnRenamed("way_id", "a_id")
+            ws_b = way_salt_plan(cells_b, salts).withColumnRenamed("way_id", "b_id")
+        cand = attach_polygon_dim(
+            pairs, va, "a_id", "shuffle", way_salts=ws_a, scatter_col="b_id"
+        )
+        cand = attach_polygon_dim(
+            cand, vb, "b_id", "shuffle", way_salts=ws_b, scatter_col="a_id"
+        )
     keep = polygons_intersect_expr(
         F.col("avlat"), F.col("avlon"), F.col("bvlat"), F.col("bvlon")
     )
@@ -285,6 +342,7 @@ def dissolve(
     cells: DataFrame,
     strategy: str = "broadcast",
     levels: list[int] | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """Dissolve: cluster transitively-overlapping polygons of ONE layer
     (A overlaps B, B overlaps C ⇒ {A,B,C} merge) — the standard GIS
@@ -299,7 +357,7 @@ def dissolve(
 
     pairs = overlay_join(
         polygons, polygons, cells, cells, strategy=strategy, self_join=True,
-        levels_a=levels, levels_b=levels,
+        levels_a=levels, levels_b=levels, salts=salts,
     )
     out = dedup_clusters(polygons, pairs, id_col="way_id", a="a_id", b="b_id")
     return out.withColumnRenamed("doc_id", "way_id")

@@ -128,6 +128,7 @@ def snap_join(
     strategy: str = "auto",
     n_segments: int | None = None,
     max_abs_lat: float | None = None,
+    sample_budget: int = 128,
 ) -> DataFrame:
     """(url, way_id, seg_idx, dist_m) — nearest way segment within
     ``radius_m`` meters of each point; points with none are absent.
@@ -137,9 +138,25 @@ def snap_join(
     table (the small dim, same precedent as radius_join); ``n_segments``
     feeds the auto strategy (vertex count − way count from catalog
     stats); without it the candidate side is counted (small dim — one
-    action)."""
+    action).
+
+    ``sample_budget`` bounds the covering work PER ROW: a long segment
+    (a motorway stretch spans thousands of cell edges at the planned
+    res) would otherwise build one in-memory array of samples × disk
+    cells — the same single-row blow-up ``build_way_cells`` hit on large
+    polygons (round-4 verdict ask #7). Segments needing more than
+    ``sample_budget`` samples split into ⌈samples/budget⌉ chunk ROWS
+    before the cell arrays materialize, so per-row memory is ≤ budget ×
+    disk cells and one long segment's covering parallelizes across
+    tasks instead of pinning one. The union of samples over the chunks
+    is exactly the unchunked sample set, so coverage — and therefore
+    the result — is unchanged (cells shared by samples in different
+    chunks survive as duplicate candidate rows; the per-point argmin is
+    insensitive to candidate duplication)."""
     if radius_m <= 0:
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    if sample_budget < 2:
+        raise ValueError(f"sample_budget must be >= 2, got {sample_budget}")
     segs = way_segments(ways, closed=closed)
     if max_abs_lat is None:
         row = ways.agg(
@@ -157,9 +174,28 @@ def snap_join(
         (F.col("by") - F.col("ay")) ** 2 + (F.col("bx") - F.col("ax")) ** 2
     )
     n_samp = F.greatest(F.ceil(seg_len / F.lit(e)).cast("int") + 1, F.lit(2))
+    # Chunk the sample index space BEFORE any cell array exists: one row
+    # per ⌈n_samp/budget⌉ contiguous index slice. Short segments (the
+    # overwhelming majority) get exactly one chunk row — the plan is the
+    # flat one plus two cheap scalar columns.
+    b = F.lit(int(sample_budget))
+    chunked = segs.select(
+        "way_id",
+        "seg_idx",
+        "ay",
+        "ax",
+        "by",
+        "bx",
+        n_samp.alias("_ns"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n_samp - 1) / b).cast("int"))
+        ).alias("_chk"),
+    )
+    lo = F.col("_chk") * b
+    hi = F.least(lo + b - 1, F.col("_ns") - 1)
     ts = F.transform(
-        F.sequence(F.lit(0), n_samp - 1),
-        lambda i: i.cast("double") / (n_samp - 1).cast("double"),
+        F.sequence(lo, hi),
+        lambda i: i.cast("double") / (F.col("_ns") - 1).cast("double"),
     )
     sample_cells = F.array_distinct(
         F.transform(
@@ -174,7 +210,7 @@ def snap_join(
     disk_cells = F.array_distinct(
         F.flatten(F.transform(sample_cells, lambda c: hex_disk_expr(c, res, ring)))
     )
-    cand = segs.select(
+    cand = chunked.select(
         "way_id", "seg_idx", "ay", "ax", "by", "bx", F.explode(disk_cells).alias("cell")
     )
 

@@ -181,3 +181,59 @@ def test_overlay_broadcast_path_broadcasts_only_b_vertex_dim(fixtures):
     assert "ShuffledHashJoin [a_id" in plan
     for sub in plan.split("BroadcastExchange")[1:]:
         assert "avlat" not in sub[:600], plan
+
+
+def test_overlay_salted_equals_unsalted(fixtures):
+    """The two-side-salted vertex attach is a schedule change only: with
+    a hot-cell plan covering the fixture's densest cells (tiny target so
+    the plan is non-empty), the shuffle path must return exactly the
+    unsalted pairs."""
+    from osm_spark.geo.overlay import overlay_salt_plan
+
+    pa, pb, ca, cb, *_ = fixtures
+    salts = overlay_salt_plan(ca, cb, target=4)
+    assert salts.count() > 0  # the plan genuinely fires on this fixture
+    plain = set(map(tuple, overlay_join(pa, pb, ca, cb, strategy="shuffle").collect()))
+    salted = set(
+        map(
+            tuple,
+            overlay_join(pa, pb, ca, cb, strategy="shuffle", salts=salts).collect(),
+        )
+    )
+    assert salted == plain
+
+
+def test_overlay_salted_plan_joins_on_id_salt(fixtures):
+    """Plan pin for the big × big path: with a salt plan both vertex
+    attaches are ShuffledHashJoins on (id, _vsalt) — a plain polygon-id
+    key would re-concentrate a hot polygon's whole pair mass on one
+    task — and no BroadcastExchange carries vertex arrays (only the
+    way-salt dims broadcast)."""
+    import re
+
+    from osm_spark.geo.overlay import overlay_salt_plan
+
+    pa, pb, ca, cb, *_ = fixtures
+    salts = overlay_salt_plan(ca, cb, target=4)
+    plan = (
+        overlay_join(pa, pb, ca, cb, strategy="shuffle", salts=salts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"ShuffledHashJoin \[a_id#\d+L?, _vsalt", plan), plan
+    assert re.search(r"ShuffledHashJoin \[b_id#\d+L?, _vsalt", plan), plan
+    for sub in plan.split("BroadcastExchange")[1:]:
+        head = sub[:600]
+        assert "avlat" not in head and "bvlat" not in head, plan
+
+
+def test_overlay_salts_rejected_on_broadcast_path(fixtures):
+    pa, pb, ca, cb, *_ = fixtures
+    from osm_spark.geo.overlay import overlay_salt_plan
+
+    with pytest.raises(ValueError):
+        overlay_join(
+            pa, pb, ca, cb, strategy="broadcast",
+            salts=overlay_salt_plan(ca, cb, target=4),
+        )

@@ -116,6 +116,44 @@ def test_plan_snap_ring_bounded(spark):
         assert ring >= 2
 
 
+def test_snap_long_way_budget(spark):
+    """A motorway-length segment spans many cell edges: the chunked
+    covering (small budget ⇒ many chunk rows per segment) must produce
+    exactly the flat covering's answer, and the budget knob must reject
+    degenerate values."""
+    rng = np.random.default_rng(23)
+    n = 60
+    # points scattered along ~100 km of a long straight way
+    ppdf = pd.DataFrame(
+        {
+            "url": [f"p{i}" for i in range(n)],
+            "lat": 52.0 + rng.uniform(0, 0.9, n),
+            "lon": 9.0 + rng.uniform(-0.02, 0.02, n),
+        }
+    )
+    # one 2-vertex way ~100 km long + one short way nearby
+    wpdf = pd.DataFrame(
+        [
+            (300, [52.0, 52.9], [9.0, 9.01]),
+            (301, [52.4, 52.41, 52.42], [9.015, 9.016, 9.015]),
+        ],
+        columns=["way_id", "vlat", "vlon"],
+    )
+    pts = spark.createDataFrame(ppdf)
+    wys = spark.createDataFrame(
+        wpdf, "way_id long, vlat array<double>, vlon array<double>"
+    )
+    flat = _canon(
+        snap_join(pts, wys, 900.0, sample_budget=1_000_000).toPandas()
+    )
+    chunked = _canon(snap_join(pts, wys, 900.0, sample_budget=8).toPandas())
+    pd.testing.assert_frame_equal(chunked, flat)
+    exp = _canon(_brute_snap(ppdf, wpdf, 900.0, closed=False))
+    pd.testing.assert_frame_equal(chunked, exp, check_dtype=False)
+    with pytest.raises(ValueError):
+        snap_join(pts, wys, 900.0, sample_budget=1)
+
+
 def test_snap_validation(spark, fixture):
     _, _, pts, wys = fixture
     with pytest.raises(ValueError):
