@@ -18,8 +18,10 @@ Plain propagation needs O(diameter) rounds; the jump step composes the
 label mapping with itself each round, so convergence is O(log diameter)
 — a 100-vertex path closes in ~7 rounds, not 99 (tests pin this). Each
 round is three hash exchanges over (id, label) pairs — 16 bytes/vertex,
-never the edge payload twice — with map-side min combiners, then one
-short-circuit count action on the changed set. Each round's labels are
+never the edge payload twice — with map-side min combiners; the
+convergence test rides the round's own output as a changed flag
+(``star`` is the previous label), so the per-round actions are exactly
+the truncation write plus a scan-count of it. Each round's labels are
 lineage-truncated (graph/iterate.py): the round plan references the
 previous labels three times, so without truncation the logical plan
 grows 3^rounds — the Catalyst-cloning landmine, observed as a 2 GiB
@@ -82,16 +84,24 @@ def _round(edges: DataFrame, labels: DataFrame, jumps: int = 2) -> DataFrame:
                 F.least("comp", "nbr_comp").alias("comp"))
     )
     star_min = cand.groupBy(F.col("star")).agg(F.min("comp").alias("star_comp"))
+    # ``star`` is exactly the PREVIOUS round's label of v — ride it out
+    # as ``_prev`` so the caller's convergence check is a comparison on
+    # this round's own output instead of a separate join job against
+    # the previous round's table (one fewer job + shuffle per round).
     cur = (
         cand.join(star_min.hint("shuffle_hash"), "star")
-        .select("id", F.least("comp", "star_comp").alias("comp"))
+        .select(
+            "id",
+            F.col("star").alias("_prev"),
+            F.least("comp", "star_comp").alias("comp"),
+        )
     )
     for _ in range(jumps):
         # comp ← cur(comp): compress through the evolving mapping
         m = cur.select(F.col("id").alias("comp"), F.col("comp").alias("jc"))
         cur = (
             cur.join(m.hint("shuffle_hash"), "comp", "left")
-            .select("id", F.least("comp", "jc").alias("comp"))
+            .select("id", "_prev", F.least("comp", "jc").alias("comp"))
         )
     return cur
 
@@ -118,13 +128,16 @@ def connected_components(
 
     prev: DataFrame | None = None
     for _ in range(max_iter):
-        new_labels = truncate_lineage(_round(edges, labels))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        # _chg folds the convergence test into the round's own output:
+        # the truncation write is the only heavy job, and the check is a
+        # scan-filter-count over the parquet just written — no join back
+        # to the previous round's table.
+        new_labels = truncate_lineage(
+            _round(edges, labels)
+            .withColumn("_chg", F.col("comp") != F.col("_prev"))
+            .drop("_prev")
         )
+        changed = new_labels.where("_chg").count()
         if prev is not None:
             drop_truncated(prev)  # two rounds back: no longer referenced
         prev, labels = labels, new_labels
