@@ -17,6 +17,7 @@ rule (BASELINE.md).
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -587,6 +588,163 @@ def run_graph_scaling() -> dict:
     return out
 
 
+def run_corpus_scale() -> dict:
+    """corpus_pipeline wall at docs ×1 vs ×10 on replica-disjoint token
+    spaces (--corpus-scale) — evidence for BENCH.md's decomposition of
+    the sandbox corpus wall into fixed per-job overhead vs data cost.
+
+    Each replica k suffixes every token with qK and salts the URL path,
+    so replicas share NO lines, NO shingles and NO canonical URLs:
+    every stage's data volume (docs, lines, shingles, LSH candidate
+    pairs, cluster edges) scales exactly ×mult while the stage/job
+    COUNT — the iterative protocol's per-round truncation + count
+    actions, codegen, scheduling — stays constant. A wall ratio far
+    below 10× on a 10× corpus is therefore direct measurement that the
+    sandbox wall is dominated by the fixed term (which a real cluster
+    pays once per job, amortized over 10^9 docs), not by per-doc work.
+
+    One adjustment keeps the stage survivor FRACTIONS scale-invariant:
+    the LM cut's model is trained on the corpus itself (the stage
+    coupling the gated query pins), so ×mult disjoint token spaces
+    dilute every unigram probability by exactly ln(mult) — the
+    unshifted threshold would cut the ENTIRE ×10 corpus (observed:
+    0 survivors, every downstream stage running empty, a meaningless
+    "fast" wall). ``lm_min − ln(mult)`` restores the same per-replica
+    cut; per-mult output/doc counts are reported so the ×mult
+    proportionality is auditable in the JSON. Other constants match
+    the gated corpus_pipeline query; one warm session (cold JIT pass
+    first, then median of 3 per mult, trailing x1 rewarm)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from osm_spark.pipeline.corpus import corpus_pipeline
+    from osm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="corpus_scale_bench", master=f"local[{CPUS}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark, CPUS)
+    rules = spark.createDataFrame(
+        entrymod._CP_RULES, "host string, prefix string, allow boolean"
+    )
+
+    def docs_at(mult: int):
+        d = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(
+                "doc_id",
+                "source",
+                "text",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(mult - 1))
+                ).alias("rep"),
+            )
+        )
+        pair = F.expr("doc_id div 2")
+        host = F.concat(
+            F.lit("h"), (pair % 3).cast("string"), F.lit(".example.com")
+        )
+        tailp = F.concat(
+            F.lit("/page/"),
+            pair.cast("string"),
+            F.lit("x"),
+            F.col("rep").cast("string"),
+        )
+        i = F.col("doc_id")
+        raw = (
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit("HTTP://"), F.upper(host), F.lit(":80"), tailp,
+                    F.lit("#frag"),
+                ),
+            )
+            .when(
+                i % 4 == 1,
+                F.concat(
+                    F.lit("http://"), host, tailp, F.lit("?utm_source=x")
+                ),
+            )
+            .when(
+                i % 4 == 2,
+                F.concat(
+                    F.lit("http://"), host, tailp,
+                    F.lit("?utm_campaign=y#sec"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("http://"), host, tailp))
+        )
+        # qK token suffix: within a replica every Jaccard/line relation
+        # of the base corpus is preserved exactly; across replicas the
+        # token spaces are disjoint (J = 0, no shared lines)
+        text = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(
+                    w, F.lit("q"), F.col("rep").cast("string")
+                ),
+            ),
+            " ",
+        )
+        return d.select(
+            (i * 10 + F.col("rep")).alias("doc_id"),
+            "source",
+            text.alias("text"),
+            raw.alias("url"),
+        )
+
+    out: dict = {
+        "metric": "corpus_scale",
+        "unit": "sec",
+        "cpus": CPUS,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+    }
+    walls_by_mult: dict[str, dict] = {}
+    # x1 twice: the composed pipeline touches every text-stage codegen
+    # path, and walls at x1 are still DESCENDING after 4 passes (JIT
+    # convergence, the local[32] --scaling lesson) — the trailing
+    # x1_rewarm is the honest steady-state x1, measured after the x10
+    # passes have fully warmed the shared code paths.
+    for tag, mult in (("x1", 1), ("x10", 10), ("x1_rewarm", 1)):
+        docs = docs_at(mult).persist()
+        n_docs = docs.count()
+
+        def pipe():
+            return corpus_pipeline(
+                docs,
+                rules,
+                quality_min=entrymod._CP_QUALITY_MIN,
+                lm_min=entrymod._CP_LM_MIN - math.log(mult),
+                jaccard_threshold=entrymod._CP_JACCARD,
+                n_rules=len(entrymod._CP_RULES),
+            )
+
+        def run_once() -> float:
+            t0 = time.monotonic()
+            force(pipe())
+            return time.monotonic() - t0
+
+        cold = round(run_once(), 3)
+        walls = sorted(round(run_once(), 3) for _ in range(3))
+        walls_by_mult[tag] = {
+            "docs": n_docs,
+            "out_rows": pipe().count(),  # ∝-mult audit (quota-capped)
+            "cold": cold,
+            "walls": walls,
+            "median": walls[1],
+        }
+        docs.unpersist()
+    out["runs"] = walls_by_mult
+    out["wall_ratio_10x_docs"] = round(
+        walls_by_mult["x10"]["median"]
+        / walls_by_mult["x1_rewarm"]["median"],
+        2,
+    )
+    spark.stop()
+    return out
+
+
 def run_scaling() -> dict:
     """N vs 4N parallelism on identical input (the north_rule evidence).
 
@@ -655,5 +813,7 @@ if __name__ == "__main__":
         print(json.dumps(run_graph_once(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph-scaling":
         print(json.dumps(run_graph_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--corpus-scale":
+        print(json.dumps(run_corpus_scale()))
     else:
         print(json.dumps(run_bench()))
