@@ -2943,6 +2943,98 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingestion composition driven by Structured
+    Streaming (streaming/ingest.py): the SAME batch fixture as
+    corpus_ingest arrives through the file source and is admitted via
+    foreachBatch against the standing corpus, availableNow, one epoch
+    — so the epoch-keyed sink must equal the batch admission row for
+    row (same oracle). The multi-epoch growth/replay semantics are
+    pinned in tests/test_streaming_ingest.py."""
+    _prep(spark)
+    import os as _os
+    import tempfile as _tempfile
+
+    from osm_spark.streaming.ingest import (
+        corpus_ingest_stream,
+        stream_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    corpus = d.where(i % 10 != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.expr("doc_id div 2") % 3).cast("string"),
+            F.lit(".example.com/page/"),
+            F.expr("doc_id div 2").cast("string"),
+        ).alias("canon_url"),
+        "text",
+    )
+    rules = spark.createDataFrame(
+        _CP_RULES, "host string, prefix string, allow boolean"
+    )
+
+    def to_batch(stream: DataFrame) -> DataFrame:
+        i = F.col("doc_id")
+        hidx = F.when(
+            i % 20 == 0, F.expr("doc_id div 2") % 3
+        ).otherwise(F.expr("doc_id div 40") % 3)
+        host = F.concat(
+            F.lit("h"), hidx.cast("string"), F.lit(".example.com")
+        )
+        path = F.when(
+            i % 20 == 0,
+            F.concat(
+                F.lit("/page/"), F.expr("doc_id div 2").cast("string")
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/page/b"), F.expr("doc_id div 40").cast("string")
+            )
+        )
+        tailq = F.when(i % 4 == 1, F.lit("?utm_source=x")).otherwise(
+            F.lit("")
+        )
+        return stream.where(i % 10 == 0).select(
+            (i + 1_000_000).alias("doc_id"),
+            "source",
+            "text",
+            F.concat(F.lit("http://"), host, path, tailq).alias("url"),
+        )
+
+    base = _tempfile.mkdtemp(prefix="osm_spark_cis_")
+    corpus_path = _os.path.join(base, "corpus")
+    corpus.write.parquet(corpus_path)
+    q = corpus_ingest_stream(
+        to_batch(
+            stream_docs(
+                spark,
+                _os.path.join(sf_dir, "documents.parquet"),
+                max_files_per_trigger=64,
+            )
+        ),
+        corpus_path,
+        rules,
+        _os.path.join(base, "accepted"),
+        _os.path.join(base, "ckpt"),
+        growth_path=_os.path.join(base, "growth"),
+        quality_min=_CP_QUALITY_MIN,
+        lm_min=_CI_LM_MIN,
+        jaccard_threshold=_CP_JACCARD,
+        n_rules=len(_CP_RULES),
+    )
+    q.awaitTermination()
+    # the epoch-keyed sink IS the result table (production: the
+    # accepted Iceberg table) — return its scan, never a collect
+    # (an accepted crawl batch is not driver-bounded at scale);
+    # the temp dir lives for the session, like any sink table
+    return spark.read.parquet(_os.path.join(base, "accepted")).select(
+        "doc_id", "source", "canon_url", "clean_text", "n_tok"
+    )
+
+
 def _weighted_sample_oracle() -> str:
     """Key-by-key replay of the A-ES weighted sample: the 52-bit digest
     uniform (exactly representable in a double), -ln(u)/w exponential
@@ -5733,6 +5825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_ingest": q_corpus_ingest,
+        "corpus_ingest_stream": q_corpus_ingest_stream,
         "fuzzy_pairs": q_fuzzy_pairs,
         "cosine_pairs": q_cosine_pairs,
         "bpe_merges": q_bpe_merges,
@@ -5887,6 +5980,9 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "corpus_ingest": _corpus_ingest_oracle(),
+        # the streaming admission must equal the batch admission row
+        # for row — same full-chain replay
+        "corpus_ingest_stream": _corpus_ingest_oracle(),
         "stay_points": _stay_points_oracle(),
         "overlay_pairs": _overlay_pairs_oracle(),
         "reverse_geocode": _reverse_geocode_oracle(),
