@@ -2957,6 +2957,7 @@ def q_corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from osm_spark.streaming.ingest import (
         corpus_ingest_stream,
+        read_accepted,
         stream_docs,
     )
 
@@ -3030,7 +3031,7 @@ def q_corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accepted Iceberg table) — return its scan, never a collect
     # (an accepted crawl batch is not driver-bounded at scale);
     # the temp dir lives for the session, like any sink table
-    return spark.read.parquet(_os.path.join(base, "accepted")).select(
+    return read_accepted(spark, _os.path.join(base, "accepted")).select(
         "doc_id", "source", "canon_url", "clean_text", "n_tok"
     )
 

@@ -721,15 +721,24 @@ def run_corpus_scale() -> dict:
             )
 
         def run_once() -> float:
+            from osm_spark.pipeline.corpus import release_stage_caches
+
             t0 = time.monotonic()
             force(pipe())
-            return time.monotonic() - t0
+            wall = time.monotonic() - t0
+            # keep storage memory flat across the sweep's 12 builds
+            release_stage_caches()
+            return wall
 
         cold = round(run_once(), 3)
         walls = sorted(round(run_once(), 3) for _ in range(3))
+        out_rows = pipe().count()  # ∝-mult audit (quota-capped)
+        from osm_spark.pipeline.corpus import release_stage_caches
+
+        release_stage_caches()
         walls_by_mult[tag] = {
             "docs": n_docs,
-            "out_rows": pipe().count(),  # ∝-mult audit (quota-capped)
+            "out_rows": out_rows,
             "cold": cold,
             "walls": walls,
             "median": walls[1],

@@ -113,10 +113,12 @@ def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     Emits features only (drops ``bytes``) so nothing downstream shuffles
     the payload. ``backend='fake'`` (default — the container ships no
     codecs) derives dimensions deterministically from the bytes,
-    vectorized per batch; ``backend='real'`` routes every row through
+    vectorized per batch; ``backend='real'`` routes IMAGE rows through
     ``_decode_real`` (Pillow, import-guarded — per-row Python is
     inherent to codecs, but the transfer stays Arrow-batched and the
-    payload is still dropped on output)."""
+    payload is still dropped on output) while audio/video rows stay on
+    the deterministic stand-in (their codec hooks are unimplemented;
+    a mixed-kind table must not crash the image path)."""
     if backend not in ("fake", "real"):
         raise ValueError(f"unknown media backend: {backend!r}")
 
@@ -128,17 +130,30 @@ def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
                 continue
             payload = pdf["bytes"]
             n_bytes = payload.map(len).to_numpy(np.int64)
+            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
+            w, h, fr = _fake_decode(n_bytes, first)
+            frames = np.where(pdf["kind"] == "image", 1, fr).astype(np.int32)
             if backend == "real":
+                # images decode for real; audio/video keep the fake
+                # dims (codec hooks unimplemented — kind-guarded so a
+                # mixed-kind table never crashes the image decode)
+                is_img = (pdf["kind"] == "image").to_numpy()
                 dims = [
-                    _decode_real(k, b) for k, b in zip(pdf["kind"], payload)
+                    _decode_real("image", b) if img else None
+                    for b, img in zip(payload, is_img)
                 ]
-                w = np.array([d[0] for d in dims], dtype=np.int32)
-                h = np.array([d[1] for d in dims], dtype=np.int32)
-                frames = np.array([d[2] for d in dims], dtype=np.int32)
-            else:
-                first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
-                w, h, fr = _fake_decode(n_bytes, first)
-                frames = np.where(pdf["kind"] == "image", 1, fr).astype(np.int32)
+                w = np.array(
+                    [d[0] if d else int(wf) for d, wf in zip(dims, w)],
+                    dtype=np.int32,
+                )
+                h = np.array(
+                    [d[1] if d else int(hf) for d, hf in zip(dims, h)],
+                    dtype=np.int32,
+                )
+                frames = np.array(
+                    [d[2] if d else int(ff) for d, ff in zip(dims, frames)],
+                    dtype=np.int32,
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -174,7 +189,7 @@ RESIZED_SCHEMA = (
 )
 
 
-def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+def _resize_real(payload: bytes, tw: int, th: int) -> bytes:
     """Real resize hook: import-guarded Pillow decode→resample→re-encode.
 
     With Pillow present this is the true preprocessing stage (PNG out,
@@ -208,9 +223,12 @@ def resize_media(
     pixel-count ratio by striding the payload (every k-th byte), so the
     batch shapes, binary Arrow transfer and output schema are exactly
     what the Pillow-backed ``_resize_real`` would produce. Non-image
-    rows pass through untouched with their decoded dimensions.
+    rows pass through untouched with their stand-in-decoded dimensions
+    — on BOTH backends, so downstream consumers see one dim contract.
     ``backend='real'`` swaps the stride fake for the Pillow
-    decode→resample→re-encode in ``_resize_real`` (import-guarded).
+    decode→resample→re-encode in ``_resize_real`` (import-guarded);
+    the resample needs no source-dimension probe, so images decode
+    exactly once.
     """
     if backend not in ("fake", "real"):
         raise ValueError(f"unknown media backend: {backend!r}")
@@ -222,30 +240,24 @@ def resize_media(
             payload = pdf["bytes"]
             n_bytes = payload.map(len).to_numpy(np.int64)
             is_img = (pdf["kind"] == "image").to_numpy()
+            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
+            w, h, _fr = _fake_decode(n_bytes, first)
             if backend == "real":
-                dims = [
-                    _decode_real(k, b) if k == "image" else (0, 0, 1)
-                    for k, b in zip(pdf["kind"], payload)
-                ]
-                w = np.array([d[0] for d in dims], dtype=np.int64)
-                h = np.array([d[1] for d in dims], dtype=np.int64)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"].to_numpy(),
                         "kind": pdf["kind"],
                         "bytes": [
-                            _resize_real(b, int(wi), int(hi), target_w, target_h)
+                            _resize_real(b, target_w, target_h)
                             if img
                             else b
-                            for b, wi, hi, img in zip(payload, w, h, is_img)
+                            for b, img in zip(payload, is_img)
                         ],
                         "width": np.where(is_img, target_w, w).astype(np.int32),
                         "height": np.where(is_img, target_h, h).astype(np.int32),
                     }
                 )
                 continue
-            first = payload.map(lambda b: b[0] if len(b) else 0).to_numpy(np.int64)
-            w, h, _fr = _fake_decode(n_bytes, first)
             ratio = (float(target_w) * target_h) / np.maximum(
                 w.astype(np.float64) * h, 1.0
             )

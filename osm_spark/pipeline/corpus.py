@@ -62,7 +62,41 @@ from osm_spark.text.lm import lm_score
 from osm_spark.text.packing import pack_sequences
 from osm_spark.text.sampling import quota_sample
 
-__all__ = ["corpus_ingest", "corpus_pipeline", "reline"]
+__all__ = [
+    "corpus_ingest",
+    "corpus_pipeline",
+    "release_stage_caches",
+    "reline",
+]
+
+# Stage-boundary persists registered per corpus_pipeline/corpus_ingest
+# build. A one-shot batch job never needs to care (the caches die with
+# the session), but LOOPING callers — the streaming admission's
+# per-epoch corpus_ingest, bench sweeps — would accumulate 2-3 cached
+# tables per iteration with no handle to release them; they call
+# release_stage_caches() after materializing each iteration's output.
+_STAGE_CACHES: list[DataFrame] = []
+
+
+def _stage_persist(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _STAGE_CACHES.append(cached)
+    return cached
+
+
+def release_stage_caches() -> int:
+    """Unpersist every stage cache registered since the last release;
+    returns how many were dropped. Safe to call while a returned
+    pipeline frame is still live — Spark just recomputes through the
+    boundary on the next action."""
+    n = len(_STAGE_CACHES)
+    for df in _STAGE_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _STAGE_CACHES.clear()
+    return n
 
 
 def reline(text, words: int):
@@ -79,6 +113,59 @@ def reline(text, words: int):
             lambda i: F.array_join(F.slice(ws, i * words + 1, words), " "),
         ),
         "\n",
+    )
+
+
+def _canonical_keep_best(docs: DataFrame, url_col: str) -> DataFrame:
+    """Stage 1 (shared by the batch pipeline and ingest admission):
+    canonicalize the URL and keep the best version per canonical slot —
+    longest text, ties to min doc_id. One implementation so a tie-break
+    change can never make the two paths diverge."""
+    d = docs.select(
+        "doc_id", "source", "text", F.col(url_col).alias("_url")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    d = d.withColumn("canon_url", canonical_url("_url")).drop("_url")
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "n_chars")
+    )
+
+
+def _robots_cut(
+    d: DataFrame, rules: DataFrame, n_rules: int | None
+) -> DataFrame:
+    """Robots stage (shared): the policy is decided over the skinny
+    (doc_id, canon_url) projection and semi-joined back — the
+    longest-match aggregate groups by its input columns, and the
+    multi-KB text payload must never ride a grouping key through the
+    rule-match exchange."""
+    allowed = (
+        apply_url_rules(
+            d.select("doc_id", "canon_url"),
+            rules,
+            url_col="canon_url",
+            n_rules=n_rules,
+        )
+        .where(F.col("allowed"))
+        .select("doc_id")
+    )
+    return d.join(allowed.hint("shuffle_hash"), "doc_id", "left_semi")
+
+
+def _quality_cut(d: DataFrame, quality_min: float) -> DataFrame:
+    """Quality stage (shared): composite score ≥ ``quality_min`` on the
+    rounded output column (SQL-exact), semi-joined on doc_id."""
+    qf = quality_features(d.select("doc_id", "text"))
+    return d.join(
+        qf.where(F.col("quality_score") >= F.lit(float(quality_min)))
+        .select("doc_id")
+        .hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
     )
 
 
@@ -100,44 +187,23 @@ def corpus_pipeline(
     """Run the full corpus pipeline. ``docs``: (doc_id, source, text,
     ``url_col``); ``rules``: (host, prefix, allow). See module
     docstring for the stage chain and output schema."""
-    d = docs.select(
-        "doc_id", "source", "text", F.col(url_col).alias("_url")
-    ).withColumn("n_chars", F.length("text").cast("long"))
-
     # 1. canonicalize + keep best version per canonical URL
-    d = d.withColumn("canon_url", canonical_url("_url")).drop("_url")
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    d = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "n_chars")
-    )
+    d = _canonical_keep_best(docs, url_col)
 
-    # 2. robots policy on the canonical URL
-    d = (
-        apply_url_rules(d, rules, url_col="canon_url", n_rules=n_rules)
-        .where(F.col("allowed"))
-        .drop("allowed", "matched_prefix")
-    )
+    # 2. robots policy on the canonical URL (shared skinny-projection
+    # form — see _robots_cut)
+    d = _robots_cut(d, rules, n_rules)
     # Stage boundary: the survivor set feeds THREE downstream consumers
     # (quality join, LM vocab aggregate + score join) — without a
     # materialization barrier the whole upstream chain recomputes per
     # consumer (measured 60-90 s vs ~7 s single-pass at sf0.01). In
     # production this boundary is an Iceberg stage table (lineage.py);
-    # in-session, persist is its exact analog.
-    d = d.persist()
+    # in-session, persist is its exact analog (registered — looping
+    # callers release via release_stage_caches()).
+    d = _stage_persist(d)
 
-    # 3. quality cut (on the rounded output column — SQL-exact)
-    qf = quality_features(d.select("doc_id", "text"))
-    d = d.join(
-        qf.where(F.col("quality_score") >= F.lit(float(quality_min)))
-        .select("doc_id")
-        .hint("shuffle_hash"),
-        "doc_id",
-        "left_semi",
-    )
+    # 3. quality cut (shared — see _quality_cut)
+    d = _quality_cut(d, quality_min)
 
     # 4. LM fluency cut — model trained on stage-3 survivors.
     # vocab_join pinned to shuffle: a web-corpus unigram vocabulary is
@@ -174,14 +240,14 @@ def corpus_pipeline(
     # Jaccard token-array attach (twice), the keeper join, the quota
     # window and the packing prefix sum — the widest fan-out in the
     # pipeline.
-    d = d.persist()
+    d = _stage_persist(d)
 
     # 6. near-dup clusters over the deduped text; keep min-id keepers
     dd = d.select("doc_id", F.col("flat_text").alias("text"))
     # the wide signature row is the natural persist unit (see
     # minhash_array docstring): banding AND the refine's agreement
     # prune both read it
-    sigs = minhash_array(dd, num_hashes).persist()
+    sigs = _stage_persist(minhash_array(dd, num_hashes))
     pairs = lsh_candidate_pairs(
         lsh_bands_from_array(
             sigs, lsh_tune(num_hashes, jaccard_threshold), num_hashes
@@ -271,20 +337,8 @@ def corpus_ingest(
     from osm_spark.text.dedup import incremental_near_dups
     from osm_spark.text.lm import lm_score_against
 
-    b = batch.select(
-        "doc_id", "source", "text", F.col(url_col).alias("_url")
-    ).withColumn("n_chars", F.length("text").cast("long"))
-
-    # 1. canonicalize + keep best within the batch
-    b = b.withColumn("canon_url", canonical_url("_url")).drop("_url")
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    b = (
-        b.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "n_chars")
-    )
+    # 1. canonicalize + keep best within the batch (shared stage)
+    b = _canonical_keep_best(batch, url_col)
 
     # 2. URL-level incremental dedup: the corpus URL index wins
     b = b.join(
@@ -293,23 +347,12 @@ def corpus_ingest(
         "left_anti",
     )
 
-    # 3. robots
-    b = (
-        apply_url_rules(b, rules, url_col="canon_url", n_rules=n_rules)
-        .where(F.col("allowed"))
-        .drop("allowed", "matched_prefix")
-    )
-    b = b.persist()  # stage boundary (same rationale as corpus_pipeline)
+    # 3. robots (shared skinny-projection form — see _robots_cut)
+    b = _robots_cut(b, rules, n_rules)
+    b = _stage_persist(b)  # stage boundary (same rationale as corpus_pipeline)
 
-    # 4. quality cut
-    qf = quality_features(b.select("doc_id", "text"))
-    b = b.join(
-        qf.where(F.col("quality_score") >= F.lit(float(quality_min)))
-        .select("doc_id")
-        .hint("shuffle_hash"),
-        "doc_id",
-        "left_semi",
-    )
+    # 4. quality cut (shared — see _quality_cut)
+    b = _quality_cut(b, quality_min)
 
     # 5. LM cut against the standing corpus's model
     lm = lm_score_against(
@@ -341,9 +384,9 @@ def corpus_ingest(
         .hint("shuffle_hash"),
         "doc_id",
     )
-    b = b.withColumn(
-        "flat_text", F.translate("clean_text", "\n", " ")
-    ).persist()
+    b = _stage_persist(
+        b.withColumn("flat_text", F.translate("clean_text", "\n", " "))
+    )
 
     # corpus clean text for the near-dup index comes from the SAME
     # line-dedup pass (production: the stored clean corpus)

@@ -25,18 +25,27 @@ from pyspark.sql import DataFrame
 
 __all__ = ["memoized_count"]
 
-_MEMO: dict[tuple[int, int], int] = {}
+_MEMO: dict[tuple[str, int], int] = {}
 _MEMO_MAX = 1024
 
 
 def memoized_count(df: DataFrame) -> int:
     """``df.count()`` memoized on (session, analyzed-plan semanticHash).
 
+    The session key is the SparkContext's applicationId (unique per
+    context — ``local-<startTimeMs>`` locally, the cluster manager's
+    app id on a cluster), NOT ``id(session)``: a CPython object id can
+    be REUSED after a stopped session is garbage-collected, which would
+    serve a dead session's count for a semantically identical plan over
+    different data (a broadcast decision made from another session's
+    row count). Stale entries from stopped sessions age out via the
+    size-capped clear.
+
     Falls back to a plain count when the JVM handle is unavailable
     (mocked DataFrames in unit tests)."""
     try:
         key = (
-            id(df.sparkSession),
+            df.sparkSession.sparkContext.applicationId,
             int(df._jdf.queryExecution().analyzed().semanticHash()),
         )
     except Exception:

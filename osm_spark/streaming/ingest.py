@@ -56,7 +56,13 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_ingest_stream", "read_corpus_with_growth", "stream_docs"]
+__all__ = [
+    "ACCEPTED_SCHEMA",
+    "corpus_ingest_stream",
+    "read_accepted",
+    "read_corpus_with_growth",
+    "stream_docs",
+]
 
 # the documents-table shape (TESTDATA.md): the default crawl-drop
 # schema the file source expects; pass your own for drops that already
@@ -64,6 +70,26 @@ __all__ = ["corpus_ingest_stream", "read_corpus_with_growth", "stream_docs"]
 DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
+
+# corpus_ingest's output shape + the sink's epoch partition column
+ACCEPTED_SCHEMA = (
+    "doc_id long, source string, canon_url string, clean_text string, "
+    "n_tok long, epoch int"
+)
+
+
+def read_accepted(spark: SparkSession, accepted_path: str) -> DataFrame:
+    """The accepted-docs sink as a DataFrame. A stream whose every
+    micro-batch was empty (or that never fired) writes NO epoch
+    directory, and parquet cannot infer a schema from an empty dir —
+    that legitimate outcome returns an empty frame of the known shape
+    instead of an AnalysisException."""
+    has_epochs = os.path.isdir(accepted_path) and any(
+        e.startswith("epoch=") for e in os.listdir(accepted_path)
+    )
+    if not has_epochs:
+        return spark.createDataFrame([], ACCEPTED_SCHEMA)
+    return spark.read.parquet(accepted_path)
 
 
 def stream_docs(
@@ -154,6 +180,8 @@ def corpus_ingest_stream(
     reline_words = ingest_kw.get("reline_words", 8)
 
     def admit(mb: DataFrame, epoch_id: int) -> None:
+        from osm_spark.pipeline.corpus import release_stage_caches
+
         if mb.isEmpty():
             return
         spark = mb.sparkSession
@@ -181,6 +209,10 @@ def corpus_ingest_stream(
         ).write.mode("overwrite").parquet(
             f"{growth.rstrip('/')}/epoch={int(epoch_id)}"
         )
+        # both sinks are written — this epoch's stage caches are dead
+        # weight; release them so a long-running stream's storage
+        # memory stays flat across epochs
+        release_stage_caches()
 
     writer = (
         batch_stream.writeStream.foreachBatch(admit)
@@ -222,4 +254,4 @@ def run_ingest_stream_batchlike(
         **ingest_kw,
     )
     q.awaitTermination()
-    return spark.read.parquet(accepted_path)
+    return read_accepted(spark, accepted_path)

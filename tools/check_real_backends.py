@@ -215,7 +215,7 @@ def check_media() -> None:
         else:
             record("media-guard-decode", "FAIL", "real decode returned without a codec installed")
         try:
-            _resize_real(b"\x89PNG\r\n\x1a\n", 8, 8, 4, 4)
+            _resize_real(b"\x89PNG\r\n\x1a\n", 4, 4)
         except NotImplementedError:
             record("media-guard-resize", "PASS", "backend='real' resize raises NotImplementedError")
         except Exception as exc:  # noqa: BLE001
