@@ -2882,6 +2882,53 @@ def _corpus_ingest_oracle() -> str:
     """
 
 
+def _ci_corpus_fixture(d: DataFrame) -> DataFrame:
+    """The standing corpus side of the ingest fixture: every doc with
+    doc_id % 10 != 0, canonical URL from its keep-best slot."""
+    i = F.col("doc_id")
+    return d.where(i % 10 != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.expr("doc_id div 2") % 3).cast("string"),
+            F.lit(".example.com/page/"),
+            F.expr("doc_id div 2").cast("string"),
+        ).alias("canon_url"),
+        "text",
+    )
+
+
+def _ci_batch_fixture(d: DataFrame) -> DataFrame:
+    """The incoming-batch side of the ingest fixture (shared by the
+    batch-gated corpus_ingest and its streaming twin so the two gates
+    can never drift): doc_id % 10 == 0, ids offset by 10^6 (the
+    ingest-reality new-ids-after-old precondition); half the batch
+    collides with corpus URLs (doc_id % 20 == 0 shares the sibling's
+    canonical slot) and fresh-slot docs pair up within the batch
+    (slot b{doc_id div 40}). Works on a batch OR streaming frame
+    (stateless projections only)."""
+    i = F.col("doc_id")
+    hidx = F.when(
+        i % 20 == 0, F.expr("doc_id div 2") % 3
+    ).otherwise(F.expr("doc_id div 40") % 3)
+    host = F.concat(
+        F.lit("h"), hidx.cast("string"), F.lit(".example.com")
+    )
+    path = F.when(
+        i % 20 == 0,
+        F.concat(F.lit("/page/"), F.expr("doc_id div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/page/b"), F.expr("doc_id div 40").cast("string"))
+    )
+    tailq = F.when(i % 4 == 1, F.lit("?utm_source=x")).otherwise(F.lit(""))
+    return d.where(i % 10 == 0).select(
+        (i + 1_000_000).alias("doc_id"),
+        "source",
+        "text",
+        F.concat(F.lit("http://"), host, path, tailq).alias("url"),
+    )
+
+
 def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion composition (pipeline/corpus.py
     corpus_ingest): an incoming batch (doc_id % 10 == 0, ids offset by
@@ -2899,36 +2946,8 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.pipeline.corpus import corpus_ingest
 
     d = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    corpus = d.where(i % 10 != 0).select(
-        "doc_id",
-        F.concat(
-            F.lit("http://h"),
-            (F.expr("doc_id div 2") % 3).cast("string"),
-            F.lit(".example.com/page/"),
-            F.expr("doc_id div 2").cast("string"),
-        ).alias("canon_url"),
-        "text",
-    )
-    hidx = F.when(
-        i % 20 == 0, F.expr("doc_id div 2") % 3
-    ).otherwise(F.expr("doc_id div 40") % 3)
-    host = F.concat(
-        F.lit("h"), hidx.cast("string"), F.lit(".example.com")
-    )
-    path = F.when(
-        i % 20 == 0,
-        F.concat(F.lit("/page/"), F.expr("doc_id div 2").cast("string")),
-    ).otherwise(
-        F.concat(F.lit("/page/b"), F.expr("doc_id div 40").cast("string"))
-    )
-    tailq = F.when(i % 4 == 1, F.lit("?utm_source=x")).otherwise(F.lit(""))
-    batch = d.where(i % 10 == 0).select(
-        (i + 1_000_000).alias("doc_id"),
-        "source",
-        "text",
-        F.concat(F.lit("http://"), host, path, tailq).alias("url"),
-    )
+    corpus = _ci_corpus_fixture(d)
+    batch = _ci_batch_fixture(d)
     rules = spark.createDataFrame(
         _CP_RULES, "host string, prefix string, allow boolean"
     )
@@ -2962,54 +2981,16 @@ def q_corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    corpus = d.where(i % 10 != 0).select(
-        "doc_id",
-        F.concat(
-            F.lit("http://h"),
-            (F.expr("doc_id div 2") % 3).cast("string"),
-            F.lit(".example.com/page/"),
-            F.expr("doc_id div 2").cast("string"),
-        ).alias("canon_url"),
-        "text",
-    )
+    corpus = _ci_corpus_fixture(d)
     rules = spark.createDataFrame(
         _CP_RULES, "host string, prefix string, allow boolean"
     )
-
-    def to_batch(stream: DataFrame) -> DataFrame:
-        i = F.col("doc_id")
-        hidx = F.when(
-            i % 20 == 0, F.expr("doc_id div 2") % 3
-        ).otherwise(F.expr("doc_id div 40") % 3)
-        host = F.concat(
-            F.lit("h"), hidx.cast("string"), F.lit(".example.com")
-        )
-        path = F.when(
-            i % 20 == 0,
-            F.concat(
-                F.lit("/page/"), F.expr("doc_id div 2").cast("string")
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit("/page/b"), F.expr("doc_id div 40").cast("string")
-            )
-        )
-        tailq = F.when(i % 4 == 1, F.lit("?utm_source=x")).otherwise(
-            F.lit("")
-        )
-        return stream.where(i % 10 == 0).select(
-            (i + 1_000_000).alias("doc_id"),
-            "source",
-            "text",
-            F.concat(F.lit("http://"), host, path, tailq).alias("url"),
-        )
 
     base = _tempfile.mkdtemp(prefix="osm_spark_cis_")
     corpus_path = _os.path.join(base, "corpus")
     corpus.write.parquet(corpus_path)
     q = corpus_ingest_stream(
-        to_batch(
+        _ci_batch_fixture(
             stream_docs(
                 spark,
                 _os.path.join(sf_dir, "documents.parquet"),
