@@ -28,6 +28,19 @@ Cost model: replication multiplies only the HOT keys' small-side rows
 (bounded: candidate sets are (k+ε)-sized for kNN, ring-disk-sized for
 radius/DBSCAN), while the big side — the 10^12-row axis — is never
 replicated, only scattered. Same invariants as the PIP plan.
+
+Deliberate non-consolidation: the PIP family keeps its ORIGINAL
+implementations (``spatial_join.py`` ``salt_plan`` /
+``_prejoin_salted`` / ``attach_polygon_dim``) rather than being
+refactored onto this module. Those paths differ in load-bearing ways
+this generalization does not carry — the two-side way-level vertex
+salt derives WAY split factors from the hot-CELL plan, the adaptive
+ladder salts an exploded multi-level frame, and each shape is
+plan-pinned and skew-benched as written. Re-plumbing the most-tuned
+join in the engine through a generic seam trades measured plans for
+abstraction; if the salt SHAPE ever changes (e.g. the explode form),
+both sites change together — tests/test_salting.py and
+tests/test_plans.py pin the shared invariants on both.
 """
 
 from __future__ import annotations
