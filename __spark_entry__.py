@@ -1834,6 +1834,230 @@ def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_RADIUS_M = 3000.0
+_MM_SIGMA_MM = 500_000
+_MM_BETA_MM = 1_000_000
+_MM_K = 3
+_MM_TRIPS = 40
+_MM_MAX_PINGS = 4
+
+
+def _hmm_oracle() -> str:
+    """Full replay of geo/mapmatch.py hmm_map_match: brute-force
+    candidates (the gated-snap arithmetic + clamped projection),
+    quantized (dist_mm, way_id, seg_idx)-ordered top-k, then the
+    Viterbi min-plus DP UNROLLED one CTE per trajectory step (the
+    sssp/kcore unrolled-oracle idiom) with the identical integer cost
+    model — ecost/tcost quantized via floor(x+0.5) in BOTH engines
+    (numpy round() is half-even, SQL round() half-away; floor(x+0.5)
+    is the spelling they agree on) — path strings carried through the
+    DP and split back to rows at the end. Tie rule everywhere:
+    (cost, way_id, seg_idx)."""
+    sig2 = 2.0 * (_MM_SIGMA_MM / 1000.0) ** 2
+    beta = float(_MM_BETA_MM)
+    npts = _MM_TRIPS * _MM_MAX_PINGS
+
+    def smm(plat: str) -> str:
+        return (
+            "CAST(floor(sqrt("
+            f"((c.sx - p.sx) * cos(radians({plat})))"
+            f" * ((c.sx - p.sx) * cos(radians({plat})))"
+            " + (c.sy - p.sy) * (c.sy - p.sy)"
+            ") * 111320.0 * 1000.0 + 0.5) AS BIGINT)"
+        )
+
+    tcost = (
+        f"CAST(floor(abs({smm('g.plat')} - g.pmm) / {beta!r} * 1e6 + 0.5)"
+        " AS BIGINT)"
+    )
+    stages = []
+    for s in range(1, _MM_MAX_PINGS):
+        stages.append(f"""
+        v{s} AS (
+            SELECT trip_id, r, way_id, seg_idx, sy, sx,
+                   tot + ecost AS score,
+                   ppath || '>' || CAST(way_id AS VARCHAR) || ':'
+                         || CAST(seg_idx AS VARCHAR) AS path
+            FROM (
+                SELECT t.*, ROW_NUMBER() OVER (
+                    PARTITION BY trip_id, way_id, seg_idx
+                    ORDER BY tot, pway, pseg) AS rn
+                FROM (
+                    SELECT c.trip_id, c.r, c.way_id, c.seg_idx, c.sy,
+                           c.sx, c.ecost, p.way_id AS pway,
+                           p.seg_idx AS pseg, p.path AS ppath,
+                           p.score + {tcost} AS tot
+                    FROM ec c
+                    JOIN v{s - 1} p ON p.trip_id = c.trip_id
+                    JOIN gaps g ON g.trip_id = c.trip_id AND g.r = {s}
+                    WHERE c.r = {s}
+                ) t
+            ) WHERE rn = 1
+        )""")
+    allv = " UNION ALL ".join(
+        f"SELECT trip_id, r, way_id, seg_idx, score, path FROM v{s}"
+        for s in range(_MM_MAX_PINGS)
+    )
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        seg0 AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ),
+        seg AS (
+            SELECT way_id, CAST(i AS INT) AS seg_idx,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM seg0
+        ),
+        ap AS ({_sql_points_oracle()}),
+        pts AS (
+            SELECT CAST(point_id % {_MM_TRIPS} AS BIGINT) AS trip_id,
+                   CAST(point_id // {_MM_TRIPS} AS INT) AS seq, lat, lon
+            FROM ap WHERE point_id < {npts}
+        ),
+        c1 AS (
+            SELECT p.trip_id, p.seq, p.lat, p.lon, s.way_id, s.seg_idx,
+                   s.ay, s.ax, s.by, s.bx,
+                   (s.bx - s.ax) * cos(radians(p.lat)) AS abx,
+                   s.by - s.ay AS aby,
+                   (p.lon - s.ax) * cos(radians(p.lat)) AS apx,
+                   p.lat - s.ay AS apy
+            FROM pts p CROSS JOIN seg s
+        ),
+        c2 AS (SELECT *, abx * abx + aby * aby AS d FROM c1),
+        c3 AS (SELECT *, CASE WHEN d > 0 THEN (apx * abx + apy * aby) / d
+                              ELSE 0.0 END AS t0 FROM c2),
+        c4 AS (SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3),
+        c5 AS (
+            SELECT trip_id, seq, lat, lon, way_id, seg_idx,
+                   apx - t * abx AS dx, apy - t * aby AS dy,
+                   ay + t * (by - ay) AS sy, ax + t * (bx - ax) AS sx
+            FROM c4
+        ),
+        hits AS (
+            SELECT trip_id, seq, lat, lon, way_id, seg_idx, sy, sx,
+                   CAST(round(sqrt(dx * dx + dy * dy) * 111320.0 * 1000.0)
+                        AS BIGINT) AS dist_mm
+            FROM c5
+            WHERE sqrt(dx * dx + dy * dy) * 111320.0 <= {_MM_RADIUS_M!r}
+        ),
+        cand AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY trip_id, seq
+                    ORDER BY dist_mm, way_id, seg_idx) AS krn
+                FROM hits
+            ) WHERE krn <= {_MM_K}
+        ),
+        rnk2 AS (
+            SELECT trip_id, seq, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY trip_id ORDER BY seq) - 1 AS INT) AS r
+            FROM (SELECT DISTINCT trip_id, seq FROM cand)
+        ),
+        cr AS (
+            SELECT c.*, r.r FROM cand c
+            JOIN rnk2 r ON r.trip_id = c.trip_id AND r.seq = c.seq
+        ),
+        pngs AS (SELECT DISTINCT trip_id, r, lat, lon FROM cr),
+        gaps AS (
+            SELECT b.trip_id, b.r, a.lat AS plat,
+                   CAST(floor(sqrt(
+                       ((b.lon - a.lon) * cos(radians(a.lat)))
+                     * ((b.lon - a.lon) * cos(radians(a.lat)))
+                     + (b.lat - a.lat) * (b.lat - a.lat)
+                   ) * 111320.0 * 1000.0 + 0.5) AS BIGINT) AS pmm
+            FROM pngs a JOIN pngs b
+              ON b.trip_id = a.trip_id AND b.r = a.r + 1
+        ),
+        ec AS (
+            SELECT *, CAST(floor((dist_mm / 1000.0) * (dist_mm / 1000.0)
+                           / {sig2!r} * 1e6 + 0.5) AS BIGINT) AS ecost
+            FROM cr
+        ),
+        v0 AS (
+            SELECT trip_id, r, way_id, seg_idx, sy, sx, ecost AS score,
+                   CAST(way_id AS VARCHAR) || ':'
+                       || CAST(seg_idx AS VARCHAR) AS path
+            FROM ec WHERE r = 0
+        ),{",".join(stages)},
+        allv AS ({allv}),
+        mx AS (SELECT trip_id, MAX(r) AS mr FROM cr GROUP BY trip_id),
+        fin AS (
+            SELECT trip_id, path FROM (
+                SELECT a.*, ROW_NUMBER() OVER (
+                    PARTITION BY a.trip_id
+                    ORDER BY a.score, a.way_id, a.seg_idx) AS rn
+                FROM allv a JOIN mx ON mx.trip_id = a.trip_id
+                                   AND mx.mr = a.r
+            ) WHERE rn = 1
+        ),
+        prs AS (
+            SELECT trip_id,
+                   CAST(i AS INT) AS r,
+                   str_split(path, '>')[CAST(i AS INT) + 1] AS ws
+            FROM (
+                SELECT trip_id, path,
+                       unnest(range(len(str_split(path, '>')))) AS i
+                FROM fin
+            )
+        )
+        SELECT o.trip_id, r2.seq,
+               CAST(str_split(o.ws, ':')[1] AS BIGINT) AS way_id,
+               CAST(str_split(o.ws, ':')[2] AS INT) AS seg_idx,
+               c.dist_mm
+        FROM prs o
+        JOIN rnk2 r2 ON r2.trip_id = o.trip_id AND r2.r = o.r
+        JOIN cand c ON c.trip_id = o.trip_id AND c.seq = r2.seq
+                   AND c.way_id = CAST(str_split(o.ws, ':')[1] AS BIGINT)
+                   AND c.seg_idx = CAST(str_split(o.ws, ':')[2] AS INT)
+    """
+
+
+def q_hmm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family capstone: HMM map matching (geo/mapmatch.py) —
+    Newson–Krumm emission/transition model over the gated snap's
+    candidate machinery, all-integer Viterbi (micro-quantized costs,
+    floor(x+0.5) both engines), per-trip grouped-map DP — vs a DuckDB
+    replay whose DP is UNROLLED one CTE per trajectory step with the
+    identical integer arithmetic and (cost, way_id, seg_idx) tie rule.
+    Trips: 40 trajectories of ≤4 same-city pings carved from the
+    bit-identical _sql_points synthesis; ways: the closed polygon
+    rings; shuffle candidate path (planet-scale form)."""
+    _prep(spark)
+    from osm_spark.geo.mapmatch import hmm_map_match
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    pts = _sql_points(spark, sf_dir)
+    pid = F.col("url").cast("long")
+    trips = pts.where(pid < _MM_TRIPS * _MM_MAX_PINGS).select(
+        (pid % _MM_TRIPS).alias("trip_id"),
+        F.expr(f"CAST(url AS BIGINT) div {_MM_TRIPS}")
+        .cast("int")
+        .alias("seq"),
+        "lat",
+        "lon",
+    )
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    return hmm_map_match(
+        trips,
+        ways,
+        _MM_RADIUS_M,
+        sigma_mm=_MM_SIGMA_MM,
+        beta_mm=_MM_BETA_MM,
+        k=_MM_K,
+        closed=True,
+        strategy="shuffle",
+    )
+
+
 _TRIP_STAY_M = 3000.0
 
 
@@ -5801,6 +6025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
+        "hmm_match": q_hmm_match,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
         "reachability": q_reachability,
@@ -5926,6 +6151,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_pairs": _radius_pairs_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "snap_roads": _snap_oracle(),
+        "hmm_match": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "morans_i": _morans_oracle(),
         "focal_smooth": _focal_oracle(),

@@ -120,7 +120,7 @@ def snap_strategy(n_segments: int, res: int, ring: int, radius_m: float) -> str:
     return "broadcast" if est <= PHASE2_BROADCAST_MAX_BYTES else "shuffle"
 
 
-def snap_join(
+def snap_candidates(
     points: DataFrame,
     ways: DataFrame,
     radius_m: float,
@@ -129,16 +129,22 @@ def snap_join(
     n_segments: int | None = None,
     max_abs_lat: float | None = None,
     sample_budget: int = 128,
+    point_cols: tuple[str, ...] = ("url",),
+    with_projection: bool = False,
 ) -> DataFrame:
-    """(url, way_id, seg_idx, dist_m) — nearest way segment within
-    ``radius_m`` meters of each point; points with none are absent.
+    """All (point, segment) pairs within ``radius_m`` meters —
+    ``snap_join``'s filter stage without the argmin, so multi-candidate
+    consumers (HMM map matching's emission set, geo/mapmatch.py) share
+    the exact covering + refine machinery the single-best snap is gated
+    on.
 
-    ``points``: url, lat, lon (the big side). ``ways``: way_id, vlat,
-    vlon. ``max_abs_lat`` defaults to one scalar aggregate over the WAY
-    table (the small dim, same precedent as radius_join); ``n_segments``
-    feeds the auto strategy (vertex count − way count from catalog
-    stats); without it the candidate side is counted (small dim — one
-    action).
+    Returns ``point_cols`` + (way_id, seg_idx, dist_m); duplicates are
+    possible (a segment can reach a point through several sampled
+    cells) — per-point aggregates must be duplicate-insensitive (the
+    argmin is; top-k consumers dedup first). ``with_projection`` adds
+    (proj_lat, proj_lon): the clamped projection of the point onto the
+    segment in the SAME local plane ``seg_dist_m`` measures in —
+    map matching's transition distances are taken between these.
 
     ``sample_budget`` bounds the covering work PER ROW: a long segment
     (a motorway stretch spans thousands of cell edges at the planned
@@ -150,9 +156,7 @@ def snap_join(
     disk cells and one long segment's covering parallelizes across
     tasks instead of pinning one. The union of samples over the chunks
     is exactly the unchunked sample set, so coverage — and therefore
-    the result — is unchanged (cells shared by samples in different
-    chunks survive as duplicate candidate rows; the per-point argmin is
-    insensitive to candidate duplication)."""
+    the result — is unchanged."""
     if radius_m <= 0:
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
     if sample_budget < 2:
@@ -226,7 +230,7 @@ def snap_join(
         raise ValueError(f"unknown snap_join strategy: {strategy!r}")
 
     p = points.select(
-        "url",
+        *point_cols,
         F.col("lat").alias("plat"),
         F.col("lon").alias("plon"),
         hex_cell_expr("lat", "lon", res).alias("cell"),
@@ -234,10 +238,58 @@ def snap_join(
     d = seg_dist_m(
         F.col("plat"), F.col("plon"), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")
     )
-    hits = (
+    out_cols = [*point_cols, "way_id", "seg_idx", d.alias("dist_m")]
+    if with_projection:
+        # the clamped projection parameter — the SAME sub-expressions
+        # seg_dist_m builds its distance from (codegen CSEs them), so
+        # the projected point is exactly the foot of that distance
+        ck = F.cos(F.radians(F.col("plat")))
+        abx, aby = (F.col("bx") - F.col("ax")) * ck, F.col("by") - F.col("ay")
+        apx = (F.col("plon") - F.col("ax")) * ck
+        apy = F.col("plat") - F.col("ay")
+        dd = abx * abx + aby * aby
+        t0 = F.when(dd > 0, (apx * abx + apy * aby) / dd).otherwise(F.lit(0.0))
+        t = F.least(F.greatest(t0, F.lit(0.0)), F.lit(1.0))
+        out_cols += [
+            (F.col("ay") + t * (F.col("by") - F.col("ay"))).alias("proj_lat"),
+            (F.col("ax") + t * (F.col("bx") - F.col("ax"))).alias("proj_lon"),
+        ]
+    return (
         p.join(cand, "cell")
-        .select("url", "way_id", "seg_idx", d.alias("dist_m"))
+        .select(*out_cols)
         .where(F.col("dist_m") <= F.lit(float(radius_m)))
+    )
+
+
+def snap_join(
+    points: DataFrame,
+    ways: DataFrame,
+    radius_m: float,
+    closed: bool = False,
+    strategy: str = "auto",
+    n_segments: int | None = None,
+    max_abs_lat: float | None = None,
+    sample_budget: int = 128,
+) -> DataFrame:
+    """(url, way_id, seg_idx, dist_m) — nearest way segment within
+    ``radius_m`` meters of each point; points with none are absent.
+
+    ``points``: url, lat, lon (the big side). ``ways``: way_id, vlat,
+    vlon. ``max_abs_lat`` defaults to one scalar aggregate over the WAY
+    table (the small dim, same precedent as radius_join); ``n_segments``
+    feeds the auto strategy (vertex count − way count from catalog
+    stats); without it the candidate side is counted (small dim — one
+    action). Candidate generation (covering, chunking, strategy) lives
+    in ``snap_candidates``."""
+    hits = snap_candidates(
+        points,
+        ways,
+        radius_m,
+        closed=closed,
+        strategy=strategy,
+        n_segments=n_segments,
+        max_abs_lat=max_abs_lat,
+        sample_budget=sample_budget,
     )
     # Argmin via collect_list + array_min, NOT min(struct): a struct-
     # typed Min buffer forces SortAggregate (a per-partition sort of the
