@@ -2058,6 +2058,82 @@ def q_hmm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hmm_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HMM map matching (streaming/mapmatch.py): the same
+    40-trip fixture as hmm_match arrives as TWO crawl-drop files split
+    MID-TRIP (seqs 0-1, then 2-3 with the trip-final markers) at
+    maxFilesPerTrigger=1, so every trip's Viterbi frontier must carry
+    through applyInPandasWithState state across micro-batches; trips
+    close on the seq-3 marker. The emitted rows must equal the batch
+    DP — same DuckDB unrolled-Viterbi oracle as hmm_match."""
+    _prep(spark)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.streaming.mapmatch import hmm_map_match_stream
+
+    pts = _sql_points(spark, sf_dir)
+    pid = F.col("url").cast("long")
+    trips = pts.where(pid < _MM_TRIPS * _MM_MAX_PINGS).select(
+        (pid % _MM_TRIPS).alias("trip_id"),
+        F.expr(f"CAST(url AS BIGINT) div {_MM_TRIPS}")
+        .cast("int")
+        .alias("seq"),
+        "lat",
+        "lon",
+        (
+            F.expr(f"CAST(url AS BIGINT) div {_MM_TRIPS}")
+            == _MM_MAX_PINGS - 1
+        ).alias("is_final"),
+    )
+    base = _tempfile.mkdtemp(prefix="osm_spark_mms_")
+    drops = _os.path.join(base, "drops")
+    _os.makedirs(drops)
+    for i, part in enumerate(
+        (trips.where(F.col("seq") <= 1), trips.where(F.col("seq") >= 2))
+    ):
+        stage = _os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(drops, f"d{i}.parquet")
+        _shutil.move(f, dst)
+        _os.utime(dst, (1_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "trip_id long, seq int, lat double, lon double, "
+            "is_final boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    out = hmm_map_match_stream(
+        stream,
+        ways,
+        _MM_RADIUS_M,
+        sigma_mm=_MM_SIGMA_MM,
+        beta_mm=_MM_BETA_MM,
+        k=_MM_K,
+        closed=True,
+        strategy="shuffle",
+    )
+    sink = f"mms_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 _TRIP_STAY_M = 3000.0
 
 
@@ -6026,6 +6102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
+        "hmm_match_stream": q_hmm_match_stream,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
         "reachability": q_reachability,
@@ -6152,6 +6229,8 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _dbscan_oracle(),
         "snap_roads": _snap_oracle(),
         "hmm_match": _hmm_oracle(),
+        # streaming twin: must equal the batch DP row for row
+        "hmm_match_stream": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "morans_i": _morans_oracle(),
         "focal_smooth": _focal_oracle(),

@@ -63,11 +63,48 @@ from pyspark.sql import functions as F
 from osm_spark.geo.knn import DEG_M
 from osm_spark.geo.snap import snap_candidates
 
-__all__ = ["hmm_map_match", "match_candidates"]
+__all__ = ["candidate_rows", "hmm_map_match", "match_candidates"]
 
 MATCH_SCHEMA = (
     "trip_id long, seq int, way_id long, seg_idx int, dist_mm long"
 )
+
+
+def candidate_rows(
+    points: DataFrame,
+    ways: DataFrame,
+    radius_m: float,
+    extra_point_cols: tuple[str, ...] = (),
+    keep_unmatched: bool = False,
+    **snap_kw,
+) -> DataFrame:
+    """Flat (un-aggregated) candidate rows with the mm-quantized snap
+    distance and the projected position — the shared front of the batch
+    top-k (``match_candidates``) and the streaming stateful matcher
+    (which cannot aggregate before its stateful op and k-cuts per trip
+    inside the state function instead). Works on a batch or streaming
+    ``points`` frame (stream-static join + projections only)."""
+    hits = snap_candidates(
+        points,
+        ways,
+        radius_m,
+        point_cols=("trip_id", "seq", "lat", "lon", *extra_point_cols),
+        with_projection=True,
+        keep_unmatched=keep_unmatched,
+        **snap_kw,
+    )
+    return hits.select(
+        "trip_id",
+        "seq",
+        "lat",
+        "lon",
+        *extra_point_cols,
+        F.round(F.col("dist_m") * 1000.0, 0).cast("long").alias("dist_mm"),
+        "way_id",
+        "seg_idx",
+        "proj_lat",
+        "proj_lon",
+    )
 
 
 def match_candidates(
@@ -86,25 +123,7 @@ def match_candidates(
     The k-cut orders on the QUANTIZED (dist_mm, way_id, seg_idx) so the
     candidate SET is identical across engines — a float-ranked cut
     could flip near-equal candidates on 1-ulp noise."""
-    hits = snap_candidates(
-        points,
-        ways,
-        radius_m,
-        point_cols=("trip_id", "seq", "lat", "lon"),
-        with_projection=True,
-        **snap_kw,
-    )
-    c = hits.select(
-        "trip_id",
-        "seq",
-        "lat",
-        "lon",
-        F.round(F.col("dist_m") * 1000.0, 0).cast("long").alias("dist_mm"),
-        "way_id",
-        "seg_idx",
-        "proj_lat",
-        "proj_lon",
-    )
+    c = candidate_rows(points, ways, radius_m, **snap_kw)
     # duplicate candidate rows (one segment reached through several
     # sampled cells) carry identical values — array_distinct before the
     # k-cut removes them without an extra aggregate

@@ -131,6 +131,7 @@ def snap_candidates(
     sample_budget: int = 128,
     point_cols: tuple[str, ...] = ("url",),
     with_projection: bool = False,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """All (point, segment) pairs within ``radius_m`` meters —
     ``snap_join``'s filter stage without the argmin, so multi-candidate
@@ -145,6 +146,13 @@ def snap_candidates(
     (proj_lat, proj_lon): the clamped projection of the point onto the
     segment in the SAME local plane ``seg_dist_m`` measures in —
     map matching's transition distances are taken between these.
+
+    ``keep_unmatched``: emit points with NO in-radius segment as one
+    row with null candidate columns (the radius predicate moves into a
+    LEFT join's condition — the cell equi-key still drives the hash
+    join; matched rows are identical to the inner form). Streaming map
+    matching needs this so a trip-final marker ping survives the
+    candidate attach even when it snaps to nothing.
 
     ``sample_budget`` bounds the covering work PER ROW: a long segment
     (a motorway stretch spans thousands of cell edges at the planned
@@ -254,6 +262,16 @@ def snap_candidates(
             (F.col("ay") + t * (F.col("by") - F.col("ay"))).alias("proj_lat"),
             (F.col("ax") + t * (F.col("bx") - F.col("ax"))).alias("proj_lon"),
         ]
+    if keep_unmatched:
+        return (
+            p.join(
+                cand,
+                (p["cell"] == cand["cell"])
+                & (d <= F.lit(float(radius_m))),
+                "left",
+            )
+            .select(*out_cols)
+        )
     return (
         p.join(cand, "cell")
         .select(*out_cols)

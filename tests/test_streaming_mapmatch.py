@@ -1,0 +1,109 @@
+"""Streaming HMM map matching (streaming/mapmatch.py): stream ≡ batch
+across a mid-trip micro-batch split, marker-close semantics, and the
+candidate-less final marker."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from osm_spark.geo.mapmatch import hmm_map_match
+from osm_spark.streaming.mapmatch import hmm_map_match_stream
+from tests.test_mapmatch import KW, PINGS, ROADS, _pings, _roads
+
+SCHEMA = (
+    "trip_id long, seq int, lat double, lon double, is_final boolean"
+)
+
+
+def _write_drop(spark, rows, drops_dir, name, mtime):
+    tmp = os.path.join(drops_dir, f"_stage_{name}")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(drops_dir, f"{name}.parquet")
+    shutil.move(part, dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def _run_stream(spark, tmp_path, drops, **kw):
+    base = str(tmp_path)
+    drops_dir = os.path.join(base, f"drops_{uuid.uuid4().hex[:6]}")
+    os.makedirs(drops_dir)
+    for i, rows in enumerate(drops):
+        _write_drop(spark, rows, drops_dir, f"d{i}", 1_000_000 + 100 * i)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops_dir)
+    )
+    args = dict(KW)
+    args.update(kw)
+    out = hmm_map_match_stream(stream, _roads(spark), **args)
+    sink = f"mm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(base, f"ckpt_{uuid.uuid4().hex[:6]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm)
+        for r in spark.table(sink).collect()
+    }
+
+
+def _batch(spark, pings):
+    return {
+        (r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm)
+        for r in hmm_map_match(
+            _pings(spark, pings), _roads(spark), **KW
+        ).collect()
+    }
+
+
+def _flag(pings, finals):
+    return [(t, s, la, lo, (t, s) in finals) for t, s, la, lo in pings]
+
+
+def test_stream_equals_batch_across_midtrip_split(spark, tmp_path):
+    """Trips split MID-TRAJECTORY across micro-batches: the Viterbi
+    frontier must carry through state, and the final result must equal
+    the batch DP over the whole trips."""
+    finals = {(1, 2), (2, 1)}
+    early = [p for p in PINGS if (p[0], p[1]) not in finals]
+    late = [p for p in PINGS if (p[0], p[1]) in finals]
+    got = _run_stream(
+        spark, tmp_path, [_flag(early, finals), _flag(late, finals)]
+    )
+    assert got == _batch(spark, PINGS)
+    # the context win survives the split: ping (1,0) matched to road 1
+    assert got[(1, 0)][0] == 1
+
+
+def test_unclosed_trip_emits_nothing(spark, tmp_path):
+    pings = [p for p in PINGS if p[0] == 1]
+    got = _run_stream(spark, tmp_path, [_flag(pings, set())])
+    assert got == {}
+
+
+def test_candidateless_final_marker_still_closes(spark, tmp_path):
+    """The trip-end marker snaps to nothing (outside the radius) but
+    must still close the trip; the matched rows are the surviving
+    pings — exactly the batch answer for the same pings."""
+    pings = [
+        (5, 0, 10.00005, 20.02),
+        (5, 1, 10.00003, 20.03),
+        (5, 2, 45.0, 120.0),  # nowhere near the roads
+    ]
+    got = _run_stream(spark, tmp_path, [_flag(pings, {(5, 2)})])
+    assert got == _batch(spark, pings)
+    assert set(got) == {(5, 0), (5, 1)}
