@@ -107,3 +107,46 @@ def test_candidateless_final_marker_still_closes(spark, tmp_path):
     got = _run_stream(spark, tmp_path, [_flag(pings, {(5, 2)})])
     assert got == _batch(spark, pings)
     assert set(got) == {(5, 0), (5, 1)}
+
+
+def test_state_recovers_across_query_restart(spark, tmp_path):
+    """Stop the query after the first drop, deliver the trip tail, and
+    restart on the SAME checkpoint: the Viterbi frontier must come back
+    from the state store and the closed trip must equal the batch DP —
+    the kill-mid-job guarantee for the stateful matcher."""
+    finals = {(1, 2), (2, 1)}
+    early = [p for p in PINGS if (p[0], p[1]) not in finals]
+    late = [p for p in PINGS if (p[0], p[1]) in finals]
+    base = str(tmp_path)
+    drops_dir = os.path.join(base, "drops_restart")
+    os.makedirs(drops_dir)
+    ckpt = os.path.join(base, "ckpt_restart")
+    sink_dir = os.path.join(base, "out_restart")
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops_dir)
+        )
+        out = hmm_map_match_stream(stream, _roads(spark), **KW)
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _write_drop(spark, _flag(early, finals), drops_dir, "d0", 1_000_000)
+    q = start()
+    q.awaitTermination()  # first run: no trip closed, state persisted
+    _write_drop(spark, _flag(late, finals), drops_dir, "d1", 1_000_100)
+    q = start()  # fresh query object, same checkpoint -> state recovery
+    q.awaitTermination()
+    got = {
+        (r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm)
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+    assert got == _batch(spark, PINGS)
