@@ -132,6 +132,7 @@ def snap_candidates(
     point_cols: tuple[str, ...] = ("url",),
     with_projection: bool = False,
     keep_unmatched: bool = False,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """All (point, segment) pairs within ``radius_m`` meters —
     ``snap_join``'s filter stage without the argmin, so multi-candidate
@@ -153,6 +154,15 @@ def snap_candidates(
     join; matched rows are identical to the inner form). Streaming map
     matching needs this so a trip-final marker ping survives the
     candidate attach even when it snaps to nothing.
+
+    ``strategy='salted'`` adds explicit hot-cell splitting to the
+    shuffle path (``pipeline/salting.py`` — the knn/radius/dbscan
+    machinery, here closing the fourth cell-keyed join of the family):
+    points in a hot cell scatter over pmod(xxhash64(point identity), k)
+    and the hot cells' candidate rows replicate k ways; ``salts``
+    overrides the data-driven ``key_salt_plan`` histogram. Incompatible
+    with ``keep_unmatched`` (the unmatched re-attach would need an anti
+    join the streaming consumer cannot run).
 
     ``sample_budget`` bounds the covering work PER ROW: a long segment
     (a motorway stretch spans thousands of cell edges at the planned
@@ -230,12 +240,17 @@ def snap_candidates(
         if n_segments is None:
             n_segments = segs.count()
         strategy = snap_strategy(n_segments, res, ring, radius_m)
+    if strategy not in ("broadcast", "shuffle", "salted"):
+        raise ValueError(f"unknown snap_join strategy: {strategy!r}")
+    if strategy == "salted" and keep_unmatched:
+        raise ValueError(
+            "snap_candidates: keep_unmatched requires broadcast/shuffle "
+            "(the unmatched re-attach cannot ride the salted join)"
+        )
     if strategy == "broadcast":
         cand = F.broadcast(cand)
     elif strategy == "shuffle":
         cand = cand.hint("shuffle_hash")
-    else:
-        raise ValueError(f"unknown snap_join strategy: {strategy!r}")
 
     p = points.select(
         *point_cols,
@@ -272,6 +287,25 @@ def snap_candidates(
             )
             .select(*out_cols)
         )
+    if strategy == "salted":
+        from osm_spark.pipeline.salting import (
+            key_salt_plan,
+            salted_equi_join,
+        )
+
+        pj = p.withColumn(
+            "_scatter",
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in point_cols]
+            ),
+        )
+        if salts is None:
+            salts = key_salt_plan(pj, "cell")
+        return (
+            salted_equi_join(pj, cand, "cell", salts, "_scatter")
+            .select(*out_cols)
+            .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        )
     return (
         p.join(cand, "cell")
         .select(*out_cols)
@@ -288,6 +322,7 @@ def snap_join(
     n_segments: int | None = None,
     max_abs_lat: float | None = None,
     sample_budget: int = 128,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(url, way_id, seg_idx, dist_m) — nearest way segment within
     ``radius_m`` meters of each point; points with none are absent.
@@ -308,6 +343,7 @@ def snap_join(
         n_segments=n_segments,
         max_abs_lat=max_abs_lat,
         sample_budget=sample_budget,
+        salts=salts,
     )
     # Argmin via collect_list + array_min, NOT min(struct): a struct-
     # typed Min buffer forces SortAggregate (a per-partition sort of the

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -165,3 +167,70 @@ def test_salted_join_never_broadcasts_candidate_sets(spark):
     for sub in plan.split("BroadcastExchange")[1:]:
         head = sub[:400]
         assert "cands" not in head, plan
+
+
+def test_snap_salted_identical_and_pinned(spark):
+    """The fourth cell-keyed join of the family: snap's point×candidate
+    join under strategy='salted' returns exactly the shuffle path's
+    rows, with the (cell, _salt) re-key pinned in the plan."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.geo.snap import plan_snap, snap_join
+
+    rng = np.random.default_rng(31)
+    n = 200
+    # 60% of points collapse into one ~50 m hotspot -> one hot cell
+    hot = rng.random(n) < 0.6
+    ppdf = pd.DataFrame(
+        {
+            "url": [f"p{i}" for i in range(n)],
+            "lat": np.where(
+                hot, 51.5 + rng.normal(0, 0.0004, n),
+                51.5 + rng.normal(0, 0.01, n)
+            ),
+            "lon": np.where(
+                hot, -0.12 + rng.normal(0, 0.0004, n),
+                -0.12 + rng.normal(0, 0.016, n)
+            ),
+        }
+    )
+    pts = spark.createDataFrame(ppdf)
+    ways = spark.createDataFrame(
+        [(1, [51.49, 51.51], [-0.14, -0.10]),
+         (2, [51.505, 51.515], [-0.13, -0.11])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    radius_m = 2000.0
+    ref = {
+        (r.url, r.way_id, r.seg_idx)
+        for r in snap_join(
+            pts, ways, radius_m, strategy="broadcast"
+        ).collect()
+    }
+    res, _ring = plan_snap(radius_m, 51.6)
+    cells = pts.select(hex_cell_expr("lat", "lon", res).alias("cell"))
+    salts = key_salt_plan(cells, "cell", target=20)
+    assert salts.agg(F.max("_k")).first()[0] >= 2
+    out = snap_join(pts, ways, radius_m, strategy="salted", salts=salts)
+    got = {(r.url, r.way_id, r.seg_idx) for r in out.collect()}
+    assert got == ref and len(ref) > 0
+    plan = _plan(out)
+    assert re.search(r"ShuffledHashJoin \[cell#\d+L?, _salt", plan), plan
+
+
+def test_snap_salted_rejects_keep_unmatched(spark):
+    from osm_spark.geo.snap import snap_candidates
+
+    pts = spark.createDataFrame(
+        [(1, 1, 51.5, -0.12)], "trip_id long, seq int, lat double, lon double"
+    )
+    ways = spark.createDataFrame(
+        [(1, [51.49, 51.51], [-0.14, -0.10])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    with pytest.raises(ValueError, match="keep_unmatched"):
+        snap_candidates(
+            pts, ways, 2000.0, strategy="salted", keep_unmatched=True,
+            point_cols=("trip_id", "seq"),
+        )
