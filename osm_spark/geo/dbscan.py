@@ -83,7 +83,11 @@ def eps_pairs(
     if eps_m <= 0:
         raise ValueError(f"eps_m must be > 0, got {eps_m}")
     if max_abs_lat is None:
-        row = points.agg(F.max(F.abs(F.col("lat")))).first()
+        from osm_spark.pipeline.stats import memoized_first
+
+        # memoized (pipeline/stats.py): this probe scans the BIG side —
+        # the costliest of the engine's auto-plan stats to repeat
+        row = memoized_first(points.agg(F.max(F.abs(F.col("lat")))))
         if row[0] is None:
             raise ValueError("eps_pairs: points is empty — no pairs can exist")
         max_abs_lat = float(row[0])

@@ -131,7 +131,11 @@ def radius_join(
         F.col("lon").alias("nlon"),
     )
     if max_abs_lat is None:
-        bound = n.agg(F.max(F.abs(F.col("nlat")))).first()[0]
+        from osm_spark.pipeline.stats import memoized_first
+
+        # memoized scalar probe (pipeline/stats.py) — a catalog min/max
+        # stat in production; one job per session, not per call
+        bound = memoized_first(n.agg(F.max(F.abs(F.col("nlat")))))[0]
         if bound is None:
             raise ValueError(
                 "radius_join: nodes is empty — no pairs can exist; pass "

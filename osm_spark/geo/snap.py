@@ -179,11 +179,23 @@ def snap_candidates(
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
     if sample_budget < 2:
         raise ValueError(f"sample_budget must be >= 2, got {sample_budget}")
+    from osm_spark.pipeline.stats import memoized_count, memoized_first
+
     segs = way_segments(ways, closed=closed)
     if max_abs_lat is None:
-        row = ways.agg(
-            F.max(F.greatest(F.abs(F.array_max("vlat")), F.abs(F.array_min("vlat"))))
-        ).first()
+        # memoized (pipeline/stats.py): the bound is a catalog min/max
+        # stat in production — repeated auto-planned calls (bench loops,
+        # per-epoch streaming matchers) must not pay the probe job each
+        # time (the r4 kNN-headline regression pattern)
+        row = memoized_first(
+            ways.agg(
+                F.max(
+                    F.greatest(
+                        F.abs(F.array_max("vlat")), F.abs(F.array_min("vlat"))
+                    )
+                )
+            )
+        )
         if row[0] is None:
             raise ValueError("snap_join: ways is empty — no segments to snap to")
         max_abs_lat = float(row[0])
@@ -238,7 +250,7 @@ def snap_candidates(
 
     if strategy == "auto":
         if n_segments is None:
-            n_segments = segs.count()
+            n_segments = memoized_count(segs)
         strategy = snap_strategy(n_segments, res, ring, radius_m)
     if strategy not in ("broadcast", "shuffle", "salted"):
         raise ValueError(f"unknown snap_join strategy: {strategy!r}")

@@ -63,11 +63,20 @@ from osm_spark.text.packing import pack_sequences
 from osm_spark.text.sampling import quota_sample
 
 __all__ = [
+    "RELINE_WORDS_DEFAULT",
     "corpus_ingest",
     "corpus_pipeline",
     "release_stage_caches",
     "reline",
 ]
+
+# The single source of truth for the synthetic-corpus re-lining width.
+# corpus_pipeline, corpus_ingest AND the streaming admission's
+# growth-sink flatten decision (streaming/ingest.py) all read this —
+# a second literal in any of them could silently desync the line
+# representation the admission chain dedups in from the one the
+# standing corpus grows in.
+RELINE_WORDS_DEFAULT: int | None = 8
 
 # Stage-boundary persists registered per corpus_pipeline/corpus_ingest
 # build. A one-shot batch job never needs to care (the caches die with
@@ -176,7 +185,7 @@ def corpus_pipeline(
     url_col: str = "url",
     quality_min: float = 0.5,
     lm_min: float = -3.405,
-    reline_words: int | None = 8,
+    reline_words: int | None = RELINE_WORDS_DEFAULT,
     jaccard_threshold: float = 0.8,
     num_hashes: int = 32,
     quota_n: int = 20,
@@ -291,7 +300,7 @@ def corpus_ingest(
     url_col: str = "url",
     quality_min: float = 0.5,
     lm_min: float = -3.405,
-    reline_words: int | None = 8,
+    reline_words: int | None = RELINE_WORDS_DEFAULT,
     jaccard_threshold: float = 0.8,
     num_hashes: int = 32,
     n_rules: int | None = None,
@@ -377,7 +386,12 @@ def corpus_ingest(
     union = _lined(corpus.select("doc_id", "text")).unionByName(
         _lined(b.select("doc_id", "text"))
     )
-    ld = line_dedup(union)
+    # Stage boundary: this corpus-wide aggregate — the heaviest stage of
+    # an ingest epoch, and the one that GROWS with the standing corpus —
+    # feeds TWO consumers (the batch clean_text join and corpus_clean
+    # for the near-dup index); without the barrier it computes twice per
+    # epoch.
+    ld = _stage_persist(line_dedup(union))
     b = b.drop("text").join(
         ld.where(F.col("n_kept") > 0)
         .select("doc_id", "clean_text")

@@ -23,9 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["memoized_count"]
+__all__ = ["memoized_count", "memoized_first"]
 
-_MEMO: dict[tuple[str, int], int] = {}
+_MEMO: dict[tuple[str, str, int], object] = {}
 _MEMO_MAX = 1024
 
 
@@ -43,15 +43,30 @@ def memoized_count(df: DataFrame) -> int:
 
     Falls back to a plain count when the JVM handle is unavailable
     (mocked DataFrames in unit tests)."""
+    return _memoized(df, "count", lambda: df.count())
+
+
+def memoized_first(df: DataFrame):
+    """``df.first()`` memoized on the same (session, semanticHash) key —
+    for the engine's 1-row scalar probes (``max_abs_lat`` bound
+    aggregates in snap/radius/dbscan), which are catalog min/max stats
+    in production and should cost one job per session here, the same
+    contract as ``memoized_count``. The dbscan probe scans the BIG
+    side, so repeated auto-planned calls pay the most without it."""
+    return _memoized(df, "first", lambda: df.first())
+
+
+def _memoized(df: DataFrame, kind: str, compute):
     try:
         key = (
             df.sparkSession.sparkContext.applicationId,
+            kind,
             int(df._jdf.queryExecution().analyzed().semanticHash()),
         )
     except Exception:
-        return df.count()
+        return compute()
     if key not in _MEMO:
         if len(_MEMO) >= _MEMO_MAX:
             _MEMO.clear()
-        _MEMO[key] = df.count()
+        _MEMO[key] = compute()
     return _MEMO[key]

@@ -78,16 +78,31 @@ ACCEPTED_SCHEMA = (
 )
 
 
+def _has_epoch_dirs(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds at least one ``epoch=N`` child — probed
+    through the path's OWN Hadoop filesystem, so the answer is correct
+    for ``hdfs://``/``s3a://`` URIs exactly as for local dirs. A
+    driver-local ``os.listdir`` here would silently report "no epochs"
+    for any non-local URI, making every epoch judge against the base
+    corpus only and re-admit duplicates of already-accepted docs."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    return any(
+        st.getPath().getName().startswith("epoch=")
+        for st in fs.listStatus(p)
+    )
+
+
 def read_accepted(spark: SparkSession, accepted_path: str) -> DataFrame:
     """The accepted-docs sink as a DataFrame. A stream whose every
     micro-batch was empty (or that never fired) writes NO epoch
     directory, and parquet cannot infer a schema from an empty dir —
     that legitimate outcome returns an empty frame of the known shape
     instead of an AnalysisException."""
-    has_epochs = os.path.isdir(accepted_path) and any(
-        e.startswith("epoch=") for e in os.listdir(accepted_path)
-    )
-    if not has_epochs:
+    if not _has_epoch_dirs(spark, accepted_path):
         return spark.createDataFrame([], ACCEPTED_SCHEMA)
     return spark.read.parquet(accepted_path)
 
@@ -101,15 +116,18 @@ def stream_docs(
     """File-source stream over a crawl-drop directory (or a single
     parquet file, streamed from its parent via pathGlobFilter — the
     stream_events idiom). One file ≈ one crawl drop ≈ one admission
-    micro-batch at the default ``maxFilesPerTrigger=1``."""
+    micro-batch at the default ``maxFilesPerTrigger=1``. The
+    single-file probe goes through the path's Hadoop filesystem, so a
+    ``hdfs://``/``s3a://`` file URI takes the same branch a local one
+    does."""
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    if os.path.isfile(docs_path):
-        reader = reader.option(
-            "pathGlobFilter", os.path.basename(docs_path)
-        )
-        docs_path = os.path.dirname(docs_path)
+    p = spark._jvm.org.apache.hadoop.fs.Path(docs_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p) and fs.getFileStatus(p).isFile():
+        reader = reader.option("pathGlobFilter", p.getName())
+        docs_path = p.getParent().toString()
     return reader.parquet(docs_path)
 
 
@@ -132,10 +150,7 @@ def read_corpus_with_growth(
     corpus = spark.read.parquet(corpus_path).select(
         "doc_id", "canon_url", "text"
     )
-    has_growth = os.path.isdir(growth_path) and any(
-        e.startswith("epoch=") for e in os.listdir(growth_path)
-    )
-    if has_growth:
+    if _has_epoch_dirs(spark, growth_path):
         grown = spark.read.parquet(growth_path)
         if before_epoch is not None:
             grown = grown.where(F.col("epoch") < int(before_epoch))
@@ -173,11 +188,13 @@ def corpus_ingest_stream(
     corpus AND later-batches-after-earlier (monotone crawl ids), the
     same contract ``corpus_ingest`` documents.
     """
-    from osm_spark.pipeline.corpus import corpus_ingest
+    from osm_spark.pipeline.corpus import RELINE_WORDS_DEFAULT, corpus_ingest
 
     growth = growth_path or accepted_path.rstrip("/") + "_corpus"
-    os.makedirs(growth, exist_ok=True)
-    reline_words = ingest_kw.get("reline_words", 8)
+    # the ONE default corpus_ingest uses (pipeline/corpus.py) — a second
+    # literal here could desync the growth sink's line representation
+    # from the admission chain's
+    reline_words = ingest_kw.get("reline_words", RELINE_WORDS_DEFAULT)
 
     def admit(mb: DataFrame, epoch_id: int) -> None:
         from osm_spark.pipeline.corpus import release_stage_caches
@@ -200,11 +217,13 @@ def corpus_ingest_stream(
             "canon_url",
             # line-representation contract (module docstring): exact
             # clean_text for real multi-line corpora, flattened for
-            # the synthetic single-line fixtures
+            # the synthetic single-line fixtures. Truthiness, not
+            # ``is None`` — corpus_ingest skips relining for ANY falsy
+            # value, and this decision must mirror that one exactly.
             (
-                F.col("clean_text")
-                if reline_words is None
-                else F.translate("clean_text", "\n", " ")
+                F.translate("clean_text", "\n", " ")
+                if reline_words
+                else F.col("clean_text")
             ).alias("text"),
         ).write.mode("overwrite").parquet(
             f"{growth.rstrip('/')}/epoch={int(epoch_id)}"
@@ -243,8 +262,9 @@ def run_ingest_stream_batchlike(
     )
     if transform is not None:
         stream = transform(stream)
+    # no driver-side mkdir: the epoch writes create the directories and
+    # every probe handles absence (local path or URI alike)
     accepted_path = os.path.join(out_dir, "accepted")
-    os.makedirs(accepted_path, exist_ok=True)
     q = corpus_ingest_stream(
         stream,
         corpus_path,

@@ -9,21 +9,35 @@ frontier as state, emitting the matched rows when the trip CLOSES.
 Why the frontier is enough: Viterbi's optimal substructure means the
 DP needs only the LAST processed ping's candidate set — each
 candidate's cumulative cost and its best path-so-far — plus that
-ping's coordinates for the next transition. State per trip is
-therefore K candidate rows (scores, way/seg ids, projected positions,
-path strings), independent of trajectory length.
+ping's coordinates for the next transition. State per trip is K
+candidate rows (scores, way/seg ids, projected positions, pending
+path suffixes).
 
-Close semantics: a trip emits when its ``is_final`` marker ping
-arrives (the explicit trip-end event of a GPS feed). The marker must
+Bounded state via online path compression: before state is written,
+the K pending paths' COMMON PREFIX — the rows every candidate's
+backpointers have converged on, which any future close must backtrack
+through — is emitted immediately and truncated from state. Stored
+state is therefore O(K × unconverged lag): real trajectories converge
+within a few pings (the classic online-Viterbi observation), so a
+day-long live trip holds a handful of pending rows, not its history.
+The worst case (candidates that NEVER converge) degrades to the
+trajectory length — the price of exact Viterbi; a bounded-latency
+forced commit would be an approximation this engine's exact-match
+contract rules out.
+
+Close semantics: a trip's REMAINING rows emit when its ``is_final``
+marker ping arrives (the explicit trip-end event of a GPS feed);
+converged-prefix rows may already have been emitted in earlier
+micro-batches — emitted rows are append-mode-immutable and certain,
+so early emission changes latency, never values. The marker must
 survive the candidate attach even when it snaps to nothing — hence the
 left-join ``keep_unmatched`` candidate form; a candidate-less final
 ping closes the trip without contributing a DP step, exactly the
 batch operator's outage-skip. Trips that never see a final marker
-stay in state (a production deployment adds
-``GroupStateTimeout.EventTimeTimeout`` on the ping timestamps to close
-abandoned trips; the deterministic marker form is what the gate can
-replay). After a close, later pings for the same trip id start a
-fresh trip.
+keep only their unconverged suffix in state (a production deployment
+adds ``GroupStateTimeout.EventTimeTimeout`` on the ping timestamps to
+drop abandoned trips' residue). After a close, later pings for the
+same trip id start a fresh trip.
 
 Ordering precondition (the corpus_ingest idiom): a trip's pings must
 not be SPLIT ACROSS micro-batches out of seq order — later drops carry
@@ -127,15 +141,48 @@ def hmm_map_match_stream(
                         cand = (int(ps) + t, int(pw), int(pg), ppath)
                         if best is None or cand[:3] < best[:3]:
                             best = cand
+                    tail = f"{seq}:{int(w)}:{int(g)}:{int(d)}"
                     nxt.append(
                         (best[0] + ecost(int(d)), int(w), int(g), sy, sx,
                          int(d),
-                         f"{best[3]}>{seq}:{int(w)}:{int(g)}:{int(d)}")
+                         f"{best[3]}>{tail}" if best[3] else tail)
                     )
             frontier, plat, plon = nxt, lat, lon
 
-        for pdf in pdfs:
-            for seq, g in sorted(pdf.groupby("seq"), key=lambda t: t[0]):
+        def emit_parts(parts: list[str]) -> None:
+            rows = [
+                (trip, int(s), int(w), int(gg), int(d))
+                for s, w, gg, d in (p.split(":") for p in parts)
+            ]
+            if rows:
+                emitted.append(
+                    pd.DataFrame(
+                        rows,
+                        columns=[
+                            "trip_id", "seq", "way_id",
+                            "seg_idx", "dist_mm",
+                        ],
+                    )
+                )
+
+        # Arrow hands a group's rows as SEVERAL chunks whenever the
+        # micro-batch's rows for this trip exceed
+        # spark.sql.execution.arrow.maxRecordsPerBatch, and the state
+        # op only groups by key — it does NOT order chunks by seq, and
+        # one seq's candidate rows can straddle a chunk boundary.
+        # Concatenate before the seq loop: a per-chunk loop would run
+        # the DP out of order and k-cut a straddling seq twice.
+        chunks = list(pdfs)
+        if len(chunks) == 1:
+            pdf = chunks[0]
+        elif chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+        else:  # no data for this key (defensive — NoTimeout never fires)
+            pdf = pd.DataFrame(
+                columns=["seq", "lat", "lon", final_col, "way_id",
+                         "seg_idx", "dist_mm", "proj_lat", "proj_lon"]
+            )
+        for seq, g in sorted(pdf.groupby("seq"), key=lambda t: t[0]):
                 seq = int(seq)
                 lat = float(g["lat"].iloc[0])
                 lon = float(g["lon"].iloc[0])
@@ -161,25 +208,32 @@ def hmm_map_match_stream(
                             frontier,
                             key=lambda c: (c[0], c[1], c[2]),
                         )
-                        rows = []
-                        for part in fi[6].split(">"):
-                            s, w, gg, d = part.split(":")
-                            rows.append(
-                                (trip, int(s), int(w), int(gg), int(d))
-                            )
-                        emitted.append(
-                            pd.DataFrame(
-                                rows,
-                                columns=[
-                                    "trip_id", "seq", "way_id",
-                                    "seg_idx", "dist_mm",
-                                ],
-                            )
-                        )
+                        # the pending suffix only — converged-prefix
+                        # rows were emitted when they converged
+                        emit_parts([p for p in fi[6].split(">") if p])
                     frontier, plat, plon = None, None, None
                     closed = True
 
         if frontier is not None:
+            # online path compression (module docstring): emit the rows
+            # every candidate's path agrees on — they are certain — and
+            # keep only the unconverged suffixes in state, so state per
+            # trip is O(K × lag), not O(trajectory).
+            part_lists = [
+                [p for p in c[6].split(">") if p] for c in frontier
+            ]
+            cp = 0
+            for vals in zip(*part_lists):
+                if all(v == vals[0] for v in vals[1:]):
+                    cp += 1
+                else:
+                    break
+            if cp:
+                emit_parts(part_lists[0][:cp])
+                frontier = [
+                    (*c[:6], ">".join(pl[cp:]))
+                    for c, pl in zip(frontier, part_lists)
+                ]
             scores, ws, gs, sys_, sxs, dmms, paths = (
                 list(x) for x in zip(*frontier)
             )

@@ -1,10 +1,11 @@
-"""memoized_count (pipeline/stats.py): one job per semantically
-identical plan per session, stable across fresh DataFrame objects."""
+"""memoized_count / memoized_first (pipeline/stats.py): one job per
+semantically identical plan per session, stable across fresh DataFrame
+objects; count and first memos never collide on one plan."""
 
 from __future__ import annotations
 
 from osm_spark.pipeline import stats
-from osm_spark.pipeline.stats import memoized_count
+from osm_spark.pipeline.stats import memoized_count, memoized_first
 
 
 def test_memoizes_across_fresh_dataframes(spark):
@@ -20,6 +21,24 @@ def test_memoizes_across_fresh_dataframes(spark):
     c = spark.range(50)
     assert memoized_count(c) == 50
     assert len(stats._MEMO) == 2
+
+
+def test_memoized_first_and_kind_separation(spark):
+    stats._MEMO.clear()
+    import pyspark.sql.functions as F
+
+    a = spark.range(100).agg(F.max("id"))
+    assert memoized_first(a)[0] == 99
+    assert len(stats._MEMO) == 1
+    # fresh identical plan hits the memo
+    b = spark.range(100).agg(F.max("id"))
+    assert memoized_first(b)[0] == 99
+    assert len(stats._MEMO) == 1
+    # a count over the SAME plan is a different memo entry, not a
+    # first-row read of it
+    assert memoized_count(a) == 1
+    assert len(stats._MEMO) == 2
+    stats._MEMO.clear()
 
 
 def test_fallback_without_jvm_handle():

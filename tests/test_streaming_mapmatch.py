@@ -89,10 +89,95 @@ def test_stream_equals_batch_across_midtrip_split(spark, tmp_path):
     assert got[(1, 0)][0] == 1
 
 
-def test_unclosed_trip_emits_nothing(spark, tmp_path):
+def test_unclosed_trip_emits_only_certain_rows(spark, tmp_path):
+    """An unclosed trip emits only its CONVERGED prefix (rows every
+    frontier candidate agrees on — certain regardless of future pings,
+    the online path compression that bounds state), never the still-
+    ambiguous tail: the last ping has >1 live candidate here, so its
+    row must wait for the close."""
     pings = [p for p in PINGS if p[0] == 1]
     got = _run_stream(spark, tmp_path, [_flag(pings, set())])
-    assert got == {}
+    batch = _batch(spark, pings)
+    assert set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    assert (1, 2) not in got  # ambiguous tail: emitted only on close
+
+
+def test_early_emission_completes_to_batch_on_close(spark, tmp_path):
+    """Two runs on one checkpoint: run 1 delivers a trip WITHOUT its
+    final (the frontier collapses to ONE candidate mid-trip at this
+    radius, so the converged prefix emits early), run 2 delivers the
+    final. The union must equal the batch DP with no duplicate
+    (trip, seq) — early rows are final, the close emits only the
+    pending suffix.
+
+    (The default fixture's PARALLEL roads are the non-converging worst
+    case — each road's chain backtracks through itself — which is why
+    this test narrows the radius until the wrong road falls out.)"""
+    kw = dict(KW)
+    kw["radius_m"] = 100.0  # seq 0 sees both roads; seq 1+ only road 1
+    pings = [p for p in PINGS if p[0] == 1]
+    early = [p for p in pings if p[1] < 2]
+    late = [p for p in pings if p[1] == 2]
+    finals = {(1, 2)}
+    base = str(tmp_path)
+    drops_dir = os.path.join(base, "drops_early")
+    os.makedirs(drops_dir)
+    ckpt = os.path.join(base, "ckpt_early")
+    sink_dir = os.path.join(base, "out_early")
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops_dir)
+        )
+        out = hmm_map_match_stream(stream, _roads(spark), **kw)
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    batch = {
+        (r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm)
+        for r in hmm_map_match(
+            _pings(spark, pings), _roads(spark), **kw
+        ).collect()
+    }
+    _write_drop(spark, _flag(early, finals), drops_dir, "d0", 1_000_000)
+    start().awaitTermination()
+    first = spark.read.parquet(sink_dir).collect()
+    got1 = {(r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm) for r in first}
+    assert len(first) == len(got1)  # no duplicate (trip, seq)
+    assert got1 and set(got1) <= set(batch)  # something emitted EARLY
+    assert all(got1[k] == batch[k] for k in got1)
+    _write_drop(spark, _flag(late, finals), drops_dir, "d1", 1_000_100)
+    start().awaitTermination()
+    rows = spark.read.parquet(sink_dir).collect()
+    got = {(r.trip_id, r.seq): (r.way_id, r.seg_idx, r.dist_mm) for r in rows}
+    assert len(rows) == len(got)  # suffix-only close: no re-emission
+    assert got == batch
+
+
+def test_stream_equals_batch_across_arrow_chunks(spark, tmp_path):
+    """Force the state op to hand each trip's rows as MULTIPLE Arrow
+    chunks (maxRecordsPerBatch=2 < rows per trip): chunk boundaries
+    carry no seq ordering and can split one ping's candidate rows, so
+    the matcher must concatenate before its seq loop — per-chunk DP
+    advancement would reorder steps and double-k-cut straddled pings."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        finals = {(1, 2), (2, 1)}
+        got = _run_stream(spark, tmp_path, [_flag(PINGS, finals)])
+        assert got == _batch(spark, PINGS)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def test_candidateless_final_marker_still_closes(spark, tmp_path):
