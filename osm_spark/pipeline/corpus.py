@@ -43,7 +43,7 @@ value-hash column that makes the end-to-end gate byte-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_spark.functions.urls import canonical_url
@@ -129,18 +129,33 @@ def _canonical_keep_best(docs: DataFrame, url_col: str) -> DataFrame:
     """Stage 1 (shared by the batch pipeline and ingest admission):
     canonicalize the URL and keep the best version per canonical slot —
     longest text, ties to min doc_id. One implementation so a tie-break
-    change can never make the two paths diverge."""
+    change can never make the two paths diverge.
+
+    The election is a ``max_by`` aggregate, NOT a row_number window: a
+    hot canonical URL (a crawl re-fetches popular pages millions of
+    times) would funnel every duplicate — multi-KB text payload
+    included — into ONE window task, while the aggregate's map-side
+    combine pre-reduces each map partition to a single surviving row
+    per key, so the exchange carries ≤ #mappers rows for the hottest
+    key. The ordering struct (n_chars, -doc_id) is total (ids unique),
+    so the winner is deterministic and identical to the window form."""
     d = docs.select(
         "doc_id", "source", "text", F.col(url_col).alias("_url")
-    ).withColumn("n_chars", F.length("text").cast("long"))
-    d = d.withColumn("canon_url", canonical_url("_url")).drop("_url")
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "n_chars")
+    d = d.withColumn("canon_url", canonical_url("_url")).drop("_url")
+    return d.groupBy("canon_url").agg(
+        F.max_by(
+            F.struct("doc_id", "source", "text"),
+            F.struct(
+                F.length("text").cast("long").alias("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+            ),
+        ).alias("_w")
+    ).select(
+        F.col("_w.doc_id").alias("doc_id"),
+        F.col("_w.source").alias("source"),
+        F.col("_w.text").alias("text"),
+        "canon_url",
     )
 
 

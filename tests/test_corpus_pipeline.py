@@ -138,6 +138,31 @@ def test_lm_score_against_oov_floor(spark):
     assert got[11].sum_logp_micro == a_lw + b_lw
 
 
+def test_keep_best_is_combiner_aggregate_not_window(spark):
+    """Stage 1's keep-best election must be a max_by AGGREGATE (map-side
+    combined — a hot canonical URL shuffles ≤ #mappers pre-winners), not
+    a row_number window that would funnel every duplicate's text payload
+    into one task; and the aggregate must preserve the window form's
+    semantics: longest text wins, ties to min doc_id."""
+    from osm_spark.pipeline.corpus import _canonical_keep_best
+
+    d = spark.createDataFrame(
+        [
+            (1, "s", "aaaa", "http://a.com/x?utm_source=t"),
+            (2, "s", "bbbb", "http://a.com/x"),  # same length: tie -> 1
+            (3, "s", "ccccc", "http://b.com/y"),
+            (4, "s", "dd", "http://b.com/y"),  # shorter: 3 wins
+        ],
+        "doc_id long, source string, text string, url string",
+    )
+    out = _canonical_keep_best(d, "url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side combine present
+    got = {r.canon_url: r.doc_id for r in out.collect()}
+    assert got == {"http://a.com/x": 1, "http://b.com/y": 3}
+
+
 def test_plan_no_cartesian_no_sortmerge(spark):
     """The composed plan must stay inside the engine's join discipline:
     no CartesianProduct anywhere, and no SortMergeJoin (every stage
