@@ -6056,9 +6056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50, all oracle-gated). Round 5
         # rotated the r4-tail flagships IN (corpus_pipeline — the new
-        # composed end-to-end job — plus fuzzy_pairs, cosine_pairs,
-        # bpe_merges, neighborhood, cms_counts, convex_hull,
-        # incremental_dedup, zorder_key, doc_chunks, covisitation,
+        # composed end-to-end job — plus corpus_ingest[_stream],
+        # hmm_match[_stream], fuzzy_pairs, cosine_pairs, bpe_merges,
+        # neighborhood, cms_counts, convex_hull, incremental_dedup,
         # reachability, label_propagation), displacing near-duplicate
         # parsing/filter/sort slots and same-family cousins
         # (latest_order, interval_filter, grouped_count_having,
@@ -6066,7 +6066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modules_gained, earnt_cnf, quarantine, asof_join, span_dedup,
         # tile_pyramid) to the tail — every displaced query KEEPS its
         # oracle twin, so nothing loses coverage, only external
-        # attestation priority. ---
+        # attestation priority. zorder_key, doc_chunks and covisitation
+        # lead the tail (positions 51-53): with the window capped at 50
+        # they yielded their slots to the composed corpus entries and
+        # the map-matching pair. ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6120,8 +6123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "doc_chunks": q_doc_chunks,
         "covisitation": q_covisitation,
-        # --- tail: outside the driver's 50-entry gate window. All but
-        # three DO ship exact oracle_sql twins (verified by
+        # --- tail: outside the driver's 50-entry gate window (it
+        # starts three entries up, at zorder_key). All but three DO
+        # ship exact oracle_sql twins (verified by
         # tools/check_oracle.py locally; media_near_dups gained its
         # exact twin in r5); the remaining rows-only operators
         # (simhash_near_dups, pip_join, knn_join) have driver-gated
