@@ -5448,9 +5448,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("http://example.com/page/"), slot))
     )
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
+    # One max_by/count aggregate instead of two window passes: map-side
+    # combine pre-reduces each mapper to one pre-winner (+ a partial
+    # count) per canonical URL, so a hot URL shuffles <= #mappers rows
+    # where the row_number window would funnel every duplicate into one
+    # task. The (n_chars, -doc_id) ordering struct is total.
     return (
         d.select(
             "doc_id",
@@ -5458,13 +5460,21 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw.alias("url"),
         )
         .withColumn("canon_url", canonical_url("url"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_dups", F.count("*").over(Window.partitionBy("canon_url")))
-        .where(F.col("rn") == 1)
+        .groupBy("canon_url")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "n_chars"),
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                ),
+            ).alias("_w"),
+            F.count("*").alias("n_dups"),
+        )
         .select(
             "canon_url",
-            F.col("doc_id").alias("keeper_id"),
-            F.col("n_chars").alias("keeper_len"),
+            F.col("_w.doc_id").alias("keeper_id"),
+            F.col("_w.n_chars").alias("keeper_len"),
             "n_dups",
         )
     )
