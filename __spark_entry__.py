@@ -3359,6 +3359,145 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-feature space: small enough that the sf0.01 corpus
+# (hundreds of distinct unigrams, thousands of bigrams) folds with real
+# collisions — the hashing trick's collision path is exercised, not
+# just the identity case.
+_DSIR_BUCKETS = 512
+
+
+def _dsir_weights_cte() -> str:
+    """Shared WITH-chain replaying text/dsir.py dsir_weights over the
+    documents table (target = the English slice): engine tokenizer as
+    an ordered list, unigram+bigram grams, 52-bit md5 bucket fold,
+    Laplace micro-nat per-bucket log-ratio (each term rounded
+    separately, the lm_score idiom), exact long per-doc sums."""
+    b = _DSIR_BUCKETS
+    return rf"""
+        WITH tk AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> len(x) > 0) AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, unnest(toks) AS gram FROM tk
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM tk
+        ),
+        gb AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(gram), 1, 13) AS BIGINT)
+                       % {b} AS bucket
+            FROM grams
+        ),
+        db AS (
+            SELECT doc_id, bucket, count(*) AS cnt
+            FROM gb GROUP BY doc_id, bucket
+        ),
+        rb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+               FROM db GROUP BY bucket),
+        tb AS (SELECT bucket, count(*) AS tc
+               FROM gb WHERE lang = 'en' GROUP BY bucket),
+        tot AS (
+            SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rb) AS r_total,
+                   (SELECT CAST(COALESCE(sum(tc), 0) AS BIGINT) FROM tb)
+                       AS t_total
+        ),
+        ratio AS (
+            SELECT rb.bucket,
+                   CAST(round(ln((COALESCE(tb.tc, 0) + 1)::DOUBLE
+                                 / (tot.t_total + {b})::DOUBLE)
+                              * 1000000.0) AS BIGINT)
+                 - CAST(round(ln((rb.rc + 1)::DOUBLE
+                                 / (tot.r_total + {b})::DOUBLE)
+                              * 1000000.0) AS BIGINT) AS lr
+            FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+        ),
+        w AS (
+            SELECT db.doc_id,
+                   CAST(sum(db.cnt) AS BIGINT) AS n_grams,
+                   CAST(sum(db.cnt * ratio.lr) AS BIGINT) AS logw_micro,
+                   round(CAST(sum(db.cnt * ratio.lr) AS DOUBLE) / 1e6, 6)
+                       AS log_ratio
+            FROM db JOIN ratio USING (bucket)
+            GROUP BY db.doc_id
+        )
+    """
+
+
+def _dsir_weights_oracle() -> str:
+    return _dsir_weights_cte() + "SELECT doc_id, n_grams, logw_micro, log_ratio FROM w"
+
+
+def _dsir_sample_oracle() -> str:
+    """dsir_weights chain + the Gumbel top-k replay: 52-bit salted
+    digest uniform offset +0.5 (strictly inside (0,1) so both logs are
+    finite), micro-quantized Gumbel added to the exact long weight,
+    top 5 per source on the descending key with the doc_id tie-break."""
+    two52 = float(16**13)
+    return _dsir_weights_cte() + rf""",
+        g AS (
+            SELECT w.*, d.source,
+                   w.logw_micro + CAST(round(-ln(-ln(
+                       (CAST(CAST('0x' || substr(
+                            md5('dsir:' || CAST(w.doc_id AS VARCHAR)),
+                            1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                       / {two52!r})) * 1000000.0) AS BIGINT) AS gkey
+            FROM w JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, source, n_grams, logw_micro, log_ratio, rk FROM (
+            SELECT g.*, CAST(ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY gkey DESC, doc_id
+            ) AS INT) AS rk
+            FROM g
+        ) WHERE rk <= 5
+    """
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (text/dsir.py dsir_weights, Xie et
+    al. 2023): hashed unigram+bigram bucket counts, Laplace-smoothed
+    target/raw micro-nat log-ratio per bucket, exact long per-doc sums.
+    Target = the corpus's English slice, raw = the whole corpus — vs a
+    full-chain DuckDB replay (512 buckets, real hash collisions)."""
+    _prep(spark)
+    from osm_spark.text.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "en").select("doc_id", "text"),
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling (text/dsir.py dsir_sample):
+    top 5 docs per source by exact-long DSIR weight + micro-quantized
+    salted Gumbel — membership byte-stable across runs and engines, vs
+    the DuckDB key replay."""
+    _prep(spark)
+    from osm_spark.text.dsir import dsir_sample, dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "en").select("doc_id", "text"),
+        num_buckets=_DSIR_BUCKETS,
+    )
+    return dsir_sample(
+        w.join(d.select("doc_id", "source"), "doc_id"),
+        5,
+        group_col="source",
+        salt="dsir",
+    )
+
+
 def _bpe_vocab_oracle(n_merges: int = 3) -> str:
     """Same unrolled rounds as _bpe_oracle, but the final select counts
     the POST-MERGE symbol occurrences — the encode (vocabulary-usage)
@@ -6222,6 +6361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "eff_diameter": q_eff_diameter,
         "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
@@ -6277,6 +6418,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "dsir_weights": _dsir_weights_oracle(),
+        "dsir_sample": _dsir_sample_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),

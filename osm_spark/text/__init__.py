@@ -25,6 +25,7 @@ from osm_spark.text.analysis import (
     fingerprint,
 )
 from osm_spark.text.decontam import benchmark_gram_keys, decontaminate
+from osm_spark.text.dsir import dsir_sample, dsir_weights, hashed_gram_counts
 from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
 from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
@@ -53,6 +54,9 @@ __all__ = [
     "fingerprint",
     "benchmark_gram_keys",
     "decontaminate",
+    "dsir_weights",
+    "dsir_sample",
+    "hashed_gram_counts",
     "global_cumsum",
     "pack_sequences",
     "redact_pii",
