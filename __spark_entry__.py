@@ -3498,6 +3498,152 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_drift_oracle() -> str:
+    """Full-bucket-space replay of text/drift.py corpus_drift: same
+    gram/bucket fold as the DSIR oracle, Laplace log-probs micro-nat
+    quantized per bucket (each direction's term rounded separately),
+    exact long numerators, one double division per direction."""
+    b = _DSIR_BUCKETS
+    return rf"""
+        WITH tk AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> len(x) > 0) AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT lang, unnest(toks) AS gram FROM tk
+            UNION ALL
+            SELECT lang,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM tk
+        ),
+        gb AS (
+            SELECT lang,
+                   CAST('0x' || substr(md5(gram), 1, 13) AS BIGINT)
+                       % {b} AS bucket
+            FROM grams
+        ),
+        rcs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc
+                FROM gb WHERE lang = 'en' GROUP BY bucket),
+        ccs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cc
+                FROM gb WHERE lang <> 'en' GROUP BY bucket),
+        space AS (SELECT range AS bucket FROM range({b})),
+        bth AS (
+            SELECT space.bucket, COALESCE(rcs.rc, 0) AS rc,
+                   COALESCE(ccs.cc, 0) AS cc
+            FROM space LEFT JOIN rcs USING (bucket)
+                       LEFT JOIN ccs USING (bucket)
+        ),
+        tot AS (
+            SELECT CAST(sum(rc) AS BIGINT) AS r_total,
+                   CAST(sum(cc) AS BIGINT) AS c_total
+            FROM bth
+        ),
+        lp AS (
+            SELECT rc, cc,
+                   CAST(round(ln((rc + 1)::DOUBLE
+                                 / (tot.r_total + {b})::DOUBLE)
+                              * 1000000.0) AS BIGINT) AS lpr,
+                   CAST(round(ln((cc + 1)::DOUBLE
+                                 / (tot.c_total + {b})::DOUBLE)
+                              * 1000000.0) AS BIGINT) AS lpc
+            FROM bth CROSS JOIN tot
+        ),
+        s AS (
+            SELECT CAST(sum((cc + 1) * (lpc - lpr)) AS BIGINT) AS kl_cur,
+                   CAST(sum((rc + 1) * (lpr - lpc)) AS BIGINT) AS kl_ref
+            FROM lp
+        )
+        SELECT 'cur_vs_ref' AS direction, tot.c_total AS n_grams,
+               s.kl_cur AS kl_sum_micro,
+               round(CAST(s.kl_cur AS DOUBLE)
+                     / CAST(tot.c_total + {b} AS DOUBLE)
+                     / 1000000.0, 6) AS kl_nats
+        FROM s CROSS JOIN tot
+        UNION ALL
+        SELECT 'ref_vs_cur', tot.r_total, s.kl_ref,
+               round(CAST(s.kl_ref AS DOUBLE)
+                     / CAST(tot.r_total + {b} AS DOUBLE)
+                     / 1000000.0, 6)
+        FROM s CROSS JOIN tot
+    """
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-gram KL drift between corpus slices (text/drift.py
+    corpus_drift): reference = the English slice, current = everything
+    else — both directions, exact long micro-nat numerators over the
+    full 512-bucket Laplace space, vs the DuckDB replay."""
+    _prep(spark)
+    from osm_spark.text.drift import corpus_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_drift(
+        d.where(F.col("lang") == "en").select("doc_id", "text"),
+        d.where(F.col("lang") != "en").select("doc_id", "text"),
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+_RIPLEY_RADII = [500.0, 1000.0, 2000.0]
+_RIPLEY_AREA_M2 = 1.0e9
+
+
+def _ripley_k_oracle() -> str:
+    """Brute-force ordered-pair replay of geo/ripley.py ripley_k: same
+    haversine formula/op order as the radius oracle, one conditional
+    count per ladder radius, K̂ = A·c/(n(n−1)) and L̂ = sqrt(K̂/π) with
+    the identical multiply-divide order."""
+    a = _RIPLEY_AREA_M2
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN d <= {r!r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, r in enumerate(_RIPLEY_RADII)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({r!r} AS DOUBLE) AS r_m, c{i} AS n_pairs, "
+        f"{a!r} * CAST(c{i} AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS k "
+        f"FROM c CROSS JOIN n"
+        for i, r in enumerate(_RIPLEY_RADII)
+    )
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        prs AS (
+            SELECT 2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * pow(sin(radians(b.lon - a.lon) / 2.0), 2))) AS d
+            FROM pts a JOIN pts b ON a.point_id <> b.point_id
+        ),
+        c AS (SELECT {conds} FROM prs),
+        n AS (SELECT count(*) AS n FROM pts)
+        SELECT r_m, n_pairs, round(k, 6) AS k_hat,
+               round(sqrt(k / pi()), 6) AS l_hat
+        FROM ({arms})
+    """
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K/L point-pattern statistic (geo/ripley.py): self
+    radius-join at max(radii) on the SHUFFLE path, one conditional-sum
+    aggregate over the pair stream, K̂/L̂ per ladder radius — vs a
+    brute-force all-ordered-pairs DuckDB replay."""
+    _prep(spark)
+    from osm_spark.geo.ripley import ripley_k
+
+    pts = _sql_points(spark, sf_dir)
+    return ripley_k(
+        pts,
+        _RIPLEY_RADII,
+        _RIPLEY_AREA_M2,
+        id_col="url",
+        strategy="shuffle",
+    )
+
+
 def _bpe_vocab_oracle(n_merges: int = 3) -> str:
     """Same unrolled rounds as _bpe_oracle, but the final select counts
     the POST-MERGE symbol occurrences — the encode (vocabulary-usage)
@@ -6363,6 +6509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "corpus_drift": q_corpus_drift,
+        "ripley_k": q_ripley_k,
         "eff_diameter": q_eff_diameter,
         "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
@@ -6420,6 +6568,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "dsir_weights": _dsir_weights_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
+        "corpus_drift": _corpus_drift_oracle(),
+        "ripley_k": _ripley_k_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),

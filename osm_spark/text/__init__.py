@@ -25,6 +25,7 @@ from osm_spark.text.analysis import (
     fingerprint,
 )
 from osm_spark.text.decontam import benchmark_gram_keys, decontaminate
+from osm_spark.text.drift import corpus_drift
 from osm_spark.text.dsir import dsir_sample, dsir_weights, hashed_gram_counts
 from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
@@ -57,6 +58,7 @@ __all__ = [
     "dsir_weights",
     "dsir_sample",
     "hashed_gram_counts",
+    "corpus_drift",
     "global_cumsum",
     "pack_sequences",
     "redact_pii",
