@@ -4379,14 +4379,19 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSSP_HOPS = 8
 
 
-def _sssp_oracle(final_select: str = "SELECT id, dist FROM dists") -> str:
+def _sssp_oracle(
+    final_select: str = "SELECT id, dist FROM dists",
+    reach_block: str | None = None,
+) -> str:
     """Hop-bounded walk enumeration: after R Bellman-Ford rounds the
     engine holds min-over-walks-of-≤R-edges (graph/sssp.py docstring),
     which is EXACTLY the set this recursion enumerates — so the oracle
     is equivalence, not approximation. Weights are integer millimeters
     (same rounded haversine both sides); the recursion carries the hop
     count to stay finite on the ring cycles, and UNION dedup keeps the
-    walk set polynomial."""
+    walk set polynomial. ``reach_block`` swaps the seed/recursion CTEs
+    (the landmark oracle seeds per-landmark and keys dists on (id,
+    landmark)); the edge fixture stays shared."""
     hav = (
         "CAST(round(2.0 * 6371000.0 * asin(sqrt("
         " pow(sin(radians({by} - {ay}) / 2.0), 2)"
@@ -4429,6 +4434,7 @@ def _sssp_oracle(final_select: str = "SELECT id, dist FROM dists") -> str:
             UNION ALL SELECT src, dst, w FROM short_e
             UNION ALL SELECT dst, src, w FROM short_e
         ),
+        {reach_block if reach_block is not None else f'''
         reach(id, d, h) AS (
             SELECT way_id * 100, CAST(0 AS BIGINT), 0
             FROM poly WHERE (way_id - 1000) % 8 = 0
@@ -4438,6 +4444,7 @@ def _sssp_oracle(final_select: str = "SELECT id, dist FROM dists") -> str:
             WHERE reach.h < {_SSSP_HOPS}
         ),
         dists AS (SELECT id, MIN(d) AS dist FROM reach GROUP BY id)
+        '''}
         {final_select}
     """
 
@@ -4522,6 +4529,49 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reachability_zones(
         edges, sources, _SSSP_HOPS, band_mm=_REACH_BAND_MM
     )
+
+
+# 4 landmark vertices spread across the way-id range (heads of ways
+# 1000/1024/1048/1072 — three cities apart), the ALT-preprocessing k.
+_LANDMARKS = [100000, 102400, 104800, 107200]
+
+
+def _landmarks_oracle() -> str:
+    """Same edge fixture and hop-bounded walk enumeration as
+    ``_sssp_oracle``, seeded with ALL k landmarks and keyed on (id,
+    landmark) — the exact-equivalence gate for the k-wide single-pass
+    Bellman-Ford (graph/landmarks.py)."""
+    seeds = ", ".join(f"(CAST({lm} AS BIGINT))" for lm in _LANDMARKS)
+    return _sssp_oracle(
+        final_select="SELECT id, landmark, dist_mm FROM dists",
+        reach_block=f"""
+        reach(lm, id, d, h) AS (
+            SELECT lm, lm, CAST(0 AS BIGINT), 0
+            FROM (VALUES {seeds}) s(lm)
+            UNION
+            SELECT reach.lm, e.dst, reach.d + e.w, reach.h + 1
+            FROM reach JOIN edges e ON e.src = reach.id
+            WHERE reach.h < {_SSSP_HOPS}
+        ),
+        dists AS (
+            SELECT id, lm AS landmark, MIN(d) AS dist_mm
+            FROM reach GROUP BY id, lm
+        )
+        """,
+    )
+
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALT landmark preprocessing (graph/landmarks.py): k=4 landmark
+    distance columns advanced in ONE Bellman-Ford fixpoint (one edge
+    join + one k-column min aggregate per round — not k SSSP jobs) over
+    the way-ring graph, vs the multi-seed hop-bounded walk-enumeration
+    DuckDB replay."""
+    _prep(spark)
+    from osm_spark.graph.landmarks import landmark_distances
+
+    edges, _ = _sssp_graph(spark)
+    return landmark_distances(edges, _LANDMARKS, _SSSP_HOPS)
 
 
 _HOTSPOT_Z = 15
@@ -6511,6 +6561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "corpus_drift": q_corpus_drift,
         "ripley_k": q_ripley_k,
+        "landmark_distances": q_landmark_distances,
         "eff_diameter": q_eff_diameter,
         "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
@@ -6570,6 +6621,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": _dsir_sample_oracle(),
         "corpus_drift": _corpus_drift_oracle(),
         "ripley_k": _ripley_k_oracle(),
+        "landmark_distances": _landmarks_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),

@@ -6,6 +6,7 @@ clustered into components so each cluster keeps one canonical document.
 """
 
 from osm_spark.graph.components import connected_components, dedup_clusters
+from osm_spark.graph.landmarks import landmark_distances
 from osm_spark.graph.pagerank import out_degrees, pagerank, vertex_ids
 
 __all__ = [
