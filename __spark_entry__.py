@@ -3498,6 +3498,47 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_FRACTIONS = {"train": 0.7, "val": 0.2, "test": 0.05}
+
+
+def _corpus_split_oracle() -> str:
+    """Threshold-by-threshold replay of text/sampling.py split_assign:
+    same salted md5, same cumulative hex-prefix thresholds (rendered by
+    the SAME sample_threshold helper), consecutive CASE intervals, NULL
+    tail for the unassigned 5% (fractions sum to 0.95 on purpose — the
+    discard-holdout branch is part of the gate)."""
+    from osm_spark.text.sampling import sample_threshold
+
+    arms = []
+    cum = 0.0
+    for name, frac in _SPLIT_FRACTIONS.items():
+        cum += frac
+        arms.append(
+            f"WHEN d < '{sample_threshold(min(cum, 1.0))}' THEN '{name}'"
+        )
+    case = "CASE " + " ".join(arms) + " END"
+    return f"""
+        SELECT doc_id, source, {case} AS split
+        FROM (
+            SELECT doc_id, source,
+                   md5('split:' || CAST(doc_id AS VARCHAR)) AS d
+            FROM documents
+        )
+    """
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratum-stable train/val/test assignment
+    (text/sampling.py split_assign): consecutive digest intervals,
+    zero-shuffle CASE, 5% discard tail — vs the DuckDB threshold
+    replay."""
+    _prep(spark)
+    from osm_spark.text.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(d, "doc_id", _SPLIT_FRACTIONS)
+
+
 def _corpus_drift_oracle() -> str:
     """Full-bucket-space replay of text/drift.py corpus_drift: same
     gram/bucket fold as the DSIR oracle, Laplace log-probs micro-nat
@@ -6562,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "ripley_k": q_ripley_k,
         "landmark_distances": q_landmark_distances,
+        "corpus_split": q_corpus_split,
         "eff_diameter": q_eff_diameter,
         "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
@@ -6622,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _corpus_drift_oracle(),
         "ripley_k": _ripley_k_oracle(),
         "landmark_distances": _landmarks_oracle(),
+        "corpus_split": _corpus_split_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),

@@ -29,7 +29,12 @@ from osm_spark.text.drift import corpus_drift
 from osm_spark.text.dsir import dsir_sample, dsir_weights, hashed_gram_counts
 from osm_spark.text.packing import global_cumsum, pack_sequences
 from osm_spark.text.redact import redact_pii
-from osm_spark.text.sampling import hash_sample, mixture_sample, quota_sample
+from osm_spark.text.sampling import (
+    hash_sample,
+    mixture_sample,
+    quota_sample,
+    split_assign,
+)
 from osm_spark.text.ngrams import ngram_counts
 from osm_spark.text.ranking import bm25_scores
 from osm_spark.text.sharding import shard_assign
@@ -64,5 +69,6 @@ __all__ = [
     "redact_pii",
     "hash_sample",
     "mixture_sample",
+    "split_assign",
     "quota_sample",
 ]

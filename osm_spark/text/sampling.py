@@ -15,6 +15,9 @@ Both operators therefore key on md5 of a salted stable key:
   AQE skew-split like any other window. For quotas over *millions* of
   groups this stays one exchange; the digest ordering makes the kept
   set independent of arrival order.
+- ``split_assign`` — deterministic train/val/test partition: the same
+  digest uniform binned into consecutive intervals. Zero-shuffle CASE;
+  repeated keys land in the same split (the leakage guard).
 
 Reference parity: the reference's API-page windowing (SURVEY.md §2.2
 P5-P8) filters rows by deterministic predicates the same way — these
@@ -144,6 +147,55 @@ def weighted_sample(
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each key's salted
+    digest falls into CONSECUTIVE ``[0, 1)`` intervals, one per split,
+    in ``fractions`` insertion order — input columns + ``label_col``.
+
+    Membership depends only on (salt, key): stable across runs,
+    partitionings and engines (the hash_sample guarantee applied to a
+    partition instead of a filter), and repeated keys always land in
+    the SAME split — the leakage guard a random split can't give.
+    Because intervals are consecutive, growing a LATER split's fraction
+    never reassigns rows between earlier splits.
+
+    Fractions must be positive and sum to ≤ 1 (+ threshold-precision
+    slack); when they sum below 1 the tail of the keyspace gets a NULL
+    label (the discard-holdout convention — filter it, or pass an
+    explicit remainder split to keep everything).
+
+    Pure map-stage CASE over literal thresholds: no shuffle, no join,
+    no stats pass — it composes with partition pruning like any
+    predicate.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"fractions must all be > 0, got {fractions}")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to <= 1, got {total}")
+    digest = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col)))
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        thr = F.lit(sample_threshold(min(cum, 1.0)))
+        cond = digest < thr
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(label_col, expr)
 
 
 def quota_sample(
