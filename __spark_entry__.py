@@ -3685,6 +3685,66 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_k_oracle() -> str:
+    """Brute-force A×B replay of geo/ripley.py cross_k over the point
+    fixture × the kNN node dim — same haversine/op order, norm =
+    n_a·n_b."""
+    a = _RIPLEY_AREA_M2
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN d <= {r!r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, r in enumerate(_RIPLEY_RADII)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({r!r} AS DOUBLE) AS r_m, c{i} AS n_pairs, "
+        f"{a!r} * CAST(c{i} AS DOUBLE) / CAST(norm AS DOUBLE) AS k "
+        f"FROM c CROSS JOIN n"
+        for i, r in enumerate(_RIPLEY_RADII)
+    )
+    return f"""
+        WITH nodes0(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        nodes AS (
+            SELECT CAST(nlat AS DOUBLE) AS nlat, CAST(nlon AS DOUBLE) AS nlon
+            FROM nodes0
+        ),
+        pts AS ({_sql_points_oracle()}),
+        prs AS (
+            SELECT 2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin(radians(b.nlat - p.lat) / 2.0), 2)
+                     + cos(radians(p.lat)) * cos(radians(b.nlat))
+                       * pow(sin(radians(b.nlon - p.lon) / 2.0), 2))) AS d
+            FROM pts p CROSS JOIN nodes b
+        ),
+        c AS (SELECT {conds} FROM prs),
+        n AS (SELECT (SELECT count(*) FROM pts)
+                     * (SELECT count(*) FROM nodes) AS norm)
+        SELECT r_m, n_pairs, round(k, 6) AS k_hat,
+               round(sqrt(k / pi()), 6) AS l_hat
+        FROM ({arms})
+    """
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K co-location statistic (geo/ripley.py cross_k):
+    pages × amenity nodes through the cell-prejoined radius join on the
+    SHUFFLE path, K̂_AB/L̂ per ladder radius — vs the brute-force A×B
+    DuckDB replay."""
+    _prep(spark)
+    from osm_spark.geo.ripley import cross_k
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    return cross_k(
+        _sql_points(spark, sf_dir),
+        synth_nodes(spark),
+        _RIPLEY_RADII,
+        _RIPLEY_AREA_M2,
+        a_id_col="url",
+        b_id_col="id",
+        strategy="shuffle",
+    )
+
+
 def _bpe_vocab_oracle(n_merges: int = 3) -> str:
     """Same unrolled rounds as _bpe_oracle, but the final select counts
     the POST-MERGE symbol occurrences — the encode (vocabulary-usage)
@@ -6604,6 +6664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "landmark_distances": q_landmark_distances,
         "corpus_split": q_corpus_split,
+        "cross_k": q_cross_k,
         "eff_diameter": q_eff_diameter,
         "robots_filter": q_robots_filter,
         "stay_points": q_stay_points,
@@ -6665,6 +6726,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": _ripley_k_oracle(),
         "landmark_distances": _landmarks_oracle(),
         "corpus_split": _corpus_split_oracle(),
+        "cross_k": _cross_k_oracle(),
         "eff_diameter": _eff_diameter_oracle(),
         "robots_filter": _robots_oracle(),
         "corpus_pipeline": _corpus_pipeline_oracle(),

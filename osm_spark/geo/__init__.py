@@ -25,5 +25,5 @@ from osm_spark.geo.geohash import (  # noqa: F401
     viewport_filter,
 )
 from osm_spark.geo.measure import way_geometry_stats  # noqa: F401
-from osm_spark.geo.ripley import ripley_k  # noqa: F401
+from osm_spark.geo.ripley import cross_k, ripley_k  # noqa: F401
 from osm_spark.geo.simplify import assemble_lines, simplify_lines  # noqa: F401

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.geo.radius import radius_join
 
-__all__ = ["ripley_k"]
+__all__ = ["cross_k", "ripley_k"]
 
 
 def ripley_k(
@@ -63,6 +63,60 @@ def ripley_k(
     (``n_points`` doubles as its candidate-size estimate; the point
     table is both sides here).
     """
+    rs, pairs = _ladder_pairs(
+        points, points, radii, area_m2, id_col, id_col, strategy, n_points
+    )
+    pairs = pairs.filter(F.col("url") != F.col("node_id"))
+    return _k_table(pairs, rs, area_m2, _self_norm(points))
+
+
+def cross_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radii: list[float],
+    area_m2: float,
+    *,
+    a_id_col: str = "url",
+    b_id_col: str = "id",
+    strategy: str = "auto",
+    n_points_b: int | None = None,
+) -> DataFrame:
+    """Bivariate (cross-type) K — co-location of two point processes:
+
+        K̂_AB(r) = A / (n_a · n_b) · Σ_{i∈A, j∈B} 1[d_ij ≤ r]
+
+    "are geotagged pages clustered AROUND amenities at scale r" — above
+    π r² means attraction between the types, below means repulsion
+    (Lotwick–Silverman 1982, the standard bivariate extension). Same
+    output shape, exactness and plan as ``ripley_k``; the pair stream
+    is one A×B radius join (B is the dim side — amenities — so its
+    candidate table drives the broadcast/shuffle/salted choice via
+    ``n_points_b``)."""
+    rs, pairs = _ladder_pairs(
+        points_a,
+        points_b,
+        radii,
+        area_m2,
+        a_id_col,
+        b_id_col,
+        strategy,
+        n_points_b,
+    )
+    norm = points_a.agg(F.count(F.lit(1)).alias("_na")).crossJoin(
+        points_b.agg(F.count(F.lit(1)).alias("_nb"))
+    ).select((F.col("_na") * F.col("_nb")).alias("_norm"))
+    return _k_table(pairs, rs, area_m2, norm)
+
+
+def _self_norm(points: DataFrame) -> DataFrame:
+    return points.agg(F.count(F.lit(1)).alias("_n")).select(
+        (F.col("_n") * (F.col("_n") - F.lit(1))).alias("_norm")
+    )
+
+
+def _ladder_pairs(
+    points_a, points_b, radii, area_m2, a_id_col, b_id_col, strategy, n_b
+):
     if not radii:
         raise ValueError("radii must be non-empty")
     if any(r <= 0 for r in radii):
@@ -70,14 +124,19 @@ def ripley_k(
     if area_m2 <= 0:
         raise ValueError(f"area_m2 must be > 0, got {area_m2}")
     rs = sorted(float(r) for r in radii)
-    pts = points.select(F.col(id_col).alias("url"), "lat", "lon")
     pairs = radius_join(
-        pts,
-        points.select(F.col(id_col).alias("id"), "lat", "lon"),
+        points_a.select(F.col(a_id_col).alias("url"), "lat", "lon"),
+        points_b.select(F.col(b_id_col).alias("id"), "lat", "lon"),
         rs[-1],
         strategy=strategy,
-        n_nodes=n_points,
-    ).filter(F.col("url") != F.col("node_id"))
+        n_nodes=n_b,
+    )
+    return rs, pairs
+
+
+def _k_table(pairs, rs, area_m2, norm):
+    """(r_m, n_pairs, k_hat, l_hat) from the pair stream: one
+    conditional-sum aggregate + the 1-row normalization cross join."""
     counts = pairs.agg(
         *[
             F.sum(
@@ -90,7 +149,6 @@ def ripley_k(
             for i, r in enumerate(rs)
         ]
     )
-    n_row = points.agg(F.count(F.lit(1)).alias("_n"))
     ladder = F.explode(
         F.array(
             *[
@@ -105,11 +163,11 @@ def ripley_k(
     k_hat = (
         F.lit(float(area_m2))
         * F.col("_e.n_pairs").cast("double")
-        / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
+        / F.col("_norm").cast("double")
     )
     return (
-        counts.crossJoin(n_row)
-        .select(ladder, "_n")
+        counts.crossJoin(norm)
+        .select(ladder, "_norm")
         .select(
             F.col("_e.r_m").alias("r_m"),
             F.col("_e.n_pairs").alias("n_pairs"),

@@ -70,6 +70,37 @@ def test_ripley_clustering_signal(spark, pts):
     assert rows[100.0] > math.pi * 100.0**2 * 10
 
 
+_BPTS = [(100 + i, 52.50 + i * 0.005, 13.40) for i in range(10)]
+
+
+def test_cross_k_matches_brute_force(spark, pts):
+    from osm_spark.geo.ripley import cross_k
+
+    b = spark.createDataFrame(_BPTS, "id long, lat double, lon double")
+    got = sorted(
+        (r.r_m, r.n_pairs, r.k_hat, r.l_hat)
+        for r in cross_k(pts, b, RADII, AREA, a_id_col="pid").collect()
+    )
+    counts = [0] * len(RADII)
+    for _, alat, alon in _PTS:
+        for _, blat, blon in _BPTS:
+            d = haversine_m_py(alat, alon, blat, blon)
+            for k, r in enumerate(RADII):
+                if d <= r:
+                    counts[k] += 1
+    norm = len(_PTS) * len(_BPTS)
+    exp = sorted(
+        (
+            r,
+            counts[k],
+            round(AREA * counts[k] / norm, 6),
+            round(math.sqrt(AREA * counts[k] / norm / math.pi), 6),
+        )
+        for k, r in enumerate(RADII)
+    )
+    assert got == exp
+
+
 def test_ripley_validation(spark, pts):
     with pytest.raises(ValueError):
         ripley_k(pts, [], AREA, id_col="pid")
