@@ -6515,11 +6515,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attestation priority. zorder_key, doc_chunks and covisitation
         # lead the tail (positions 51-53): with the window capped at 50
         # they yielded their slots to the composed corpus entries and
-        # the map-matching pair. ---
+        # the map-matching pair. A second late-r5 rotation brought the
+        # new data-curation/spatial-stats/graph flagships IN
+        # (dsir_weights, corpus_drift, ripley_k, landmark_distances),
+        # displacing four cousins whose family sibling stays gated:
+        # personalized_pagerank + hits (pagerank holds the link-analysis
+        # slot), pip_pairs_adaptive (pip_pairs runs the same oracle) and
+        # reachability (sssp_waygraph runs the same walk-enumeration
+        # oracle) — all four keep their exact twins in the tail. ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
-        "personalized_pagerank": q_personalized_pagerank,
-        "hits": q_hits,
+        "dsir_weights": q_dsir_weights,
+        "corpus_drift": q_corpus_drift,
         "connected_components": q_connected_components,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
@@ -6547,14 +6554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "bm25_search": q_bm25_search,
         "tile_refresh": q_tile_refresh,
-        "pip_pairs_adaptive": q_pip_pairs_adaptive,
+        "ripley_k": q_ripley_k,
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
         "hmm_match_stream": q_hmm_match_stream,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
-        "reachability": q_reachability,
+        "landmark_distances": q_landmark_distances,
         "label_propagation": q_label_propagation,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_ingest": q_corpus_ingest,
@@ -6569,6 +6576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "doc_chunks": q_doc_chunks,
         "covisitation": q_covisitation,
+        "personalized_pagerank": q_personalized_pagerank,
+        "hits": q_hits,
+        "pip_pairs_adaptive": q_pip_pairs_adaptive,
+        "reachability": q_reachability,
         # --- tail: outside the driver's 50-entry gate window (it
         # starts three entries up, at zorder_key). All but three DO
         # ship exact oracle_sql twins (verified by
@@ -6658,11 +6669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
-        "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
-        "corpus_drift": q_corpus_drift,
-        "ripley_k": q_ripley_k,
-        "landmark_distances": q_landmark_distances,
         "corpus_split": q_corpus_split,
         "cross_k": q_cross_k,
         "eff_diameter": q_eff_diameter,
