@@ -1642,6 +1642,73 @@ def q_route_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_density(ways, z=13, closed=True)
 
 
+def _way_crossings_oracle(scale: int = 100_000) -> str:
+    """Brute-force segment-intersection replay: the same quantization
+    (round(deg·scale) → BIGINT) and the same four-orientation int64
+    test as geo/crossings.py, over every cross-way segment pair —
+    integer output only, exact by construction (no float parity
+    needed)."""
+    sc = repr(float(scale))
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        segs AS (
+            SELECT way_id, CAST(i AS INT) AS seg_idx,
+                   CAST(round(vlon[i] * {sc}) AS BIGINT) AS x0,
+                   CAST(round(vlat[i] * {sc}) AS BIGINT) AS y0,
+                   CAST(round(vlon[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS x1,
+                   CAST(round(vlat[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS y1
+            FROM poly, UNNEST(range(1, len(vlat) + 1)) AS t(i)
+        ),
+        cand AS (
+            SELECT s.way_id AS way_a, s.seg_idx AS seg_a,
+                   t.way_id AS way_b, t.seg_idx AS seg_b,
+                   CASE WHEN (s.x1-s.x0)*(t.y0-s.y0) - (s.y1-s.y0)*(t.x0-s.x0) > 0 THEN 1
+                        WHEN (s.x1-s.x0)*(t.y0-s.y0) - (s.y1-s.y0)*(t.x0-s.x0) < 0 THEN -1 ELSE 0 END AS d1,
+                   CASE WHEN (s.x1-s.x0)*(t.y1-s.y0) - (s.y1-s.y0)*(t.x1-s.x0) > 0 THEN 1
+                        WHEN (s.x1-s.x0)*(t.y1-s.y0) - (s.y1-s.y0)*(t.x1-s.x0) < 0 THEN -1 ELSE 0 END AS d2,
+                   CASE WHEN (t.x1-t.x0)*(s.y0-t.y0) - (t.y1-t.y0)*(s.x0-t.x0) > 0 THEN 1
+                        WHEN (t.x1-t.x0)*(s.y0-t.y0) - (t.y1-t.y0)*(s.x0-t.x0) < 0 THEN -1 ELSE 0 END AS d3,
+                   CASE WHEN (t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0) > 0 THEN 1
+                        WHEN (t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0) < 0 THEN -1 ELSE 0 END AS d4,
+                   s.x0 AS ax0, s.y0 AS ay0, s.x1 AS ax1, s.y1 AS ay1,
+                   t.x0 AS bx0, t.y0 AS by0, t.x1 AS bx1, t.y1 AS by1
+            FROM segs s JOIN segs t ON s.way_id < t.way_id
+        )
+        SELECT way_a, seg_a, way_b, seg_b FROM cand
+        WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
+           OR (d1 = 0 AND bx0 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                      AND by0 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+           OR (d2 = 0 AND bx1 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                      AND by1 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+           OR (d3 = 0 AND ax0 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                      AND ay0 BETWEEN least(by0,by1) AND greatest(by0,by1))
+           OR (d4 = 0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                      AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))
+    """
+
+
+def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 line×line conflation join (geo/crossings.py
+    segment_crossings): way rings → quantized segments → bbox grid-cell
+    cover → shuffle_hash cell equi-join → exact int64 four-orientation
+    refine → distinct pairs, vs a DuckDB brute-force replay of the
+    identical integer predicate. The OSM use: road×river crossings
+    without a shared node (missing-bridge QA) / two-layer conflation."""
+    _prep(spark)
+    from osm_spark.geo.crossings import segment_crossings
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    return segment_crossings(ways)
+
+
 def _radius_pairs_oracle(radius_m: float = 1500.0) -> str:
     """Brute-force DWithin (same haversine formula/op order as
     ``haversine_m``). Pair-set output only — no float rides the hash."""
@@ -6648,6 +6715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "tile_clip": q_tile_clip,
         "route_density": q_route_density,
+        "way_crossings": q_way_crossings,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -6751,6 +6819,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_assembly": _diff_assembly_oracle(),
         "tile_clip": _tile_clip_oracle(),
         "route_density": _route_density_oracle(),
+        "way_crossings": _way_crossings_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
