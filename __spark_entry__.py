@@ -2268,6 +2268,75 @@ def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_stats(pts, stay_m=_TRIP_STAY_M)
 
 
+_HAUS_D_M = 2500.0
+_HAUS_SAMPLE = 7  # event subsample modulus — keeps the brute-force oracle small
+
+
+def _hausdorff_oracle() -> str:
+    """Brute-force symmetric Hausdorff over all user-trajectory pairs:
+    same position synth as the trip family, same haversine op order as
+    ``haversine_m`` (the cross-engine-exact form every radius/DBSCAN
+    oracle replays), min→max→greatest exact selections, mm rounding."""
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    d = repr(float(_HAUS_D_M))
+    return f"""
+        WITH pts AS (
+            SELECT user_id, event_id,
+                   ([{lats}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events WHERE event_id % {_HAUS_SAMPLE} = 0
+        ),
+        mind AS (
+            SELECT p.user_id AS ua, q.user_id AS ub, p.event_id AS pe,
+                   min(2.0 * 6371000.0 * asin(sqrt(
+                        pow(sin(radians(q.lat - p.lat) / 2.0), 2)
+                      + cos(radians(p.lat)) * cos(radians(q.lat))
+                        * pow(sin(radians(q.lon - p.lon) / 2.0), 2)))) AS md
+            FROM pts p JOIN pts q ON p.user_id <> q.user_id
+            GROUP BY 1, 2, 3
+        ),
+        dirh AS (SELECT ua, ub, max(md) AS dh FROM mind GROUP BY ua, ub),
+        sym AS (
+            SELECT d1.ua AS trip_a, d1.ub AS trip_b,
+                   greatest(d1.dh, d2.dh) AS h
+            FROM dirh d1 JOIN dirh d2 ON d1.ua = d2.ub AND d1.ub = d2.ua
+            WHERE d1.ua < d1.ub
+        )
+        SELECT trip_a, trip_b, CAST(round(h * 1000.0) AS BIGINT) AS h_mm
+        FROM sym WHERE h <= {d}
+    """
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 trajectory-similarity join (geo/trajsim.py hausdorff_join):
+    per-trip distinct cell sets → K-disk candidate equi-join → codegen
+    max-min Hausdorff fold over per-trip point arrays, vs a DuckDB
+    brute-force replay over every user-trajectory pair. The probe-data
+    use: which users' tracks cover the same ground (route conflation /
+    GPS-track dedup)."""
+    _prep(spark)
+    from osm_spark.geo.trajsim import hausdorff_join
+    from osm_spark.pipeline.pages import CITIES
+
+    ev = _t(spark, sf_dir, "events").where(f"event_id % {_HAUS_SAMPLE} = 0")
+    city = (F.col("user_id") % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    did = F.col("event_id")
+    pts = ev.select(
+        F.col("user_id").alias("trip_id"),
+        (clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lat"),
+        (clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lon"),
+    )
+    return hausdorff_join(pts, _HAUS_D_M)
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -6716,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clip": q_tile_clip,
         "route_density": q_route_density,
         "way_crossings": q_way_crossings,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -6820,6 +6890,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_clip": _tile_clip_oracle(),
         "route_density": _route_density_oracle(),
         "way_crossings": _way_crossings_oracle(),
+        "hausdorff_pairs": _hausdorff_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
