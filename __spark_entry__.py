@@ -1694,6 +1694,75 @@ def _way_crossings_oracle(scale: int = 100_000) -> str:
     """
 
 
+_RESAMPLE_STEP_M = 250.0
+
+
+def _way_resample_oracle() -> str:
+    """Replay of geo/resample.py: per-segment mm lengths (trip_stats'
+    quantize-early idiom, same haversine op order), window exclusive
+    prefix sums (integer-exact), identical double-floor k-ranges and
+    the identical single-division interpolation before micro-degree
+    rounding."""
+    s = int(round(_RESAMPLE_STEP_M * 1000.0))
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        segs AS (
+            SELECT way_id, CAST(i AS INT) AS i,
+                   vlat[i] AS alat, vlon[i] AS alon,
+                   vlat[(i % len(vlat)) + 1] AS blat,
+                   vlon[(i % len(vlat)) + 1] AS blon,
+                   CAST(round(2.0 * 6371000.0 * asin(sqrt(
+                        pow(sin(radians(vlat[(i % len(vlat)) + 1] - vlat[i]) / 2.0), 2)
+                      + cos(radians(vlat[i])) * cos(radians(vlat[(i % len(vlat)) + 1]))
+                        * pow(sin(radians(vlon[(i % len(vlat)) + 1] - vlon[i]) / 2.0), 2)))
+                        * 1000.0) AS BIGINT) AS seg_mm
+            FROM poly, UNNEST(range(1, len(vlat) + 1)) AS t(i)
+        ),
+        cum AS (
+            SELECT *, COALESCE(SUM(seg_mm) OVER (
+                PARTITION BY way_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+            FROM segs
+        ),
+        ks AS (
+            SELECT way_id, alat, alon, blat, blon, seg_mm, cum_prev, k
+            FROM cum, UNNEST(generate_series(
+                CAST(floor(CAST(cum_prev + {s} - 1 AS DOUBLE) / {s}) AS BIGINT),
+                CAST(floor(CAST(cum_prev + seg_mm + {s} - 1 AS DOUBLE) / {s}) AS BIGINT) - 1
+            )) AS g(k)
+        )
+        SELECT way_id, k,
+               CAST(round((alat + (CAST(k * {s} - cum_prev AS DOUBLE)
+                    / CAST(seg_mm AS DOUBLE)) * (blat - alat)) * 1000000.0)
+                    AS BIGINT) AS qlat,
+               CAST(round((alon + (CAST(k * {s} - cum_prev AS DOUBLE)
+                    / CAST(seg_mm AS DOUBLE)) * (blon - alon)) * 1000000.0)
+                    AS BIGINT) AS qlon
+        FROM ks
+    """
+
+
+def q_way_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 polyline densification (geo/resample.py resample_ways):
+    way rings → per-segment mm lengths → shuffle-free array prefix sums
+    → k-range Generate → interpolated micro-degree points, vs a DuckDB
+    window replay of the identical quantize-early arithmetic. The map-
+    matching preprocessor: evenly-spaced vertices along every way."""
+    _prep(spark)
+    from osm_spark.geo.resample import resample_ways
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    return resample_ways(ways, _RESAMPLE_STEP_M, closed=True)
+
+
 def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 line×line conflation join (geo/crossings.py
     segment_crossings): way rings → quantized segments → bbox grid-cell
@@ -6786,6 +6855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_density": q_route_density,
         "way_crossings": q_way_crossings,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "way_resample": q_way_resample,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -6891,6 +6961,7 @@ def oracle_sql() -> dict[str, str]:
         "route_density": _route_density_oracle(),
         "way_crossings": _way_crossings_oracle(),
         "hausdorff_pairs": _hausdorff_oracle(),
+        "way_resample": _way_resample_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
