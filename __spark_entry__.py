@@ -4880,6 +4880,96 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distances(edges, _LANDMARKS, _SSSP_HOPS)
 
 
+_ISO_BUDGET_MM = 30_000_000  # 30 km isochrone budget
+
+
+def _isochrone_hull_oracle() -> str:
+    """Composition oracle chaining two proven blocks end-to-end: the
+    multi-seed hop-bounded walk enumeration (the landmark_distances
+    gate) filtered to the budget, positions decoded from the shared
+    vertex-id scheme (id = way_id·100 + i), then the pair-certificate
+    hull characterization (the convex_hull gate) per landmark over the
+    micro-degree-quantized reached set — integer cross products, exact
+    by construction."""
+    seeds = ", ".join(f"(CAST({lm} AS BIGINT))" for lm in _LANDMARKS)
+    reach_block = f"""
+        reach(lm, id, d, h) AS (
+            SELECT lm, lm, CAST(0 AS BIGINT), 0
+            FROM (VALUES {seeds}) s(lm)
+            UNION
+            SELECT reach.lm, e.dst, reach.d + e.w, reach.h + 1
+            FROM reach JOIN edges e ON e.src = reach.id
+            WHERE reach.h < {_SSSP_HOPS}
+        ),
+        dists AS (
+            SELECT id, lm AS landmark, MIN(d) AS dist_mm
+            FROM reach GROUP BY id, lm
+        ),
+        pts AS (
+            SELECT DISTINCT d.landmark,
+                   CAST(round(p.vlon[CAST(d.id % 100 AS INT) + 1]
+                        * 1000000.0) AS BIGINT) AS qx,
+                   CAST(round(p.vlat[CAST(d.id % 100 AS INT) + 1]
+                        * 1000000.0) AS BIGINT) AS qy
+            FROM dists d JOIN poly p ON p.way_id = d.id // 100
+            WHERE d.dist_mm <= {_ISO_BUDGET_MM}
+        )
+        """
+    final_select = """
+        SELECT DISTINCT p.landmark, p.qx, p.qy
+        FROM pts p JOIN pts q
+          ON q.landmark = p.landmark AND (q.qx <> p.qx OR q.qy <> p.qy)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts r
+            WHERE r.landmark = p.landmark
+              AND (r.qx <> p.qx OR r.qy <> p.qy)
+              AND (r.qx <> q.qx OR r.qy <> q.qy)
+              AND ((q.qx - p.qx) * (r.qy - p.qy)
+                   - (q.qy - p.qy) * (r.qx - p.qx)) <= 0
+        )
+    """
+    return _sssp_oracle(final_select=final_select, reach_block=reach_block)
+
+
+def q_isochrone_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph × geo composition, gated end-to-end: ALT landmark
+    distances (graph/landmarks.py, one k-wide Bellman-Ford) → budget
+    filter → vertex positions decoded from the way-ring id scheme →
+    per-landmark distributed convex hull (geo/hull.py) — the isochrone
+    polygon product ("everything within 30 km of each hub"). Oracle
+    chains the same two proven blocks (walk enumeration + pair
+    certificate) over the shared fixture."""
+    _prep(spark)
+    from osm_spark.geo.hull import convex_hull
+    from osm_spark.graph.landmarks import landmark_distances
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    edges, _ = _sssp_graph(spark)
+    reached = landmark_distances(edges, _LANDMARKS, _SSSP_HOPS).where(
+        F.col("dist_mm") <= _ISO_BUDGET_MM
+    )
+    verts = synth_polygons(spark).select(
+        "way_id", F.posexplode("vlat").alias("i", "lat"), "vlon"
+    ).select(
+        (F.col("way_id") * 100 + F.col("i")).alias("id"),
+        F.round(F.element_at("vlon", F.col("i") + 1) * 1e6)
+        .cast("long")
+        .alias("qx"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("qy"),
+    )
+    pts = reached.join(verts, "id").select(
+        F.col("landmark").alias("grp"),
+        F.col("qx").cast("double").alias("px"),
+        F.col("qy").cast("double").alias("py"),
+    )
+    hull = convex_hull(pts)
+    return hull.select(
+        F.col("grp").cast("long").alias("landmark"),
+        F.col("px").cast("long").alias("qx"),
+        F.col("py").cast("long").alias("qy"),
+    )
+
+
 _HOTSPOT_Z = 15
 
 
@@ -6856,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_crossings": q_way_crossings,
         "hausdorff_pairs": q_hausdorff_pairs,
         "way_resample": q_way_resample,
+        "isochrone_hull": q_isochrone_hull,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -6962,6 +7053,7 @@ def oracle_sql() -> dict[str, str]:
         "way_crossings": _way_crossings_oracle(),
         "hausdorff_pairs": _hausdorff_oracle(),
         "way_resample": _way_resample_oracle(),
+        "isochrone_hull": _isochrone_hull_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
