@@ -2406,6 +2406,101 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(pts, _HAUS_D_M)
 
 
+_FRECHET_D_M = 6000.0
+_FRECHET_SAMPLE = 11  # event subsample modulus — bounds the DP oracle
+
+
+def _frechet_oracle() -> str:
+    """Brute-force discrete Fréchet over all user-trajectory pairs via
+    a recursive CTE that advances the Eiter-Mannila DP one A-point per
+    iteration, carrying the row as a LIST column. The row update uses
+    the closed form new[j] = min_{k≤j} max(window-max d over k..j,
+    prev-entry_k) — sequential-dependence-free, so it is expressible as
+    nested list lambdas. Exactness needs NO evaluation-order match: the
+    DP is pure min/max selection over the shared haversine leaves, so
+    this recursion and the engine's sequential codegen fold pick
+    bit-identical doubles."""
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    d = repr(float(_FRECHET_D_M))
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt("
+        " pow(sin(radians({q}.lat - {p}.lat) / 2.0), 2)"
+        " + cos(radians({p}.lat)) * cos(radians({q}.lat))"
+        " * pow(sin(radians({q}.lon - {p}.lon) / 2.0), 2)))"
+    )
+    d_row1 = hav.format(p="A[1]", q="B[t]")
+    d_step = hav.format(p="p.A[dp.i + 1]", q="p.B[t]")
+    return f"""
+        WITH RECURSIVE raw AS (
+            SELECT user_id, event_id,
+                   ([{lats}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(user_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events WHERE event_id % {_FRECHET_SAMPLE} = 0
+        ),
+        trips AS (
+            SELECT user_id,
+                   list(struct_pack(lat := lat, lon := lon)
+                        ORDER BY event_id) AS pts
+            FROM raw GROUP BY user_id
+        ),
+        pairs AS (
+            SELECT a.user_id AS ua, b.user_id AS ub, a.pts AS A, b.pts AS B
+            FROM trips a JOIN trips b ON a.user_id < b.user_id
+        ),
+        dp(ua, ub, i, row) AS (
+            SELECT ua, ub, 1,
+              list_transform(range(1, len(B) + 1), j ->
+                list_max(list_transform(range(1, j + 1), t -> {d_row1})))
+            FROM pairs
+            UNION ALL
+            SELECT dp.ua, dp.ub, dp.i + 1,
+              list_transform(range(1, len(p.B) + 1), j ->
+                list_min(list_transform(range(1, j + 1), k ->
+                  greatest(
+                    list_max(list_transform(range(k, j + 1), t -> {d_step})),
+                    CASE WHEN k = 1 THEN dp.row[1]
+                         ELSE least(dp.row[k], dp.row[k - 1]) END))))
+            FROM dp JOIN pairs p ON p.ua = dp.ua AND p.ub = dp.ub
+            WHERE dp.i < len(p.A)
+        )
+        SELECT dp.ua AS trip_a, dp.ub AS trip_b,
+               CAST(round(dp.row[len(p.B)] * 1000.0) AS BIGINT) AS f_mm
+        FROM dp JOIN pairs p ON p.ua = dp.ua AND p.ub = dp.ub
+        WHERE dp.i = len(p.A) AND dp.row[len(p.B)] <= {d}
+    """
+
+
+def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 order-aware trajectory similarity (geo/trajsim.py
+    frechet_join): cell-disk candidates → discrete Fréchet DP as nested
+    codegen `aggregate` folds over ordered point arrays, vs a DuckDB
+    recursive-CTE DP replay over every pair. Direction matters: the
+    same ground walked in reverse is Hausdorff-close but Fréchet-far —
+    the route-conflation discriminator hausdorff_pairs can't express."""
+    _prep(spark)
+    from osm_spark.geo.trajsim import frechet_join
+    from osm_spark.pipeline.pages import CITIES
+
+    ev = _t(spark, sf_dir, "events").where(f"event_id % {_FRECHET_SAMPLE} = 0")
+    city = (F.col("user_id") % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    did = F.col("event_id")
+    pts = ev.select(
+        F.col("user_id").alias("trip_id"),
+        F.col("event_id").alias("ord"),
+        (clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lat"),
+        (clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD).alias("lon"),
+    )
+    return frechet_join(pts, _FRECHET_D_M)
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -6947,6 +7042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "way_resample": q_way_resample,
         "isochrone_hull": q_isochrone_hull,
+        "frechet_pairs": q_frechet_pairs,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7054,6 +7150,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff_pairs": _hausdorff_oracle(),
         "way_resample": _way_resample_oracle(),
         "isochrone_hull": _isochrone_hull_oracle(),
+        "frechet_pairs": _frechet_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

@@ -55,7 +55,51 @@ from osm_spark.geo.hexgrid import hex_cell_expr, hex_disk_expr
 from osm_spark.geo.knn import haversine_m
 from osm_spark.geo.radius import plan_res, plan_ring
 
-__all__ = ["hausdorff_join"]
+__all__ = ["hausdorff_join", "frechet_join"]
+
+
+def _plan_cells(pts: DataFrame, d_max_m: float, res, max_abs_lat):
+    """Shared ring planning: (res, ring) from the distance bound and the
+    latitude bound (one memoized scalar when the caller has no catalog
+    stat — same contract as radius_join's ``n_nodes``)."""
+    if max_abs_lat is None:
+        from osm_spark.pipeline.stats import memoized_first
+
+        row = memoized_first(pts.agg(F.max(F.abs(F.col("lat")))))
+        if row[0] is None:
+            raise ValueError("trajectory join: points is empty")
+        max_abs_lat = float(row[0])
+    if res is None:
+        res = plan_res(d_max_m, max_abs_lat)
+    return res, plan_ring(d_max_m, res, max_abs_lat)
+
+
+def _cand_pairs(
+    pts: DataFrame, res: int, ring: int, salts: DataFrame | None
+) -> DataFrame:
+    """(trip_a, trip_b) candidate pairs, trip_a < trip_b — complete for
+    any similarity ≥ the closest cross-pair distance (Hausdorff and
+    Fréchet both are): per-trip DISTINCT cell sets, B side exploding
+    each cell's K-disk, cell equi-join (optionally hot-cell salted)."""
+    cell = hex_cell_expr("lat", "lon", res)
+    a_cells = pts.select(
+        F.col("_tid").alias("trip_a"), cell.alias("cell")
+    ).distinct()
+    b_cells = pts.select(
+        F.col("_tid").alias("trip_b"),
+        F.explode(hex_disk_expr(cell, res, ring)).alias("cell"),
+    ).distinct()
+    if salts is not None:
+        from osm_spark.pipeline.salting import salted_equi_join
+
+        cand = salted_equi_join(a_cells, b_cells, "cell", salts, "trip_a")
+    else:
+        cand = a_cells.join(b_cells.hint("shuffle_hash"), "cell")
+    return (
+        cand.where(F.col("trip_a") < F.col("trip_b"))
+        .select("trip_a", "trip_b")
+        .distinct()
+    )
 
 
 def hausdorff_join(
@@ -85,37 +129,8 @@ def hausdorff_join(
         F.col("lat").cast("double").alias("lat"),
         F.col("lon").cast("double").alias("lon"),
     )
-    if max_abs_lat is None:
-        from osm_spark.pipeline.stats import memoized_first
-
-        row = memoized_first(pts.agg(F.max(F.abs(F.col("lat")))))
-        if row[0] is None:
-            raise ValueError("hausdorff_join: points is empty")
-        max_abs_lat = float(row[0])
-    if res is None:
-        res = plan_res(d_max_m, max_abs_lat)
-    ring = plan_ring(d_max_m, res, max_abs_lat)
-
-    cell = hex_cell_expr("lat", "lon", res)
-    a_cells = pts.select(F.col("_tid").alias("trip_a"), cell.alias("cell")).distinct()
-    b_cells = (
-        pts.select(
-            F.col("_tid").alias("trip_b"),
-            F.explode(hex_disk_expr(cell, res, ring)).alias("cell"),
-        )
-        .distinct()
-    )
-    if salts is not None:
-        from osm_spark.pipeline.salting import salted_equi_join
-
-        cand = salted_equi_join(a_cells, b_cells, "cell", salts, "trip_a")
-    else:
-        cand = a_cells.join(b_cells.hint("shuffle_hash"), "cell")
-    cand = (
-        cand.where(F.col("trip_a") < F.col("trip_b"))
-        .select("trip_a", "trip_b")
-        .distinct()
-    )
+    res, ring = _plan_cells(pts, d_max_m, res, max_abs_lat)
+    cand = _cand_pairs(pts, res, ring, salts)
 
     arrs = pts.groupBy("_tid").agg(
         F.collect_list(F.struct("lat", "lon")).alias("pts")
@@ -156,5 +171,125 @@ def hausdorff_join(
             "trip_a",
             "trip_b",
             F.round(F.col("_h") * 1000.0).cast("long").alias("h_mm"),
+        )
+    )
+
+
+def frechet_join(
+    points: DataFrame,
+    d_max_m: float,
+    *,
+    res: int | None = None,
+    max_abs_lat: float | None = None,
+    id_col: str = "trip_id",
+    ord_col: str = "ord",
+    salts: DataFrame | None = None,
+) -> DataFrame:
+    """(trip_a, trip_b, f_mm) for every unordered trajectory pair with
+    DISCRETE FRECHET distance ≤ ``d_max_m`` meters (integer-millimeter
+    output) — the ORDER-AWARE similarity: two tracks over the same
+    ground in opposite directions are Hausdorff-close but Frechet-far.
+    ``points``: (trip_id, ord, lat, lon); ``ord`` must be unique within
+    a trip (timestamp / ping sequence) — it pins the curve order.
+
+    The Eiter-Mannila coupling DP runs entirely inside codegen as
+    nested ``aggregate`` folds over the ordered point arrays (zero
+    Python, zero extra shuffle; per-pair cost O(|A|x|B|)). Exactness
+    across engines comes free from the DP's ALGEBRA, not its evaluation
+    order: every cell is a min/max SELECTION over the shared haversine
+    leaves, so the sequential fold here and the DuckDB oracle's
+    closed-form recursion (min over k <= j of max(window-max d, prev
+    entry)) pick bit-identical doubles.
+
+    Candidates reuse the Hausdorff cell-disk rule — complete because
+    Hausdorff <= Frechet always."""
+    if d_max_m <= 0:
+        raise ValueError(f"d_max_m must be > 0, got {d_max_m}")
+    pts = points.select(
+        F.col(id_col).alias("_tid"),
+        F.col(ord_col).alias("_ord"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lon").cast("double").alias("lon"),
+    )
+    res, ring = _plan_cells(pts, d_max_m, res, max_abs_lat)
+    cand = _cand_pairs(pts.drop("_ord"), res, ring, salts)
+
+    arrs = (
+        pts.groupBy("_tid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_ord", "lat", "lon"))),
+                lambda s: F.struct(s["lat"].alias("lat"), s["lon"].alias("lon")),
+            ).alias("pts")
+        )
+    )
+    paired = (
+        cand.join(
+            arrs.select(
+                F.col("_tid").alias("trip_a"), F.col("pts").alias("a_pts")
+            ).hint("shuffle_hash"),
+            "trip_a",
+        )
+        .join(
+            arrs.select(
+                F.col("_tid").alias("trip_b"), F.col("pts").alias("b_pts")
+            ).hint("shuffle_hash"),
+            "trip_b",
+        )
+    )
+    dist = lambda p, q: haversine_m(  # noqa: E731
+        p["lat"], p["lon"], q["lat"], q["lon"]
+    )
+    b = F.col("b_pts")
+    a1 = F.element_at(F.col("a_pts"), 1)
+    empty = F.array().cast("array<double>")
+    # row 1: running max of d(a1, b_j)
+    row1 = F.aggregate(
+        b,
+        empty,
+        lambda acc, q: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, dist(a1, q)).otherwise(
+                    F.greatest(dist(a1, q), F.element_at(acc, -1))
+                )
+            ),
+        ),
+    )
+    # rows 2..n: new[j] = max(d(ai,bj), min(prev[j], prev[j-1], new[j-1]))
+    # (j = 1 uses prev[1] alone) — one inner index fold per outer point
+    inner = lambda prev, a: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(1), F.size(b)),
+        empty,
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    dist(a, F.element_at(b, j.cast("int"))),
+                    F.when(
+                        j == 1, F.element_at(prev, 1)
+                    ).otherwise(
+                        F.least(
+                            F.element_at(prev, j.cast("int")),
+                            F.element_at(prev, (j - 1).cast("int")),
+                            F.element_at(acc, -1),
+                        )
+                    ),
+                )
+            ),
+        ),
+    )
+    final_row = F.aggregate(
+        F.slice(F.col("a_pts"), F.lit(2), F.size("a_pts") - 1),
+        row1,
+        inner,
+    )
+    return (
+        paired.withColumn("_f", F.element_at(final_row, -1))
+        .where(F.col("_f") <= F.lit(float(d_max_m)))
+        .select(
+            "trip_a",
+            "trip_b",
+            F.round(F.col("_f") * 1000.0).cast("long").alias("f_mm"),
         )
     )

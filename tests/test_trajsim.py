@@ -132,3 +132,108 @@ def test_plan_no_cartesian_shuffle_hash(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+# --- discrete Fréchet (frechet_join) ----------------------------------
+
+def _frechet(A, B):
+    prev = None
+    for i, a in enumerate(A):
+        row = [0.0] * len(B)
+        for j, bp in enumerate(B):
+            d = _hav(a, bp)
+            if i == 0 and j == 0:
+                row[j] = d
+            elif i == 0:
+                row[j] = max(d, row[j - 1])
+            elif j == 0:
+                row[j] = max(d, prev[0])
+            else:
+                row[j] = max(d, min(prev[j], prev[j - 1], row[j - 1]))
+        prev = row
+    return prev[-1]
+
+
+def _fdf(spark, trips):
+    rows = [(t, i, la, lo)
+            for t, pts in trips.items() for i, (la, lo) in enumerate(pts)]
+    return spark.createDataFrame(
+        rows, "trip_id long, ord int, lat double, lon double")
+
+
+def _fbrute(trips, d):
+    out = []
+    for a, b in itertools.combinations(sorted(trips), 2):
+        f = _frechet(trips[a], trips[b])
+        if f <= d:
+            out.append((a, b, round(f * 1000)))
+    return sorted(out)
+
+
+def test_frechet_brute_force_parity(spark):
+    from osm_spark.geo.trajsim import frechet_join
+
+    trips = _cloud(seed=13)
+    d = 1100.0
+    exp = _fbrute(trips, d)
+    got = sorted(tuple(r) for r in frechet_join(_fdf(spark, trips), d).collect())
+    assert got == exp
+    assert 0 < len(exp) < len(trips) * (len(trips) - 1) // 2
+
+
+def test_frechet_detects_direction(spark):
+    from osm_spark.geo.trajsim import frechet_join
+
+    # same ground, opposite directions: Hausdorff 0, Fréchet ≈ track length
+    pts = [(51.5, -0.13), (51.51, -0.13), (51.52, -0.13)]
+    trips = {1: pts, 2: list(reversed(pts))}
+    df = _fdf(spark, trips)
+    assert sorted(tuple(r) for r in hausdorff_join(
+        df.drop("ord"), 10.0).collect()) == [(1, 2, 0)]
+    assert frechet_join(df, 1000.0).collect() == []     # not Fréchet-close
+    got = frechet_join(df, 5000.0).collect()
+    assert len(got) == 1
+    assert got[0].f_mm == round(_frechet(trips[1], trips[2]) * 1000)
+
+
+def test_frechet_at_least_hausdorff(spark):
+    from osm_spark.geo.trajsim import frechet_join
+
+    trips = _cloud(seed=17)
+    df = _fdf(spark, trips)
+    d = 1500.0
+    h = {(r.trip_a, r.trip_b): r.h_mm
+         for r in hausdorff_join(df.drop("ord"), d).collect()}
+    f = {(r.trip_a, r.trip_b): r.f_mm
+         for r in frechet_join(df, d).collect()}
+    assert set(f) <= set(h)          # Fréchet-close ⇒ Hausdorff-close
+    for k, fv in f.items():
+        assert fv >= h[k]            # H ≤ F pointwise
+
+
+def test_frechet_salted_equals_unsalted(spark):
+    from pyspark.sql import functions as F
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.geo.radius import plan_res
+    from osm_spark.geo.trajsim import frechet_join
+
+    trips = _cloud(seed=19)
+    df = _fdf(spark, trips)
+    d = 1100.0
+    res = plan_res(d, 51.6)
+    cells = df.select(
+        F.col("trip_id").alias("trip_a"),
+        hex_cell_expr("lat", "lon", res).alias("cell"),
+    ).distinct()
+    salts = key_salt_plan(cells, "cell", target=2)
+    assert salts.count() > 0
+    plain = sorted(tuple(r) for r in frechet_join(df, d).collect())
+    salted = sorted(tuple(r) for r in frechet_join(df, d, salts=salts).collect())
+    assert salted == plain
+
+
+def test_frechet_bad_threshold_raises(spark):
+    from osm_spark.geo.trajsim import frechet_join
+
+    with pytest.raises(ValueError, match="d_max_m"):
+        frechet_join(_fdf(spark, {1: [(51.5, -0.13)]}), -1.0)
