@@ -2406,6 +2406,64 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(pts, _HAUS_D_M)
 
 
+_TOKQ_QS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _token_quantiles_oracle() -> str:
+    """Histogram-cumulative replay of text/quantiles.py: the engine's
+    word_frequencies tokenizer policy (space split, zero-length tokens
+    dropped), per-(lang, count) histogram, window cumulative sums over
+    the histogram only, identical rank arithmetic floor(q·(n−1)) + 1.
+    Integer values in and out; the q column is the same literal double
+    in both engines."""
+    qs = ", ".join(repr(float(q)) for q in _TOKQ_QS)
+    return f"""
+        WITH toks AS (
+            SELECT lang,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> len(w) > 0)) AS BIGINT) AS v
+            FROM documents WHERE text IS NOT NULL
+        ),
+        hist AS (SELECT lang, v, count(*) AS c FROM toks GROUP BY 1, 2),
+        cum AS (
+            SELECT lang, v, c,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cm,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM hist
+        )
+        SELECT lang, q, v AS value
+        FROM cum, (SELECT unnest([{qs}]) AS q) qs
+        WHERE cm - c < CAST(floor(q * (n - 1)) AS BIGINT) + 1
+          AND CAST(floor(q * (n - 1)) AS BIGINT) + 1 <= cm
+    """
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation quantile dashboard (text/quantiles.py
+    histogram_quantiles): exact per-language token-count disc-quantiles
+    WITHOUT sorting the corpus — the big axis collapses to a
+    map-side-combined (lang, count) histogram and the window runs over
+    the histogram only, vs a DuckDB replay of the identical rank
+    arithmetic."""
+    _prep(spark)
+    from osm_spark.text.quantiles import histogram_quantiles
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda w: F.length(w) > 0
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return histogram_quantiles(toks, "lang", "n_tokens", _TOKQ_QS).select(
+        "lang", "q", F.col("n_tokens").alias("value")
+    )
+
+
 _FRECHET_D_M = 6000.0
 _FRECHET_SAMPLE = 11  # event subsample modulus — bounds the DP oracle
 
@@ -7043,6 +7101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_resample": q_way_resample,
         "isochrone_hull": q_isochrone_hull,
         "frechet_pairs": q_frechet_pairs,
+        "token_quantiles": q_token_quantiles,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7151,6 +7210,7 @@ def oracle_sql() -> dict[str, str]:
         "way_resample": _way_resample_oracle(),
         "isochrone_hull": _isochrone_hull_oracle(),
         "frechet_pairs": _frechet_oracle(),
+        "token_quantiles": _token_quantiles_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

@@ -1,72 +1,79 @@
-"""Exact integer quantiles (osm_spark/functions/quantiles.py) vs numpy
-nearest-rank, plus the no-global-sort plan guarantee."""
+"""Exact histogram quantiles (text/quantiles.py): manual rank-math
+cases, tie-heavy distributions, edge quantiles, null handling, guards,
+and the histogram-before-window plan shape."""
 
 from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 import pytest
 
-from osm_spark.functions.quantiles import integer_quantiles, robust_cut
+from osm_spark.text.quantiles import histogram_quantiles
 
 
-def _nearest_rank(xs: list[int], p: float) -> int:
-    s = sorted(xs)
-    return s[math.ceil(p * len(s)) - 1]
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "grp string, v long")
 
 
-@pytest.fixture(scope="module")
-def vals(spark):
-    rng = np.random.default_rng(11)
-    xs = [int(x) for x in rng.integers(0, 500, 3000)] + [10_000, -7]
-    return xs, spark.createDataFrame(pd.DataFrame({"n": xs}))
+def _disc(values, q):
+    s = sorted(values)
+    return s[math.floor(q * (len(s) - 1))]
 
 
-def test_quantiles_match_nearest_rank(spark, vals):
-    xs, df = vals
-    probs = [0.01, 0.5, 0.99, 1.0]
-    got = {
-        r.prob_pmille: r.value
-        for r in integer_quantiles(df, "n", probs).collect()
-    }
-    assert got == {
-        round(p * 1000): _nearest_rank(xs, p) for p in probs
-    }
-    # p = 1.0 must hit the true max (the outlier), p small the negative
-    assert got[1000] == 10_000
+def test_manual_rank_math(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = _df(spark, [("a", v) for v in vals])
+    qs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = {r.q: r.v for r in histogram_quantiles(df, "grp", "v", qs).collect()}
+    assert got == {q: _disc(vals, q) for q in qs}
 
 
-def test_quantiles_validation(spark, vals):
-    _, df = vals
-    with pytest.raises(ValueError):
-        integer_quantiles(df, "n", [])
-    with pytest.raises(ValueError):
-        integer_quantiles(df, "n", [0.0])
-    with pytest.raises(ValueError):
-        integer_quantiles(df, "n", [1.5])
+def test_tie_heavy_distribution(spark):
+    # 90% of mass on one value — cumulative logic must cross it once
+    vals = [7] * 90 + list(range(10))
+    df = _df(spark, [("a", v) for v in vals])
+    qs = [0.05, 0.5, 0.95, 0.99]
+    got = {r.q: r.v for r in histogram_quantiles(df, "grp", "v", qs).collect()}
+    assert got == {q: _disc(vals, q) for q in qs}
 
 
-def test_robust_cut_trims_outliers(spark, vals):
-    xs, df = vals
-    lo, hi = _nearest_rank(xs, 0.01), _nearest_rank(xs, 0.99)
-    got = robust_cut(df, "n", 0.01, 0.99).toPandas()
-    assert len(got) == sum(1 for x in xs if lo <= x <= hi)
-    assert got.n.min() >= lo and got.n.max() <= hi
-    assert 10_000 not in set(got.n) and -7 not in set(got.n)
+def test_multiple_groups_independent(spark):
+    rows = [("a", v) for v in range(100)] + [("b", v) for v in [5, 5, 5]]
+    got = histogram_quantiles(_df(spark, rows), "grp", "v", [0.5]).collect()
+    by_grp = {r.grp: r.v for r in got}
+    assert by_grp == {"a": _disc(list(range(100)), 0.5), "b": 5}
 
 
-def test_quantiles_never_sort_the_data(spark, vals):
-    """The only window sort must be over the HISTOGRAM aggregate, never
-    the raw data: assert every Sort in the plan sits above an agg."""
-    _, df = vals
-    plan = (
-        integer_quantiles(df, "n", [0.5])
-        ._jdf.queryExecution().executedPlan().toString()
+def test_single_row_group(spark):
+    got = histogram_quantiles(
+        _df(spark, [("a", 42)]), "grp", "v", [0.0, 0.5, 1.0]
+    ).collect()
+    assert sorted((r.q, r.v) for r in got) == [(0.0, 42), (0.5, 42), (1.0, 42)]
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3)], "grp string, v long"
     )
-    # a global data sort would plan as a rangepartitioning Exchange;
-    # the only allowed sort feeds the histogram-sized window, which
-    # arrives via the partial-aggregated hash exchange on the value
-    assert "rangepartitioning" not in plan.lower()
-    assert "Exchange hashpartitioning(" in plan
+    got = {r.q: r.v for r in histogram_quantiles(df, "grp", "v", [1.0]).collect()}
+    assert got == {1.0: 3}
+
+
+def test_guards(spark):
+    df = _df(spark, [("a", 1)])
+    with pytest.raises(ValueError, match="non-empty"):
+        histogram_quantiles(df, "grp", "v", [])
+    with pytest.raises(ValueError, match="0, 1"):
+        histogram_quantiles(df, "grp", "v", [0.5, 1.5])
+
+
+def test_plan_windows_over_histogram(spark):
+    # the aggregate must collapse the data BEFORE the window: exactly
+    # one partial/final aggregate pair feeding the window, and the
+    # window's sort sees histogram rows, not input rows
+    df = _df(spark, [("a", v % 7) for v in range(1000)])
+    out = histogram_quantiles(df, "grp", "v", [0.5, 0.9])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Window")  # agg below window
+    assert "CartesianProduct" not in plan
