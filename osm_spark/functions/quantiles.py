@@ -20,6 +20,11 @@ both: the exact histogram method —
 
 Every output is an exact integer — value-hash gateable with no
 quantization at all.
+
+Sibling: ``text/quantiles.histogram_quantiles`` is the GROUPED form of
+the same histogram method (per-language / per-source dashboards) —
+its cumulative window partitions by the group key, so use it whenever
+a group column exists; this module is the global-scalar case.
 """
 
 from __future__ import annotations

@@ -24,6 +24,13 @@ quantile — the element at 1-based rank ``floor(q·(n−1)) + 1`` of the
 ascending multiset. Always an actual data value (never interpolated),
 which is also what keeps the cross-engine gate trivial: integer in,
 integer out.
+
+Sibling: ``functions/quantiles.integer_quantiles`` is the GLOBAL
+(ungrouped) form of the same histogram method — its cumulative window
+is necessarily single-partition (safe only because the input is the
+histogram), while this grouped form partitions the window BY GROUP, so
+the histogram scan parallelizes across groups too. Global = that
+module; per-group = this one.
 """
 
 from __future__ import annotations
