@@ -2406,6 +2406,67 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(pts, _HAUS_D_M)
 
 
+_CONT_T = 0.98
+_CONT_DF = 0.9
+_CONT_MIN_SET = 5
+
+
+def _containment_oracle() -> str:
+    """Brute-ish replay of text/containment.py: same tokenizer policy,
+    same df-cut and min-set floor, exact integer intersections from the
+    term-keyed self-join, identical ppm rounding — the threshold
+    compares the ROUNDED value in both engines (the simjoin boundary
+    idiom)."""
+    t_ppm = int(round(_CONT_T * 1e6))
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        toks AS (
+            SELECT DISTINCT doc_id, t AS term
+            FROM base, UNNEST(list_filter(string_split(lower(text), ' '),
+                 w -> len(w) > 0)) AS u(t)
+        ),
+        dfed AS (
+            SELECT term FROM toks GROUP BY term
+            HAVING CAST(count(*) AS DOUBLE)
+                   <= {_CONT_DF!r} * (SELECT CAST(count(*) AS DOUBLE) FROM base)
+        ),
+        kept0 AS (SELECT toks.doc_id, toks.term FROM toks JOIN dfed USING (term)),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM kept0
+            GROUP BY doc_id HAVING count(*) >= {_CONT_MIN_SET}
+        ),
+        kept AS (SELECT k.* FROM kept0 k SEMI JOIN sizes s ON s.doc_id = k.doc_id),
+        inter AS (
+            SELECT a.doc_id AS contained, b.doc_id AS container,
+                   count(*) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.term = b.term AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.contained, i.container, i.n_shared, s.n AS n_contained,
+               CAST(round(CAST(i.n_shared AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS c_ppm
+        FROM inter i JOIN sizes s ON s.doc_id = i.contained
+        WHERE CAST(round(CAST(i.n_shared AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   * 1000000.0) AS BIGINT) >= {t_ppm}
+    """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join (text/containment.py containment_join):
+    Broder containment over post-df-cut token sets via the exact
+    inverted-index self-join — the size-skew case (doc quoted inside a
+    container page) the whole Jaccard stack misses — vs a DuckDB replay
+    of the identical cut/floor/intersection/rounding chain."""
+    _prep(spark)
+    from osm_spark.text.containment import containment_join
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_join(
+        d, _CONT_T, max_df_ratio=_CONT_DF, min_set=_CONT_MIN_SET
+    )
+
+
 _TOKQ_QS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -7102,6 +7163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_hull": q_isochrone_hull,
         "frechet_pairs": q_frechet_pairs,
         "token_quantiles": q_token_quantiles,
+        "containment_pairs": q_containment_pairs,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7211,6 +7273,7 @@ def oracle_sql() -> dict[str, str]:
         "isochrone_hull": _isochrone_hull_oracle(),
         "frechet_pairs": _frechet_oracle(),
         "token_quantiles": _token_quantiles_oracle(),
+        "containment_pairs": _containment_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
