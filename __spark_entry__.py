@@ -5094,6 +5094,109 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distances(edges, _LANDMARKS, _SSSP_HOPS)
 
 
+def _scc_graph(spark: SparkSession) -> DataFrame:
+    """Directed way-ring fixture for the SCC gate (3 ways per city to
+    bound propagation depth): ring edges run ONE WAY around each ring
+    (each ring = a directed cycle = one SCC), forward-only shortcuts
+    chain the heads within a city (DAG links), and EVEN cities add one
+    back edge head(w+2) → head(w) that merges the city's three rings
+    into a single SCC — so the answer mixes merged-city SCCs, isolated
+    ring SCCs and a nontrivial condensation chain."""
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark, n_per_city=3)
+    v = ways.select(
+        "way_id",
+        F.size("vlat").alias("nv"),
+        F.explode(F.sequence(F.lit(0), F.size("vlat") - 1)).alias("i"),
+    )
+    ring_e = v.select(
+        (F.col("way_id") * 100 + F.col("i")).alias("src"),
+        (F.col("way_id") * 100 + (F.col("i") + 1) % F.col("nv")).alias("dst"),
+    )
+    heads = ways.select("way_id")
+    short_e = heads.where((F.col("way_id") - 1000) % 3 < 2).select(
+        (F.col("way_id") * 100).alias("src"),
+        ((F.col("way_id") + 1) * 100).alias("dst"),
+    )
+    back_e = heads.where(
+        ((F.col("way_id") - 1000) % 3 == 2)
+        & (((F.col("way_id") - 1000) / 3).cast("long") % 2 == 0)
+    ).select(
+        (F.col("way_id") * 100).alias("src"),
+        ((F.col("way_id") - 2) * 100).alias("dst"),
+    )
+    return ring_e.unionByName(short_e).unionByName(back_e)
+
+
+def _scc_oracle() -> str:
+    """Ground truth by definition: full transitive closure (recursive
+    CTE, UNION-deduped so it terminates on cycles) over the same
+    directed fixture, then scc(v) = min({v} ∪ {w : v ⇝ w ∧ w ⇝ v}) —
+    a characterization completely independent of the engine's
+    coloring algorithm."""
+    return f"""
+        WITH RECURSIVE poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql(n_per_city=3)}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat
+            FROM poly0
+        ),
+        verts AS (
+            SELECT way_id, len(vlat) AS nv, unnest(range(len(vlat))) AS i
+            FROM poly
+        ),
+        ring_e AS (
+            SELECT way_id * 100 + i AS src,
+                   way_id * 100 + (i + 1) % nv AS dst
+            FROM verts
+        ),
+        short_e AS (
+            SELECT way_id * 100 AS src, (way_id + 1) * 100 AS dst
+            FROM poly WHERE (way_id - 1000) % 3 < 2
+        ),
+        back_e AS (
+            SELECT way_id * 100 AS src, (way_id - 2) * 100 AS dst
+            FROM poly
+            WHERE (way_id - 1000) % 3 = 2 AND ((way_id - 1000) // 3) % 2 = 0
+        ),
+        edges AS (
+            SELECT src, dst FROM ring_e
+            UNION SELECT src, dst FROM short_e
+            UNION SELECT src, dst FROM back_e
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        vs AS (
+            SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+        ),
+        mutual AS (
+            SELECT r1.src AS id, r1.dst AS other
+            FROM reach r1 JOIN reach r2
+              ON r2.src = r1.dst AND r2.dst = r1.src
+        )
+        SELECT vs.id, LEAST(vs.id, COALESCE(MIN(m.other), vs.id)) AS scc
+        FROM vs LEFT JOIN mutual m ON m.id = vs.id
+        GROUP BY vs.id
+    """
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: strongly connected components (graph/scc.py) — the
+    web-bowtie primitive the undirected CC can't express — via
+    forward/backward pointer-doubled min-coloring rounds, vs a DuckDB
+    full-transitive-closure oracle (mutual-reachability by definition)
+    over the directed way-ring fixture."""
+    _prep(spark)
+    from osm_spark.graph.scc import strongly_connected_components
+
+    return strongly_connected_components(_scc_graph(spark))
+
+
 _ISO_BUDGET_MM = 30_000_000  # 30 km isochrone budget
 
 
@@ -7164,6 +7267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_pairs": q_frechet_pairs,
         "token_quantiles": q_token_quantiles,
         "containment_pairs": q_containment_pairs,
+        "scc": q_scc,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7274,6 +7378,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_pairs": _frechet_oracle(),
         "token_quantiles": _token_quantiles_oracle(),
         "containment_pairs": _containment_oracle(),
+        "scc": _scc_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

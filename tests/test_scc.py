@@ -1,0 +1,91 @@
+"""Strongly connected components (graph/scc.py): hand condensation
+case, random-graph parity against a reachability-closure ground truth,
+directedness (vs undirected CC), tolerance edges, and guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_spark.graph.scc import strongly_connected_components
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = strongly_connected_components(df, **kw)
+    return sorted((r.id, r.scc) for r in out.collect())
+
+
+def _truth(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    def reach(s):
+        seen, st = {s}, [s]
+        while st:
+            u = st.pop()
+            for w in adj.get(u, []):
+                if w not in seen:
+                    seen.add(w)
+                    st.append(w)
+        return seen
+
+    vs = sorted({x for e in edges for x in e})
+    R = {v: reach(v) for v in vs}
+    return sorted(
+        (v, min([v] + [w for w in R[v] if v in R[w]])) for v in vs
+    )
+
+
+def test_hand_condensation_chain(spark):
+    # cycle {1,2,3} → singleton 4 → cycle {5,6}; disjoint edge 7→8
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (7, 8)]
+    assert _run(spark, edges) == [
+        (1, 1), (2, 1), (3, 1), (4, 4),
+        (5, 5), (6, 5), (7, 7), (8, 8),
+    ]
+
+
+def test_direction_matters(spark):
+    # a→b and b→a are one SCC; a→b alone is two — undirected CC
+    # cannot tell these apart
+    assert _run(spark, [(1, 2), (2, 1)]) == [(1, 1), (2, 1)]
+    assert _run(spark, [(1, 2)]) == [(1, 1), (2, 2)]
+
+
+def test_self_loops_and_duplicates_tolerated(spark):
+    edges = [(1, 1), (1, 2), (1, 2), (2, 1)]
+    assert _run(spark, edges) == [(1, 1), (2, 1)]
+
+
+def test_random_graph_matches_closure_truth(spark):
+    rng = np.random.RandomState(3)
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    edges = sorted(edges)
+    got = _run(spark, edges, max_rounds=40)
+    assert got == _truth(edges)
+    n_sccs = len({s for _, s in got})
+    assert 1 < n_sccs < len(got)  # nontrivial structure
+
+
+def test_long_cycle_single_scc(spark):
+    # one directed 32-cycle: a single SCC. The forward color phase
+    # closes in O(log n) rounds (shortcut compression), but the
+    # backward phase is the adversarial single-wavefront case and
+    # needs ~n rounds — the documented O(diameter) worst case, inside
+    # the default max_prop guard
+    n = 32
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = _run(spark, edges)
+    assert got == [(i, 0) for i in range(n)]
+
+
+def test_max_rounds_guard(spark):
+    # chain of 3 singleton SCCs needs 3 outer rounds — guard of 1 raises
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        _run(spark, [(1, 2), (2, 3)], max_rounds=1)
