@@ -2477,7 +2477,10 @@ def _token_quantiles_oracle() -> str:
     the histogram only, identical rank arithmetic floor(q·(n−1)) + 1.
     Integer values in and out; the q column is the same literal double
     in both engines."""
-    qs = ", ".join(repr(float(q)) for q in _TOKQ_QS)
+    # explicit DOUBLE casts: bare 0.5 literals type as DECIMAL(x,y) in
+    # DuckDB, whose canonical string ('0.50') diverges from the Spark
+    # double ('0.5') under fetchall-based comparators
+    qs = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in _TOKQ_QS)
     return f"""
         WITH toks AS (
             SELECT lang,
