@@ -5188,6 +5188,50 @@ def _scc_oracle() -> str:
     """
 
 
+def _bowtie_oracle() -> str:
+    """Same closure fixture as the SCC oracle, classified by
+    definition: core = largest SCC (ties → min scc id), in = reaches
+    the core, out = reachable from it, other = the rest."""
+    base = _scc_oracle()
+    head, final = base.rsplit("SELECT vs.id,", 1)
+    return f"""{head}
+        , sccs AS (
+            SELECT vs.id, LEAST(vs.id, COALESCE(MIN(m.other), vs.id)) AS scc
+            FROM vs LEFT JOIN mutual m ON m.id = vs.id
+            GROUP BY vs.id
+        ),
+        core AS (
+            SELECT scc FROM sccs GROUP BY scc
+            ORDER BY count(*) DESC, scc ASC LIMIT 1
+        ),
+        core_members AS (
+            SELECT id FROM sccs WHERE scc = (SELECT scc FROM core)
+        )
+        SELECT s.id, s.scc,
+               CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM reach r
+                                 JOIN core_members cm ON cm.id = r.dst
+                                 WHERE r.src = s.id) THEN 'in'
+                    WHEN EXISTS (SELECT 1 FROM reach r
+                                 JOIN core_members cm ON cm.id = r.src
+                                 WHERE r.dst = s.id) THEN 'out'
+                    ELSE 'other' END AS cls
+        FROM sccs s
+    """
+
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: Broder bowtie decomposition (graph/scc.py
+    bowtie_classes) — core / in / out / other around the largest SCC,
+    the classic web-structure analysis — via SCC + two sentinel-seeded
+    reachability floods, vs the closure oracle classified by
+    definition."""
+    _prep(spark)
+    from osm_spark.graph.scc import bowtie_classes
+
+    return bowtie_classes(_scc_graph(spark))
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph layer: strongly connected components (graph/scc.py) — the
     web-bowtie primitive the undirected CC can't express — via
@@ -7271,6 +7315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "containment_pairs": q_containment_pairs,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7382,6 +7427,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _token_quantiles_oracle(),
         "containment_pairs": _containment_oracle(),
         "scc": _scc_oracle(),
+        "bowtie": _bowtie_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

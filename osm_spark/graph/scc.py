@@ -44,7 +44,8 @@ Why phase 3 may restrict to same-color edges: if ``c(v) = r`` and
 v) and ``w ⇝ r``, hence w's min reacher equals r's — the whole path is
 color-r. Restricting the join to ``c(src) = c(dst)`` therefore loses
 nothing, keeps each round's propagation inside (small) color classes,
-and lets BOTH phases use the pointer-doubled O(log diameter) fold.
+and lets BOTH phases share the same shortcut-accelerated fold (same
+O(diameter) worst case as phase 1).
 
 Termination: every outer round removes at least one whole SCC per
 color class (its root's), so rounds are bounded by the longest
@@ -64,7 +65,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.graph.iterate import drop_truncated, truncate_lineage
 
-__all__ = ["strongly_connected_components"]
+__all__ = ["strongly_connected_components", "bowtie_classes"]
 
 
 def _fixpoint_min_color(
@@ -200,3 +201,85 @@ def strongly_connected_components(
         f"scc did not finish in max_rounds={max_rounds} outer rounds "
         "(condensation chain longer than max_rounds; raise the guard)"
     )
+
+
+def bowtie_classes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    max_prop: int = 100,
+) -> DataFrame:
+    """(id, scc, cls) — the Broder bowtie decomposition (WWW 2000) of a
+    directed graph around its largest SCC: ``core`` (the largest SCC;
+    ties break to the smaller scc id), ``in`` (reaches the core, not in
+    it), ``out`` (reachable from the core, not in it), ``other``
+    (tendrils, tubes and disconnected pieces). ``in`` and ``out`` are
+    disjoint by construction — a vertex with both properties would be
+    mutually reachable with the core and hence IN it.
+
+    The two reachability floods reuse the min-coloring fold with a
+    SENTINEL seed (min vertex id − 1): core members start at the
+    sentinel, everyone else at their own id, and after the forward
+    (resp. backward) fixpoint a vertex carries the sentinel iff the
+    core reaches it (resp. it reaches the core). The sentinel is
+    smaller than every id, so it dominates every min and the shortcut
+    lookup simply never finds a row for it. Driver-side state: the
+    core id and the min id — two bounded scalars (the engine's stat
+    idiom)."""
+    sccs = strongly_connected_components(
+        edges, src=src, dst=dst, max_rounds=max_rounds, max_prop=max_prop
+    )
+    sccs = truncate_lineage(sccs)
+    head = (
+        sccs.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc"))
+        .limit(1)
+        .collect()
+    )
+    core = head[0]["scc"]
+    min_id = sccs.agg(F.min("id")).collect()[0][0]
+    sentinel = int(min_id) - 1
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    seed = sccs.select(
+        "id",
+        F.when(F.col("scc") == F.lit(core), F.lit(sentinel))
+        .otherwise(F.col("id"))
+        .alias("c"),
+    )
+    fwd = _fixpoint_min_color(e, seed, max_prop)
+    bwd = _fixpoint_min_color(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seed,
+        max_prop,
+    )
+    out = (
+        sccs.join(
+            fwd.select("id", (F.col("c") == F.lit(sentinel)).alias("_fwd")).hint(
+                "shuffle_hash"
+            ),
+            "id",
+        )
+        .join(
+            bwd.select("id", (F.col("c") == F.lit(sentinel)).alias("_bwd")).hint(
+                "shuffle_hash"
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            "scc",
+            F.when(F.col("scc") == F.lit(core), F.lit("core"))
+            .when(F.col("_bwd"), F.lit("in"))
+            .when(F.col("_fwd"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+    result = truncate_lineage(out)
+    drop_truncated(sccs)
+    drop_truncated(fwd)
+    drop_truncated(bwd)
+    return result

@@ -89,3 +89,42 @@ def test_max_rounds_guard(spark):
     # chain of 3 singleton SCCs needs 3 outer rounds — guard of 1 raises
     with pytest.raises(RuntimeError, match="max_rounds"):
         _run(spark, [(1, 2), (2, 3)], max_rounds=1)
+
+
+# --- bowtie decomposition (bowtie_classes) -----------------------------
+
+def test_bowtie_hand_case(spark):
+    from osm_spark.graph.scc import bowtie_classes
+
+    # IN: 0, 5 → core {1,2,3} → OUT: 4; tube 0→8→4 and the disjoint
+    # pair 6→7 are 'other'
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4),
+             (5, 0), (6, 7), (0, 8), (8, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.id, r.scc, r.cls) for r in bowtie_classes(df).collect())
+    assert got == [
+        (0, 0, "in"), (1, 1, "core"), (2, 1, "core"), (3, 1, "core"),
+        (4, 4, "out"), (5, 5, "in"), (6, 6, "other"), (7, 7, "other"),
+        (8, 8, "other"),
+    ]
+
+
+def test_bowtie_core_tie_breaks_to_min_scc(spark):
+    from osm_spark.graph.scc import bowtie_classes
+
+    # two 2-cycles of equal size: {1,2} and {5,6} — core must be scc 1
+    edges = [(1, 2), (2, 1), (5, 6), (6, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.cls for r in bowtie_classes(df).collect()}
+    assert got == {1: "core", 2: "core", 5: "other", 6: "other"}
+
+
+def test_bowtie_in_out_disjoint(spark):
+    from osm_spark.graph.scc import bowtie_classes
+
+    # a vertex both reaching and reachable from the core would BE core:
+    # 0 → core{1,2} → 3 → 0 makes {0,1,2,3} one SCC, all core
+    edges = [(0, 1), (1, 2), (2, 1), (2, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.cls for r in bowtie_classes(df).collect()}
+    assert set(got.values()) == {"core"}
