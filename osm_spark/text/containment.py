@@ -6,14 +6,13 @@ has Jaccard ≈ |A|/|B| ≈ 0 against its container but containment ≈ 1 —
 MinHash/SimHash/LSH never surface it. Standard corpus-cleaning use:
 drop the contained copy, keep the container (or vice versa).
 
-Public algorithm family: Broder's containment (SEQUENCES 1997) in the
-exact inverted-index form the APSS join (text/simjoin.py) established —
-two documents meet once per SHARED term, the intersection count
-combines map-side, no all-pairs stage exists.
-
-Scale guard (shared with simjoin): the one blow-up axis is a
-stop-word-like term in every document (~N² candidates from one term).
-``max_df_ratio`` drops such terms BEFORE the self-join; the denominator
+Public algorithm family: Broder's containment (SEQUENCES 1997) with
+PREFIX-FILTERED candidate generation (Chaudhuri-Ganti-Kaushik SSJoin,
+ICDE 2006) — see ``containment_join`` for the recall proof. Two scale
+guards compose: ``max_df_ratio`` drops stop-word-like terms BEFORE
+anything (a term in every document alone yields ~N² candidates), and
+the prefix filter bounds how often each DOCUMENT can meet others (the
+mid-frequency O(df²) axis a df-cut alone leaves open). The denominator
 is the post-cut set size, so the ratio stays a true containment over
 the operator's own vocabulary — part of the definition, replayed
 identically by the oracle.
@@ -26,7 +25,7 @@ simjoin boundary idiom).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["token_sets", "containment_join"]
@@ -84,7 +83,20 @@ def containment_join(
     ``min_set`` drops documents whose post-cut set is smaller than the
     floor from BOTH sides of the join (a one-token doc is trivially
     contained everywhere — noise, and its postings only add candidate
-    volume). Standard containment-join hygiene; the oracle replays it."""
+    volume). Standard containment-join hygiene; the oracle replays it.
+
+    Candidate generation is PREFIX-FILTERED (Chaudhuri-Ganti-Kaushik
+    SSJoin, ICDE 2006 — public algorithm family): tokens order globally
+    by (df, term) ascending, and only the contained side's first
+    ``n − ⌈τ·n⌉ + 1`` rarest tokens are indexed — recall-complete
+    because a pair with ``|A∩B| ≥ τ·|A|`` misses fewer than
+    ``n − τ·n`` of A's tokens, so at least one PREFIX token is shared.
+    The candidate join therefore meets on the rarest slice of each
+    document instead of every shared term: the df-cut bounds the worst
+    term, the prefix bounds how often each document can meet anything.
+    The exact intersection then runs per candidate pair as a sorted-
+    array ``array_intersect`` in codegen — never a second postings
+    self-join."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if min_set < 1:
@@ -93,39 +105,69 @@ def containment_join(
     kept = token_sets(
         docs, id_col=id_col, text_col=text_col, max_df_ratio=max_df_ratio
     )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if min_set > 1:
-        # semi-join the floor back onto the postings — doc-keyed and
-        # shuffle_hash-hinted (the sizes table is doc-sized: never
-        # broadcast the 10^12-doc axis)
-        sizes = sizes.where(F.col("n") >= F.lit(int(min_set)))
-        kept = kept.join(
-            sizes.select("doc_id").hint("shuffle_hash"), "doc_id", "left_semi"
-        )
-    inter = (
-        kept.alias("a")
-        .join(
-            kept.alias("b").hint("shuffle_hash"),
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("contained"),
-            F.col("b.doc_id").alias("container"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # global rarity rank — a window over the TERM table (vocabulary-
+    # sized, like the quantile histograms), never over postings
+    df_t = kept.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy("df", "term")
+    ranked_terms = df_t.select(
+        "term", F.row_number().over(w).alias("_rank")
     )
+    ranked = kept.join(ranked_terms.hint("shuffle_hash"), "term")
+
+    arrs = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        # rank-sorted token array: position = rarity order, and the
+        # array doubles as the sorted input of array_intersect
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_rank", "term"))),
+            lambda s: s["_rank"],
+        ).alias("toks"),
+    )
+    if min_set > 1:
+        arrs = arrs.where(F.col("n") >= F.lit(int(min_set)))
+    arrs = arrs.withColumn(
+        "_p", F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("long") + 1
+    )
+    # index only the prefix of the CONTAINED side; the container side
+    # posts everything (containment is asymmetric — B must be probe-able
+    # by any of A's prefix tokens)
+    a_idx = arrs.select(
+        F.col("doc_id").alias("contained"),
+        F.explode(F.slice("toks", F.lit(1), F.col("_p"))).alias("_rank"),
+    )
+    b_idx = arrs.select(
+        F.col("doc_id").alias("container"),
+        F.explode("toks").alias("_rank"),
+    )
+    cand = (
+        a_idx.join(b_idx.hint("shuffle_hash"), "_rank")
+        .where(F.col("contained") != F.col("container"))
+        .select("contained", "container")
+        .distinct()
+    )
+    paired = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("contained"),
+                F.col("n"),
+                F.col("toks").alias("a_toks"),
+            ).hint("shuffle_hash"),
+            "contained",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("container"),
+                F.col("toks").alias("b_toks"),
+            ).hint("shuffle_hash"),
+            "container",
+        )
+    )
+    n_shared = F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
     c_ppm = F.round(
         F.col("n_shared").cast("double") / F.col("n").cast("double") * 1e6
     ).cast("long")
     return (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("contained"),
-                F.col("n"),
-            ).hint("shuffle_hash"),
-            "contained",
-        )
+        paired.withColumn("n_shared", n_shared)
         .withColumn("c_ppm", c_ppm)
         .where(F.col("c_ppm") >= F.lit(t_ppm))
         .select(

@@ -103,3 +103,44 @@ def test_plan_no_cartesian(spark):
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
         assert m.group(1) == "BuildRight"
     assert "ShuffledHashJoin" in plan
+
+
+def test_prefix_filter_matches_naive(spark):
+    # randomized corpus with heavy overlap: the prefix-filtered plan
+    # must return EXACTLY the naive all-shared-terms answer
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(25):
+        k = rng.randint(3, 12)
+        toks = sorted(set(rng.choice(vocab, k)))
+        rows.append((d, " ".join(toks)))
+    docs = _docs(spark, rows)
+    tau, ms = 0.6, 2
+
+    # naive python replay (post-df-cut sets, same floor)
+    sets = {}
+    for d, t in rows:
+        sets[d] = set(t.split())
+    n_docs = len(rows)
+    df_ct = {}
+    for s in sets.values():
+        for t in s:
+            df_ct[t] = df_ct.get(t, 0) + 1
+    cut = {t for t, c in df_ct.items() if c <= 1.0 * n_docs}  # ratio 1.0
+    sets = {d: s & cut for d, s in sets.items()}
+    sets = {d: s for d, s in sets.items() if len(s) >= ms}
+    exp = []
+    for a, A in sets.items():
+        for b, B in sets.items():
+            if a == b:
+                continue
+            sh = len(A & B)
+            ppm = round(sh / len(A) * 1e6)
+            if ppm >= round(tau * 1e6):
+                exp.append((a, b, sh, len(A), ppm))
+    got = _pairs(containment_join(docs, tau, max_df_ratio=1.0, min_set=ms))
+    assert got == sorted(exp)
+    assert len(got) > 5  # the fixture genuinely exercises the filter
