@@ -7181,7 +7181,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # personalized_pagerank + hits (pagerank holds the link-analysis
         # slot), pip_pairs_adaptive (pip_pairs runs the same oracle) and
         # reachability (sssp_waygraph runs the same walk-enumeration
-        # oracle) — all four keep their exact twins in the tail. ---
+        # oracle) — all four keep their exact twins in the tail.
+        # A THIRD r5 rotation gated the final-session flagships
+        # (way_crossings, hausdorff_pairs, frechet_pairs, way_resample,
+        # isochrone_hull, token_quantiles, containment_pairs, scc),
+        # displacing eight long-attested cousins whose family sibling
+        # stays in-window: tag_requirement_met (modules/earnt tag
+        # oracles), exact_dedup + simhash (near_dup_jaccard/line_dedup
+        # hold the dedup slots), ann_lsh_topk (ivf_ann +
+        # embedding_near_dups), sessionize (stream_window_counts),
+        # cdc_diff (merge_upsert), hmm_match_stream (hmm_match) and
+        # corpus_ingest_stream (corpus_ingest). bowtie stays tail: it
+        # runs the same fixture + closure oracle as the in-window scc
+        # at the same iterative cost, so the window buys one SCC-family
+        # attestation, not two gate-minutes. ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "dsir_weights": q_dsir_weights,
@@ -7189,24 +7202,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
-        "tag_requirement_met": q_tag_requirement_met,
-        "exact_dedup": q_exact_dedup,
+        "way_crossings": q_way_crossings,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "pip_pairs": q_pip_pairs,
         "knn_pairs": q_knn_pairs,
         "way_assembly": q_way_assembly,
         "contours": q_contours,
         "ivf_ann": q_ivf_ann,
         "near_dup_jaccard": q_near_dup_jaccard,
-        "simhash": q_simhash,
+        "frechet_pairs": q_frechet_pairs,
         "quality_features": q_quality_features,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "way_resample": q_way_resample,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "stream_window_counts": q_stream_window_counts,
-        "sessionize": q_sessionize,
+        "isochrone_hull": q_isochrone_hull,
         "radius_pairs": q_radius_pairs,
         "overlay_pairs": q_overlay_pairs,
-        "cdc_diff": q_cdc_diff,
+        "token_quantiles": q_token_quantiles,
         "merge_upsert": q_merge_upsert,
         "line_dedup": q_line_dedup,
         "top_tokens": q_top_tokens,
@@ -7217,14 +7230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
-        "hmm_match_stream": q_hmm_match_stream,
+        "containment_pairs": q_containment_pairs,
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "label_propagation": q_label_propagation,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_ingest": q_corpus_ingest,
-        "corpus_ingest_stream": q_corpus_ingest_stream,
+        "scc": q_scc,
         "fuzzy_pairs": q_fuzzy_pairs,
         "cosine_pairs": q_cosine_pairs,
         "bpe_merges": q_bpe_merges,
@@ -7239,6 +7252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
+        "tag_requirement_met": q_tag_requirement_met,
+        "exact_dedup": q_exact_dedup,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "sessionize": q_sessionize,
+        "cdc_diff": q_cdc_diff,
+        "hmm_match_stream": q_hmm_match_stream,
+        "corpus_ingest_stream": q_corpus_ingest_stream,
         # --- tail: outside the driver's 50-entry gate window (it
         # starts three entries up, at zorder_key). All but three DO
         # ship exact oracle_sql twins (verified by
@@ -7307,14 +7328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "tile_clip": q_tile_clip,
         "route_density": q_route_density,
-        "way_crossings": q_way_crossings,
-        "hausdorff_pairs": q_hausdorff_pairs,
-        "way_resample": q_way_resample,
-        "isochrone_hull": q_isochrone_hull,
-        "frechet_pairs": q_frechet_pairs,
-        "token_quantiles": q_token_quantiles,
-        "containment_pairs": q_containment_pairs,
-        "scc": q_scc,
         "bowtie": q_bowtie,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
