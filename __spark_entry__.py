@@ -5232,6 +5232,51 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_classes(_scc_graph(spark))
 
 
+def _condensation_oracle() -> str:
+    """Same closure fixture: condensed edges from the by-definition
+    SCC labels, then longest-path levels by walk enumeration over the
+    (acyclic) condensation — every scc seeds at 0, each condensed edge
+    extends a walk, MAX depth per scc; member counts ride along."""
+    base = _scc_oracle()
+    head, _ = base.rsplit("SELECT vs.id,", 1)
+    return f"""{head}
+        , sccs AS (
+            SELECT vs.id, LEAST(vs.id, COALESCE(MIN(m.other), vs.id)) AS scc
+            FROM vs LEFT JOIN mutual m ON m.id = vs.id
+            GROUP BY vs.id
+        ),
+        cedges AS (
+            SELECT DISTINCT sa.scc AS s, sb.scc AS t
+            FROM edges e
+            JOIN sccs sa ON sa.id = e.src
+            JOIN sccs sb ON sb.id = e.dst
+            WHERE sa.scc <> sb.scc
+        ),
+        lvl(s, d) AS (
+            SELECT DISTINCT scc, 0 FROM sccs
+            UNION
+            SELECT c.t, l.d + 1 FROM lvl l JOIN cedges c ON c.s = l.s
+        )
+        SELECT l.s AS scc, CAST(MAX(l.d) AS BIGINT) AS level,
+               mm.n_members
+        FROM lvl l
+        JOIN (SELECT scc, count(*) AS n_members FROM sccs GROUP BY scc) mm
+          ON mm.scc = l.s
+        GROUP BY l.s, mm.n_members
+    """
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: condensation depth strata (graph/scc.py
+    condensation_levels) — SCC labels → condensed DAG → longest-path
+    level per SCC via a max-relax fixpoint (the crawl-depth analysis),
+    vs the closure oracle's walk-enumerated longest paths."""
+    _prep(spark)
+    from osm_spark.graph.scc import condensation_levels
+
+    return condensation_levels(_scc_graph(spark))
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph layer: strongly connected components (graph/scc.py) — the
     web-bowtie primitive the undirected CC can't express — via
@@ -7329,6 +7374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clip": q_tile_clip,
         "route_density": q_route_density,
         "bowtie": q_bowtie,
+        "condensation_levels": q_condensation,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7441,6 +7487,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_oracle(),
         "scc": _scc_oracle(),
         "bowtie": _bowtie_oracle(),
+        "condensation_levels": _condensation_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

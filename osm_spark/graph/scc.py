@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.graph.iterate import drop_truncated, truncate_lineage
 
-__all__ = ["strongly_connected_components", "bowtie_classes"]
+__all__ = ["strongly_connected_components", "bowtie_classes", "condensation_levels"]
 
 
 def _fixpoint_min_color(
@@ -283,3 +283,82 @@ def bowtie_classes(
     drop_truncated(fwd)
     drop_truncated(bwd)
     return result
+
+
+def condensation_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    max_prop: int = 100,
+) -> DataFrame:
+    """(scc, level, n_members) — the condensation DAG's depth strata:
+    ``level`` = the longest condensed-edge path ending at the SCC
+    (sources sit at 0). The crawl-depth / dependency-layer analysis:
+    how many SCC hops separate a page cluster from the frontier's
+    entry points. The condensation of ANY directed graph is acyclic,
+    so the longest path is well-defined and the max-relax fixpoint
+    below terminates in depth-many rounds (``max_prop``-guarded like
+    every fold in this module)."""
+    sccs = truncate_lineage(
+        strongly_connected_components(
+            edges, src=src, dst=dst, max_rounds=max_rounds, max_prop=max_prop
+        )
+    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cmap_s = sccs.select(F.col("id").alias("src"), F.col("scc").alias("s"))
+    cmap_d = sccs.select(F.col("id").alias("dst"), F.col("scc").alias("t"))
+    cedges = truncate_lineage(
+        e.join(cmap_s.hint("shuffle_hash"), "src")
+        .join(cmap_d.hint("shuffle_hash"), "dst")
+        .where(F.col("s") != F.col("t"))
+        .select("s", "t")
+        .distinct()
+    )
+    members = sccs.groupBy("scc").agg(F.count(F.lit(1)).alias("n_members"))
+
+    cur = truncate_lineage(
+        members.select("scc", F.lit(0).cast("long").alias("level"))
+    )
+    prev: DataFrame | None = None
+    for _ in range(max_prop):
+        relaxed = (
+            cedges.join(
+                cur.select(F.col("scc").alias("s"), F.col("level").alias("sl")).hint(
+                    "shuffle_hash"
+                ),
+                "s",
+            )
+            .groupBy(F.col("t").alias("scc"))
+            .agg((F.max("sl") + 1).alias("in_l"))
+        )
+        new = truncate_lineage(
+            cur.join(relaxed.hint("shuffle_hash"), "scc", "left")
+            .select(
+                "scc",
+                F.col("level").alias("_prev"),
+                F.greatest("level", "in_l").alias("level"),
+            )
+            .withColumn("_chg", F.col("level") != F.col("_prev"))
+            .drop("_prev")
+        )
+        changed = new.where("_chg").count()
+        if prev is not None:
+            drop_truncated(prev)
+        prev, cur = cur, new
+        if changed == 0:
+            out = truncate_lineage(
+                cur.join(members.hint("shuffle_hash"), "scc").select(
+                    "scc", "level", "n_members"
+                )
+            )
+            drop_truncated(cur)
+            if prev is not None:
+                drop_truncated(prev)
+            drop_truncated(cedges)
+            drop_truncated(sccs)
+            return out
+    raise RuntimeError(
+        f"condensation_levels did not converge in max_prop={max_prop} "
+        "rounds — not a DAG? (impossible for a condensation; check input)"
+    )

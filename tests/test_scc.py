@@ -128,3 +128,25 @@ def test_bowtie_in_out_disjoint(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.cls for r in bowtie_classes(df).collect()}
     assert set(got.values()) == {"core"}
+
+
+# --- condensation levels ------------------------------------------------
+
+def test_condensation_levels_hand_case(spark):
+    from osm_spark.graph.scc import condensation_levels
+
+    # {1,2,3} at level 0 → 4 at 1 → {5,6} at 2; separate chain 7 → 8
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(tuple(r) for r in condensation_levels(df).collect())
+    assert got == [(1, 0, 3), (4, 1, 1), (5, 2, 2), (7, 0, 1), (8, 1, 1)]
+
+
+def test_condensation_longest_path_not_shortest(spark):
+    from osm_spark.graph.scc import condensation_levels
+
+    # diamond with a long arm: 1→2→3→4 and 1→4 — level(4) must be 3
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.scc: r.level for r in condensation_levels(df).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
