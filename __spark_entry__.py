@@ -5175,7 +5175,13 @@ def _scc_oracle() -> str:
             SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
         ),
         vs AS (
-            SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+            -- DISTINCT-over-UNION-ALL (a bare two-branch UNION CTE
+            -- inside WITH RECURSIVE concatenates without dedup in
+            -- DuckDB; the GROUP BY below used to mask the inflation)
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
         ),
         mutual AS (
             SELECT r1.src AS id, r1.dst AS other
@@ -5377,6 +5383,95 @@ def q_isochrone_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px").cast("long").alias("qx"),
         F.col("py").cast("long").alias("qy"),
     )
+
+
+# stress needs MUTUALLY REACHABLE landmarks within the hop bound — the
+# ALT landmarks sit three cities apart (unreachable in 8 hops, by
+# design), so the stress gate uses four way-heads along ONE city's
+# shortcut chain instead (ways 1000/1002/1004/1006: ≤ 6 hops apart)
+_STRESS_LANDMARKS = [100000, 100200, 100400, 100600]
+
+
+def _stress_oracle() -> str:
+    """Walk enumeration WITH MULTIPLICITY (UNION ALL, hop-guarded):
+    σ(s,v) = count of ≤H-hop walks from s to v achieving the minimum
+    weight — positive weights make min-weight walks simple paths, so
+    this is the path count by definition. Forward and backward counts
+    over the shared edge fixture, then the integer stress sum with the
+    same pair/endpoint exclusions as graph/stress.py."""
+    seeds = ", ".join(f"(CAST({lm} AS BIGINT))" for lm in _STRESS_LANDMARKS)
+    lms = ", ".join(str(lm) for lm in _STRESS_LANDMARKS)
+    reach_block = f"""
+        walkF(lm, id, d, h) AS (
+            SELECT lm, lm, CAST(0 AS BIGINT), 0
+            FROM (VALUES {seeds}) s(lm)
+            UNION ALL
+            SELECT w.lm, e.dst, w.d + e.w, w.h + 1
+            FROM walkF w JOIN edges e ON e.src = w.id
+            WHERE w.h < {_SSSP_HOPS}
+        ),
+        walkB(lm, id, d, h) AS (
+            SELECT lm, lm, CAST(0 AS BIGINT), 0
+            FROM (VALUES {seeds}) s(lm)
+            UNION ALL
+            SELECT w.lm, e.src, w.d + e.w, w.h + 1
+            FROM walkB w JOIN edges e ON e.dst = w.id
+            WHERE w.h < {_SSSP_HOPS}
+        ),
+        fstat AS (SELECT lm, id, MIN(d) AS dmin FROM walkF GROUP BY lm, id),
+        bstat AS (SELECT lm, id, MIN(d) AS dmin FROM walkB GROUP BY lm, id),
+        fsig AS (
+            SELECT w.lm, w.id, f.dmin, CAST(COUNT(*) AS BIGINT) AS sig
+            FROM walkF w
+            JOIN fstat f ON f.lm = w.lm AND f.id = w.id AND w.d = f.dmin
+            GROUP BY w.lm, w.id, f.dmin
+        ),
+        bsig AS (
+            SELECT w.lm, w.id, b.dmin, CAST(COUNT(*) AS BIGINT) AS sig
+            FROM walkB w
+            JOIN bstat b ON b.lm = w.lm AND b.id = w.id AND w.d = b.dmin
+            GROUP BY w.lm, w.id, b.dmin
+        ),
+        dmat AS (
+            SELECT lm AS s, id AS t, dmin FROM fstat WHERE id IN ({lms})
+        ),
+        vall AS (
+            -- DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH
+            -- RECURSIVE block DuckDB gives a two-branch UNION CTE the
+            -- recursive concatenation semantics (no dedup)
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        ),
+        stress AS (
+            SELECT fs.id, SUM(fs.sig * bs.sig) AS st
+            FROM fsig fs
+            JOIN bsig bs ON bs.id = fs.id AND bs.lm <> fs.lm
+            JOIN dmat dm ON dm.s = fs.lm AND dm.t = bs.lm
+                        AND fs.dmin + bs.dmin = dm.dmin
+            WHERE fs.id <> fs.lm AND fs.id <> bs.lm
+            GROUP BY fs.id
+        )
+        """
+    final_select = """
+        SELECT v.id, CAST(COALESCE(st.st, 0) AS BIGINT) AS stress
+        FROM vall v LEFT JOIN stress st ON st.id = v.id
+    """
+    return _sssp_oracle(final_select=final_select, reach_block=reach_block)
+
+
+def q_landmark_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph layer: landmark stress centrality (graph/stress.py) — the
+    integer betweenness surrogate (Shimbel): shortest-path counts
+    through each vertex between all landmark pairs, via two k-wide
+    Bellman-Ford distance passes + two shortest-path-DAG count
+    fixpoints, vs a multiplicity-preserving walk-enumeration oracle."""
+    _prep(spark)
+    from osm_spark.graph.stress import landmark_stress
+
+    edges, _ = _sssp_graph(spark)
+    return landmark_stress(edges, _STRESS_LANDMARKS, _SSSP_HOPS)
 
 
 _HOTSPOT_Z = 15
@@ -7375,6 +7470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_density": q_route_density,
         "bowtie": q_bowtie,
         "condensation_levels": q_condensation,
+        "landmark_stress": q_landmark_stress,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7488,6 +7584,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": _scc_oracle(),
         "bowtie": _bowtie_oracle(),
         "condensation_levels": _condensation_oracle(),
+        "landmark_stress": _stress_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
