@@ -7471,6 +7471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "condensation_levels": q_condensation,
         "landmark_stress": q_landmark_stress,
+        "host_scc": q_host_scc,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7585,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": _bowtie_oracle(),
         "condensation_levels": _condensation_oracle(),
         "landmark_stress": _stress_oracle(),
+        "host_scc": _host_scc_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
@@ -8871,6 +8873,60 @@ def _host_graph_oracle() -> str:
         SELECT src_domain, dst_domain, count(*) AS n_links
         FROM e GROUP BY src_domain, dst_domain
     """
+
+
+def _host_scc_oracle() -> str:
+    """Composition oracle: the host_graph synthesis closed form feeds
+    the by-definition transitive-closure SCC — string keys end to end
+    (the SCC machinery is pure min/least, so LEAST on VARCHAR matches
+    Spark's least on strings)."""
+    return """
+        WITH RECURSIVE e0 AS (
+            SELECT 'site' || (doc_id % 3) || '.example' AS src,
+                   'site' || ((doc_id * 7) % 5) || '.example' AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'site' || (doc_id % 3) || '.example',
+                   'site' || ((doc_id * 13) % 5) || '.example'
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM e0),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        vs AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        ),
+        mutual AS (
+            SELECT r1.src AS id, r1.dst AS other
+            FROM reach r1 JOIN reach r2
+              ON r2.src = r1.dst AND r2.dst = r1.src
+        )
+        SELECT vs.id, LEAST(vs.id, COALESCE(MIN(m.other), vs.id)) AS scc
+        FROM vs LEFT JOIN mutual m ON m.id = vs.id
+        GROUP BY vs.id
+    """
+
+
+def q_host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph composition, gated end-to-end: pages html →
+    extract_links → url_domain rollup (the host_graph chain) →
+    strongly connected components over the DIRECTED domain graph
+    (graph/scc.py — string-keyed: the coloring machinery is pure
+    min/least, id type never matters). The link-spam-loop detector at
+    the granularity link analysis actually runs at."""
+    _prep(spark)
+    from osm_spark.graph.scc import strongly_connected_components
+
+    edges = q_host_graph(spark, sf_dir).select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    )
+    return strongly_connected_components(edges)
 
 
 def q_zonal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

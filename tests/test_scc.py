@@ -150,3 +150,16 @@ def test_condensation_longest_path_not_shortest(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.scc: r.level for r in condensation_levels(df).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_string_keyed_scc(spark):
+    # the coloring machinery is pure min/least — string ids work and
+    # min = lexicographic
+    edges = [("b.com", "a.com"), ("a.com", "b.com"), ("b.com", "c.com")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from osm_spark.graph.scc import strongly_connected_components
+
+    got = sorted((r.id, r.scc)
+                 for r in strongly_connected_components(df).collect())
+    assert got == [("a.com", "a.com"), ("b.com", "a.com"),
+                   ("c.com", "c.com")]
