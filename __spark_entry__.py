@@ -1642,12 +1642,15 @@ def q_route_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_density(ways, z=13, closed=True)
 
 
-def _way_crossings_oracle(scale: int = 100_000) -> str:
+def _way_crossings_oracle(
+    scale: int = 100_000, pair_pred: str = "s.way_id < t.way_id"
+) -> str:
     """Brute-force segment-intersection replay: the same quantization
     (round(deg·scale) → BIGINT) and the same four-orientation int64
-    test as geo/crossings.py, over every cross-way segment pair —
-    integer output only, exact by construction (no float parity
-    needed)."""
+    test as geo/crossings.py, over every segment pair admitted by
+    ``pair_pred`` (the self-join uses ``s < t``; the streaming
+    conflation gate uses the stream×static split) — integer output
+    only, exact by construction (no float parity needed)."""
     sc = repr(float(scale))
     return f"""
         WITH poly0(way_id, vlat, vlon) AS (VALUES
@@ -1679,7 +1682,7 @@ def _way_crossings_oracle(scale: int = 100_000) -> str:
                         WHEN (t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0) < 0 THEN -1 ELSE 0 END AS d4,
                    s.x0 AS ax0, s.y0 AS ay0, s.x1 AS ax1, s.y1 AS ay1,
                    t.x0 AS bx0, t.y0 AS by0, t.x1 AS bx1, t.y1 AS by1
-            FROM segs s JOIN segs t ON s.way_id < t.way_id
+            FROM segs s JOIN segs t ON {pair_pred}
         )
         SELECT way_a, seg_a, way_b, seg_b FROM cand
         WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
@@ -1776,6 +1779,64 @@ def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
     return segment_crossings(ways)
+
+
+def q_stream_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geometry conflation (streaming/conflation.py): odd
+    way ids arrive as a two-drop edit STREAM and are crossing-checked
+    against the static even-id layer on ingest — stream-static cell
+    equi-join + the batch operator's exact int64 refine + stateful
+    pair dedup, run availableNow into a memory sink. The oracle is the
+    batch integer-exact replay restricted to stream×static pairs:
+    stream ≡ batch, the engine's streaming contract."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    _prep(spark)
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.streaming.conflation import stream_crossings
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    stream_ways = ways.where(F.col("way_id") % 2 == 1)
+    static_ways = ways.where(F.col("way_id") % 2 == 0)
+
+    base = _tempfile.mkdtemp(prefix="osm_spark_xing_")
+    drops = _os.path.join(base, "drops")
+    _os.makedirs(drops)
+    for i, part in enumerate(
+        (
+            stream_ways.where(F.col("way_id") % 4 == 1),
+            stream_ways.where(F.col("way_id") % 4 == 3),
+        )
+    ):
+        stage = _os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(drops, f"d{i}.parquet")
+        _shutil.move(f, dst)
+        _os.utime(dst, (1_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "way_id long, vlat array<double>, vlon array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    out = stream_crossings(stream, static_ways)
+    sink = f"xing_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 def _radius_pairs_oracle(radius_m: float = 1500.0) -> str:
@@ -7472,6 +7533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_levels": q_condensation,
         "landmark_stress": q_landmark_stress,
         "host_scc": q_host_scc,
+        "stream_crossings": q_stream_crossings,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7587,6 +7649,9 @@ def oracle_sql() -> dict[str, str]:
         "condensation_levels": _condensation_oracle(),
         "landmark_stress": _stress_oracle(),
         "host_scc": _host_scc_oracle(),
+        "stream_crossings": _way_crossings_oracle(
+            pair_pred="s.way_id % 2 = 1 AND t.way_id % 2 = 0"
+        ),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

@@ -177,3 +177,62 @@ def test_plan_no_cartesian_and_shuffle_hash(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_crossings_equals_batch(spark):
+    """availableNow streaming conflation ≡ the batch two-layer join on
+    the same rows (the engine's stream ≡ batch contract)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from osm_spark.pipeline.geometry import synth_polygons
+    from osm_spark.streaming.conflation import stream_crossings
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    sways = ways.where("way_id % 2 = 1")
+    stat = ways.where("way_id % 2 = 0")
+
+    batch = sorted(
+        (r.way_a, r.seg_a, r.way_b, r.seg_b)
+        for r in segment_crossings(sways, stat).collect()
+    )
+    assert len(batch) > 50
+
+    base = tempfile.mkdtemp(prefix="xing_test_")
+    drops = os.path.join(base, "drops")
+    os.makedirs(drops)
+    for i, part in enumerate(
+        (sways.where("way_id % 4 = 1"), sways.where("way_id % 4 = 3"))
+    ):
+        stage = os.path.join(base, f"s{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(drops, f"d{i}.parquet")
+        shutil.move(f, dst)
+        os.utime(dst, (1_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "way_id long, vlat array<double>, vlon array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    sink = f"xt_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_crossings(stream, stat)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.way_a, r.seg_a, r.way_b, r.seg_b)
+        for r in spark.table(sink).collect()
+    )
+    assert got == batch
