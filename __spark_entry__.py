@@ -1781,6 +1781,87 @@ def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_crossings(ways)
 
 
+def _orientation_oracle(scale: int = 100_000) -> str:
+    """Replay of geo/orientation.py: same quantized segments, same
+    folded-orientation bin ladder as a CASE with the IDENTICAL tangent
+    literals (one shared-literal multiply + compare per rung — no
+    atan2, whose last-ulp engine divergence this design exists to
+    avoid), same mm-quantized haversine weights."""
+    from osm_spark.geo.orientation import TAN_LITERALS
+
+    sc = repr(float(scale))
+    pos = " ".join(
+        f"WHEN fx < fy * {TAN_LITERALS[k - 1]!r} THEN {k - 1}"
+        for k in range(1, 9)
+    )
+    neg = " ".join(
+        f"WHEN fx < fy * {-TAN_LITERALS[8 - k]!r} THEN {9 + k - 1}"
+        for k in range(1, 9)
+    )
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        segs AS (
+            SELECT way_id,
+                   CAST(round(vlon[i] * {sc}) AS BIGINT) AS x0,
+                   CAST(round(vlat[i] * {sc}) AS BIGINT) AS y0,
+                   CAST(round(vlon[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS x1,
+                   CAST(round(vlat[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS y1
+            FROM poly, UNNEST(range(1, len(vlat) + 1)) AS t(i)
+        ),
+        folded AS (
+            SELECT way_id, x0, y0, x1, y1,
+                   CASE WHEN (y1 - y0) < 0
+                             OR ((y1 - y0) = 0 AND (x1 - x0) < 0)
+                        THEN CAST(-(x1 - x0) AS DOUBLE)
+                        ELSE CAST(x1 - x0 AS DOUBLE) END AS fx,
+                   CASE WHEN (y1 - y0) < 0
+                             OR ((y1 - y0) = 0 AND (x1 - x0) < 0)
+                        THEN CAST(-(y1 - y0) AS DOUBLE)
+                        ELSE CAST(y1 - y0 AS DOUBLE) END AS fy
+            FROM segs
+            WHERE NOT (x1 = x0 AND y1 = y0)
+        ),
+        binned AS (
+            SELECT ((way_id - 1000) // 8) AS region,
+                   CASE WHEN fy = 0 THEN 9
+                        WHEN fx >= 0 THEN CASE {pos} ELSE 8 END
+                        ELSE CASE {neg} ELSE 17 END
+                   END AS bin,
+                   CAST(round(2.0 * 6371000.0 * asin(sqrt(
+                        pow(sin(radians(y1 / {sc} - y0 / {sc}) / 2.0), 2)
+                      + cos(radians(y0 / {sc})) * cos(radians(y1 / {sc}))
+                        * pow(sin(radians(x1 / {sc} - x0 / {sc}) / 2.0), 2)))
+                        * 1000.0) AS BIGINT) AS len_mm
+            FROM folded
+        )
+        SELECT region, CAST(bin AS INT) AS bin,
+               count(*) AS n_segments, CAST(sum(len_mm) AS BIGINT) AS len_mm
+        FROM binned GROUP BY region, bin
+    """
+
+
+def q_street_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urban-form analytics (geo/orientation.py orientation_histogram):
+    per-city length-weighted 18-bin street-orientation rose, with bins
+    decided by shared-literal slope comparisons instead of atan2 (whose
+    last-ulp divergence between engines is measured, not hypothetical)
+    — vs a DuckDB CASE-ladder replay with the identical literals."""
+    _prep(spark)
+    from osm_spark.geo.orientation import orientation_histogram
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    region = ((F.col("way_id") - 1000) / 8).cast("long").alias("region")
+    return orientation_histogram(ways, region)
+
+
 def q_stream_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming geometry conflation (streaming/conflation.py): odd
     way ids arrive as a two-drop edit STREAM and are crossing-checked
@@ -7534,6 +7615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_stress": q_landmark_stress,
         "host_scc": q_host_scc,
         "stream_crossings": q_stream_crossings,
+        "street_orientation": q_street_orientation,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7652,6 +7734,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_crossings": _way_crossings_oracle(
             pair_pred="s.way_id % 2 = 1 AND t.way_id % 2 = 0"
         ),
+        "street_orientation": _orientation_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
