@@ -1862,6 +1862,48 @@ def q_street_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orientation_histogram(ways, region)
 
 
+def _orientation_entropy_oracle() -> str:
+    """The histogram oracle wrapped with text/entropy.py's micro-nat
+    recipe over integer-meter weights: per-bin w·ln(w) quantized to
+    micro-nats first (exact long sum), identical single-shot closing
+    float, identical rounding."""
+    return f"""
+        WITH hist AS ({_orientation_oracle()}),
+        binned AS (
+            SELECT region, len_mm // 1000 AS w FROM hist
+            WHERE len_mm // 1000 > 0
+        ),
+        agg AS (
+            SELECT region,
+                   CAST(sum(w) AS BIGINT) AS total_m,
+                   count(*) AS n_bins,
+                   CAST(sum(CAST(round(CAST(w AS DOUBLE)
+                        * ln(CAST(w AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM binned GROUP BY region
+        )
+        SELECT region, total_m, n_bins,
+               CAST(round(ln(CAST(total_m AS DOUBLE)) * 1000000.0
+                    - CAST(s AS DOUBLE) / CAST(total_m AS DOUBLE), 0)
+                    AS BIGINT) AS entropy_micro
+        FROM agg
+    """
+
+
+def q_orientation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-order metric (geo/orientation.py orientation_entropy):
+    per-city Shannon entropy of the length-weighted orientation rose in
+    micro-nats — low = gridded, high = organic — composed over the
+    atan2-free histogram and gated against the wrapped replay."""
+    _prep(spark)
+    from osm_spark.geo.orientation import orientation_entropy
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    ways = synth_polygons(spark).select("way_id", "vlat", "vlon")
+    region = ((F.col("way_id") - 1000) / 8).cast("long").alias("region")
+    return orientation_entropy(ways, region)
+
+
 def q_stream_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming geometry conflation (streaming/conflation.py): odd
     way ids arrive as a two-drop edit STREAM and are crossing-checked
@@ -7616,6 +7658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_scc": q_host_scc,
         "stream_crossings": q_stream_crossings,
         "street_orientation": q_street_orientation,
+        "orientation_entropy": q_orientation_entropy,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7735,6 +7778,7 @@ def oracle_sql() -> dict[str, str]:
             pair_pred="s.way_id % 2 = 1 AND t.way_id % 2 = 0"
         ),
         "street_orientation": _orientation_oracle(),
+        "orientation_entropy": _orientation_entropy_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the

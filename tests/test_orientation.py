@@ -93,3 +93,43 @@ def test_plan_single_aggregation_no_udf(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # only the groupBy
+
+
+def test_entropy_grid_vs_organic(spark):
+    import numpy as np
+    from osm_spark.geo.orientation import orientation_entropy
+
+    # region 0: a perfect grid (all mass in bins 0 and 9)
+    grid = []
+    for i in range(6):
+        grid.append((i, [0.0, 0.01], [i * 0.001, i * 0.001]))          # N-S
+        grid.append((10 + i, [i * 0.001, i * 0.001], [0.0, 0.01]))     # E-W
+    # region 1: organic — random orientations
+    rng = np.random.RandomState(4)
+    organic = []
+    for i in range(12):
+        th = rng.uniform(0, math.pi)
+        organic.append((100 + i,
+                        [0.0, 0.01 * math.cos(th)],
+                        [0.0, 0.01 * math.sin(th)]))
+    ways = spark.createDataFrame(
+        grid + organic, "way_id long, vlat array<double>, vlon array<double>")
+    region = (F.col("way_id") >= 100).cast("int").alias("region")
+    got = {r.region: r for r in orientation_entropy(
+        ways, region, closed=False).collect()}
+    assert got[0].n_bins == 2
+    assert got[1].n_bins > 4
+    assert got[0].entropy_micro < got[1].entropy_micro
+    # two equal-mass bins → H = ln 2 nats ≈ 693,147 micro-nats
+    assert abs(got[0].entropy_micro - 693_147) < 500
+
+
+def test_entropy_single_bin_is_zero(spark):
+    from osm_spark.geo.orientation import orientation_entropy
+
+    ways = spark.createDataFrame(
+        [(1, [0.0, 0.01], [0.0, 0.0])],
+        "way_id long, vlat array<double>, vlon array<double>")
+    got = orientation_entropy(ways, F.lit(0).alias("region"),
+                              closed=False).collect()
+    assert len(got) == 1 and got[0].entropy_micro == 0
