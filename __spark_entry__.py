@@ -6320,6 +6320,53 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, index, centroids, k=10, nprobe=8)
 
 
+def _pq_ann_oracle() -> str:
+    """Brute-force squared-L2 top-10 with the (distance, vec_id)
+    tie-break — what LOSSLESS PQ (k_sub ≥ n, every distinct subvector
+    its own codeword, ADC ≡ exact d2) must reproduce end-to-end."""
+    return """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding
+            FROM embeddings WHERE vec_id < 8
+        ),
+        d AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, 65), i ->
+                       pow(CAST(q.embedding[i] AS DOUBLE)
+                           - CAST(e.embedding[i] AS DOUBLE), 2))) AS d2
+            FROM q CROSS JOIN embeddings e
+        ),
+        r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC
+                   ) AS rank
+            FROM d
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+        FROM r WHERE rank <= 10
+    """
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (vector/pq.py), driver-gated LOSSLESS
+    (the ivf_ann full-probe trick): k_sub ≥ n makes every distinct
+    subvector its own codeword, so the whole machinery runs (per-
+    subspace codebook train, m-code encode, ADC table + fold + top-k)
+    and must equal brute-force squared-L2 top-10. The lossy production
+    config's recall is pytest-property-tested (k-means is iterative
+    and not economically SQL-replayable)."""
+    from osm_spark.vector.pq import pq_encode, pq_search, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(e, dim=64, m=4, k_sub=500, iters=0)
+    codes = pq_encode(e, cb, dim=64, m=4)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_search(q, codes, cb, dim=64, m=4, topk=10)
+
+
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector marching squares, driver-gated: the per-tile
     applyInPandas vectorized case classification vs a DuckDB oracle that
@@ -7659,6 +7706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crossings": q_stream_crossings,
         "street_orientation": q_street_orientation,
         "orientation_entropy": q_orientation_entropy,
+        "pq_ann": q_pq_ann,
         "zonal_counts": q_zonal_counts,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
@@ -7779,6 +7827,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "street_orientation": _orientation_oracle(),
         "orientation_entropy": _orientation_entropy_oracle(),
+        "pq_ann": _pq_ann_oracle(),
         "way_assembly": _way_assembly_oracle(),
         "contours": _contours_oracle(),
         # full probe (nprobe == k clusters) scores every vector, so the
