@@ -6125,6 +6125,85 @@ def _top_tokens_oracle() -> str:
     """
 
 
+def q_region_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo×text composition flagship: the PIP join (covering prejoin +
+    codegen ray-cast refine, §2.10) attaches every point to its
+    polygons, each point's document text rides in on a shuffle-hash
+    equi-join, and the per-region vocabulary is ranked exactly — top-5
+    terms per way_id by (count DESC, term ASC). This chains the graft's
+    two axes (geospatial join × webtext corpus) end-to-end against a
+    single composed DuckDB replay: brute-force PIP → the same modulo
+    text attach → unnest → windowed rank.
+
+    Scale shape: the PIP side is the 10^12-page table after the
+    covering prejoin; the corpus attaches on doc_id with a shuffle_hash
+    hint (both sides web-scale — never sort-merge, never a broadcast of
+    the corpus); the (way_id, term) count is map-side combined; the
+    final window partitions by way_id, so each partition holds ONE
+    region's vocabulary — bounded by vocabulary size, not corpus size.
+    Tokenizer = the engine-wide policy (lowercase, single-space split,
+    zero-length tokens dropped — text/bpe.py word_frequencies)."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join
+    from osm_spark.pipeline.stats import memoized_count
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    polygons = synth_polygons(spark)
+    pairs = pip_join(
+        pts, polygons, build_way_cells(polygons), strategy="broadcast"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = memoized_count(docs)
+    toks = (
+        pairs.select(
+            "way_id", (F.col("url").cast("long") % n_docs).alias("doc_id")
+        )
+        .join(docs.hint("shuffle_hash"), "doc_id")
+        .select(
+            "way_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .where(F.length("term") > 0)
+    )
+    counts = toks.groupBy("way_id", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("way_id").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 5)
+        .select("way_id", "term", "cnt", "term_rank")
+    )
+
+
+def _region_top_terms_oracle() -> str:
+    """Composed replay: the full brute-force PIP oracle feeds the same
+    modulo doc attach, tokenizer and (cnt DESC, term ASC) rank window."""
+    return f"""
+        WITH pip AS ({_pip_pairs_oracle()}),
+        nd AS (SELECT count(*) AS n FROM documents),
+        tok AS (
+            SELECT p.way_id,
+                   unnest(string_split(lower(d.text), ' ')) AS term
+            FROM pip p, nd, documents d
+            WHERE d.doc_id = p.point_id % nd.n
+        ),
+        cnt AS (
+            SELECT way_id, term, count(*) AS cnt
+            FROM tok WHERE len(term) > 0
+            GROUP BY way_id, term
+        )
+        SELECT way_id, term, cnt, CAST(rn AS INT) AS term_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY way_id
+                        ORDER BY cnt DESC, term ASC) AS rn
+            FROM cnt
+        ) WHERE rn <= 5
+    """
+
+
 def _reverse_geocode_oracle() -> str:
     """Brute-force PIP hits joined to the exact area replay
     (way_geometry_stats_sql), argmin per point by (area_m2, way_id) —
@@ -7565,7 +7644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_ingest_stream (corpus_ingest). bowtie stays tail: it
         # runs the same fixture + closure oracle as the in-window scc
         # at the same iterative cost, so the window buys one SCC-family
-        # attestation, not two gate-minutes. ---
+        # attestation, not two gate-minutes. A FOURTH rotation gated
+        # region_top_terms — the new geo×text composition (PIP → doc
+        # attach → per-region term rank, the graft's two axes chained
+        # under one composed oracle) — displacing hausdorff_pairs to
+        # the tail head (frechet_pairs holds the trajectory-similarity
+        # slot: same candidate join, same fixture, deeper DP oracle). ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "dsir_weights": q_dsir_weights,
@@ -7574,7 +7658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
         "way_crossings": q_way_crossings,
-        "hausdorff_pairs": q_hausdorff_pairs,
+        "region_top_terms": q_region_top_terms,
         "pip_pairs": q_pip_pairs,
         "knn_pairs": q_knn_pairs,
         "way_assembly": q_way_assembly,
@@ -7639,6 +7723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (simhash_near_dups, pip_join, knn_join) have driver-gated
         # twins running the same engine code above (simhash, pip_pairs,
         # knn_pairs) ---
+        "hausdorff_pairs": q_hausdorff_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
@@ -7744,6 +7829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_pairs": _pip_pairs_oracle(),
+        "region_top_terms": _region_top_terms_oracle(),
         # same exact oracle: the covering's resolution mix must never
         # change the pair set (superset prejoin + exact refine)
         "pip_pairs_adaptive": _pip_pairs_oracle(),
