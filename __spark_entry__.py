@@ -5841,6 +5841,73 @@ def _morans_oracle() -> str:
     """
 
 
+def _gearys_oracle() -> str:
+    """Full replay of global Geary's C (geo/moran.py gearys_c): same
+    tile floor / scatter / LEFT join as the Moran oracle plus the
+    neighbor count² sum, HUGEINT num/den, identical closing float op
+    order ((N−1)·N²·num / (2W·den), multiply-then-divide)."""
+    n = 1 << _HOTSPOT_Z
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat, lon
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                                (1,-1), (1,0), (1,1)),
+        scattered AS (
+            SELECT c.x + o.dx AS tx, c.y + o.dy AS ty, c.cnt
+            FROM counts c CROSS JOIN offs o
+        ),
+        nbr AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum,
+                       sum(CAST(cnt AS HUGEINT) * cnt) AS nbr_sq,
+                       count(*) AS w
+                FROM scattered GROUP BY tx, ty),
+        occ AS (
+            SELECT c.cnt,
+                   coalesce(n2.nbr_sum, 0) AS nbr_sum,
+                   coalesce(n2.nbr_sq, 0) AS nbr_sq,
+                   coalesce(n2.w, 0) AS w
+            FROM counts c LEFT JOIN nbr n2 ON n2.tx = c.x AND n2.ty = c.y
+        ),
+        tot AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx
+                FROM counts),
+        parts AS (
+            SELECT any_value(n) AS n_cells,
+                   CAST(sum(w) AS BIGINT) AS w_pairs,
+                   sum(CAST(w AS HUGEINT) * cnt * cnt
+                       - CAST(2 AS HUGEINT) * cnt * nbr_sum
+                       + nbr_sq) AS num,
+                   sum(CAST(n * cnt - sx AS HUGEINT)
+                       * CAST(n * cnt - sx AS HUGEINT)) AS den
+            FROM occ CROSS JOIN tot
+        )
+        SELECT n_cells, w_pairs,
+               CASE WHEN n_cells > 1 AND den > 0 AND w_pairs > 0
+                    THEN CAST(round(
+                         (CAST(n_cells AS DOUBLE) - 1.0)
+                         * CAST(n_cells AS DOUBLE)
+                         * CAST(n_cells AS DOUBLE)
+                         * CAST(num AS DOUBLE)
+                         / (2.0 * CAST(w_pairs AS DOUBLE)
+                            * CAST(den AS DOUBLE))
+                         * 1e6) AS BIGINT)
+               END AS c_micro,
+               CASE WHEN n_cells > 1 THEN CAST(1000000 AS BIGINT)
+               END AS e_c_micro
+        FROM parts
+    """
+
+
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: global Moran's I spatial autocorrelation over the
     z15 tile raster (geo/moran.py) — integer cross/den sums from the
@@ -5850,6 +5917,18 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.geo.moran import morans_i
 
     return morans_i(_sql_points(spark, sf_dir), _HOTSPOT_Z)
+
+
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: global Geary's C over the same z15 raster / queen
+    weights as ``morans_i`` (geo/moran.py gearys_c) — the variogram-
+    shaped companion statistic; pair sum collapsed to per-tile integer
+    algebra, one closing float expression, micro-quantized — vs a
+    DuckDB full replay in HUGEINT."""
+    _prep(spark)
+    from osm_spark.geo.moran import gearys_c
+
+    return gearys_c(_sql_points(spark, sf_dir), _HOTSPOT_Z)
 
 
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7798,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clusters": q_overlay_clusters,
         "diff_assembly": q_diff_assembly,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -7842,6 +7922,7 @@ def oracle_sql() -> dict[str, str]:
         "hmm_match_stream": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "morans_i": _morans_oracle(),
+        "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
         "sssp_waygraph": _sssp_oracle(),

@@ -1,4 +1,4 @@
-"""Global Moran's I spatial autocorrelation over the tile density raster.
+"""Global Moran's I / Geary's C spatial autocorrelation over the tile raster.
 
 The corpus-level companion to geo/hotspot.py (Gi* answers "WHICH tiles
 are hot"; Moran's I answers "is the raster spatially clustered AT ALL"
@@ -113,4 +113,114 @@ def morans_i(points: DataFrame, z: int) -> DataFrame:
         "w_pairs",
         i_micro.alias("i_micro"),
         e_micro.alias("e_i_micro"),
+    )
+
+
+def gearys_c(points: DataFrame, z: int) -> DataFrame:
+    """Global Geary's C over the same z-tile raster / queen weights as
+    ``morans_i`` (Geary 1954; Cliff & Ord 1981):
+
+        C = ((N−1) / (2W)) · Σ_i Σ_j w_ij (x_i − x_j)² / Σ_i (x_i − x̄)²
+
+    Moran's I is covariance-shaped (dominated by global deviation
+    products); Geary's C is variogram-shaped (dominated by LOCAL
+    pairwise contrast) — the two together distinguish broad trends from
+    checkerboard texture, which is why spatial-stats suites ship both.
+
+    Exactness design, same discipline as ``morans_i``: the pair sum
+    collapses to per-tile integer algebra
+
+        Σ_{j∈nbr(i)} (x_i − x_j)² = w_i·x_i² − 2·x_i·S_i + Q_i
+
+    with S_i = Σ neighbor counts and Q_i = Σ neighbor counts² from the
+    SAME 8-offset scatter (one extra sum column), and with
+    d_i = N·x_i − Σx the denominator Σ(x−x̄)² = Σd_i²/N², so
+
+        C = (N−1)·N²·num / (2W·den)
+
+    where num and den are integer sums (decimal(38,0); DuckDB HUGEINT —
+    per-term magnitude w·x² ~ 8·(1e6)² and the N² factor moves to the
+    one pinned closing float expression precisely because carrying it
+    in the integer domain would overflow 38 digits at planet scale).
+    E[C] = 1 under the null. Output (single row):
+    (n_cells, w_pairs, c_micro, e_c_micro) — NULL statistics for a
+    constant or single-tile raster, identical gating convention to
+    ``morans_i``.
+    """
+    counts = tile_count_grid(points, z)
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS8
+        ]
+    )
+    scattered = counts.select("x", "y", "cnt", F.explode(offs).alias("o")).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        "cnt",
+    )
+    cnt_dec = F.col("cnt").cast("decimal(19,0)")
+    nbr = scattered.groupBy("tx", "ty").agg(
+        F.sum("cnt").alias("nbr_sum"),
+        F.sum(cnt_dec * cnt_dec).alias("nbr_sq"),
+        F.count(F.lit(1)).alias("w"),
+    )
+    occ = (
+        counts.join(
+            nbr.hint("shuffle_hash"),
+            (counts["x"] == nbr["tx"]) & (counts["y"] == nbr["ty"]),
+            "left",
+        )
+        .select(
+            "cnt",
+            F.coalesce(F.col("nbr_sum"), F.lit(0)).alias("nbr_sum"),
+            F.coalesce(F.col("nbr_sq"), F.lit(0).cast("decimal(38,0)")).alias(
+                "nbr_sq"
+            ),
+            F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+        )
+    )
+
+    glob = counts.agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("sx"))
+    j = occ.crossJoin(F.broadcast(glob))
+
+    nd_dec = F.col("n").cast("decimal(19,0)")
+    d = nd_dec * F.col("cnt") - F.col("sx")
+    num_term = (
+        F.col("w").cast("decimal(19,0)") * cnt_dec * cnt_dec
+        - F.lit(2).cast("decimal(19,0)") * cnt_dec * F.col("nbr_sum")
+        + F.col("nbr_sq")
+    )
+    parts = j.groupBy().agg(
+        F.first("n").alias("n_cells"),
+        F.sum("w").alias("w_pairs"),
+        F.sum(num_term).alias("num"),
+        F.sum(d * d).alias("den"),
+    )
+
+    nd = F.col("n_cells").cast("double")
+    c_val = (
+        (nd - F.lit(1.0))
+        * nd
+        * nd
+        * F.col("num").cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("w_pairs").cast("double")
+            * F.col("den").cast("double")
+        )
+    )
+    c_micro = F.when(
+        (F.col("n_cells") > 1) & (F.col("den") > 0) & (F.col("w_pairs") > 0),
+        F.round(c_val * 1e6, 0).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    e_micro = F.when(
+        F.col("n_cells") > 1, F.lit(1000000).cast("long")
+    ).otherwise(F.lit(None).cast("long"))
+    return parts.select(
+        "n_cells",
+        "w_pairs",
+        c_micro.alias("c_micro"),
+        e_micro.alias("e_c_micro"),
     )

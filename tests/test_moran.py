@@ -1,4 +1,4 @@
-"""Global Moran's I (osm_spark/geo/moran.py) vs a dense numpy replay."""
+"""Global Moran's I / Geary's C (osm_spark/geo/moran.py) vs dense replays."""
 
 from __future__ import annotations
 
@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from osm_spark.geo.moran import morans_i
+from osm_spark.geo.moran import gearys_c, morans_i
 
 Z = 15
 
@@ -75,6 +75,59 @@ def test_morans_i_sign_convention(spark):
     i_grad = morans_i(_points_for(grad, spark), Z).toPandas().iloc[0]["i_micro"]
     i_chk = morans_i(_points_for(chk, spark), Z).toPandas().iloc[0]["i_micro"]
     assert i_grad > 0 > i_chk
+
+
+def _replay_geary(grid: dict[tuple[int, int], int]) -> tuple[int, int, float | None]:
+    cells = list(grid)
+    n = len(cells)
+    xs = np.array([grid[c] for c in cells], dtype=np.int64)
+    mean = xs.mean()
+    w_pairs = 0
+    num = 0.0
+    for i, (cx, cy) in enumerate(cells):
+        for j, (ox, oy) in enumerate(cells):
+            if i != j and abs(cx - ox) <= 1 and abs(cy - oy) <= 1:
+                w_pairs += 1
+                num += float(xs[i] - xs[j]) ** 2
+    den = ((xs - mean) ** 2).sum()
+    if n <= 1 or den == 0 or w_pairs == 0:
+        return n, w_pairs, None
+    return n, w_pairs, (n - 1) * num / (2.0 * w_pairs * den)
+
+
+@pytest.mark.parametrize(
+    "grid",
+    [
+        {(100 + i, 200 + j): 10 + 3 * (i + j) for i in range(4) for j in range(4)},
+        {(100 + i, 200 + j): (1 if (i + j) % 2 else 9) for i in range(4) for j in range(4)},
+        {(100, 200): 5, (100, 201): 7, (101, 200): 6, (101, 201): 8, (150, 250): 3},
+    ],
+)
+def test_gearys_c_matches_replay(spark, grid):
+    n, w_pairs, c_val = _replay_geary(grid)
+    got = gearys_c(_points_for(grid, spark), Z).toPandas().iloc[0]
+    assert got["n_cells"] == n
+    assert got["w_pairs"] == w_pairs
+    assert got["c_micro"] == round(c_val * 1e6)
+    assert got["e_c_micro"] == 1_000_000
+
+
+def test_gearys_c_sign_convention(spark):
+    # C < 1 for positive autocorrelation (smooth), C > 1 for negative
+    # (checkerboard) — opposite orientation to Moran's I around its null.
+    grad = {(100 + i, 200 + j): 10 + 3 * (i + j) for i in range(4) for j in range(4)}
+    chk = {(100 + i, 200 + j): (1 if (i + j) % 2 else 9) for i in range(4) for j in range(4)}
+    c_grad = gearys_c(_points_for(grad, spark), Z).toPandas().iloc[0]["c_micro"]
+    c_chk = gearys_c(_points_for(chk, spark), Z).toPandas().iloc[0]["c_micro"]
+    assert c_grad < 1_000_000 < c_chk
+
+
+def test_gearys_c_degenerate(spark):
+    grid = {(100 + i, 200): 4 for i in range(3)}
+    got = gearys_c(_points_for(grid, spark), Z).toPandas().iloc[0]
+    assert pd.isna(got["c_micro"]) and got["e_c_micro"] == 1_000_000
+    got1 = gearys_c(_points_for({(100, 200): 5}, spark), Z).toPandas().iloc[0]
+    assert pd.isna(got1["c_micro"]) and pd.isna(got1["e_c_micro"])
 
 
 def test_morans_i_degenerate(spark):
