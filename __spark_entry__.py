@@ -7295,6 +7295,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d.select("doc_id", "text"))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity terciles (text/lm.py ccnet_buckets)
+    — every document labeled head/middle/tail within ITS language's LM
+    score distribution, composing the micro-nat lm_score with the exact
+    histogram disc-quantile machinery, vs a full chained DuckDB replay
+    (unigram model → nano-nat metric → rank-r tercile cuts → labels)."""
+    from osm_spark.text.lm import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(d.select("doc_id", "text", "lang"))
+
+
 def _route_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS-trace-style polylines as a closed-form function of c_custkey:
     40 routes, vertex order = key order, x drifts 0.01/step with ±0.004
@@ -7878,6 +7890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_assembly": q_diff_assembly,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
+        "ccnet_buckets": q_ccnet_buckets,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -9094,6 +9107,63 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(lw) AS DOUBLE) / 1000000.0 / count(*), 6)
                        AS mean_logp
             FROM lw GROUP BY doc_id
+        """,
+        # full chained replay of ccnet_buckets: the lm_score unigram
+        # model feeds the nano-nat per-token metric, rank-r disc
+        # tercile cuts per language, then the head/middle/tail labels —
+        # row_number-at-rank-r selects the same VALUE as the engine's
+        # histogram cumulative rank (ties collapse to one value)
+        "ccnet_buckets": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\s+')) AS word
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, word FROM t WHERE word <> ''
+            ), v AS (
+                SELECT word, count(*) AS c FROM tk GROUP BY word
+            ), s AS (
+                SELECT CAST(sum(c) AS BIGINT) AS total,
+                       count(*) AS v_size
+                FROM v
+            ), lw AS (
+                SELECT tk.doc_id,
+                       CAST(round(ln((v.c + 1)::DOUBLE
+                                     / (s.total + s.v_size)::DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS lw
+                FROM tk JOIN v USING (word) CROSS JOIN s
+            ), lmdoc AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       CAST(sum(lw) AS BIGINT) AS sum_logp_micro
+                FROM lw GROUP BY doc_id
+            ), sm AS (
+                SELECT l.doc_id, d.lang,
+                       CAST(round(CAST(sum_logp_micro AS DOUBLE) * 1000.0
+                                  / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+                           AS logp_nano
+                FROM lmdoc l JOIN documents d USING (doc_id)
+            ), ranked AS (
+                SELECT lang, logp_nano,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY logp_nano) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM sm
+            ), thr AS (
+                SELECT lang,
+                       max(CASE WHEN rn = CAST(floor((1.0/3.0) * (n - 1))
+                                          AS BIGINT) + 1
+                                THEN logp_nano END) AS t_lo,
+                       max(CASE WHEN rn = CAST(floor((2.0/3.0) * (n - 1))
+                                          AS BIGINT) + 1
+                                THEN logp_nano END) AS t_hi
+                FROM ranked GROUP BY lang
+            )
+            SELECT sm.doc_id, sm.lang, sm.logp_nano,
+                   CASE WHEN logp_nano >= t_hi THEN 'head'
+                        WHEN logp_nano >= t_lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sm JOIN thr USING (lang)
         """,
         "simplify_lines": _simplify_lines_oracle(),
         "geohash_cells": _geohash_cells_oracle(),

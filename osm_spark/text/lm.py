@@ -181,3 +181,64 @@ def lm_score_against(
             ).alias("mean_logp"),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_join: str = "auto",
+) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
+    every document is labeled head / middle / tail by where its
+    per-token LM score falls within ITS LANGUAGE's distribution — the
+    bucketing CCNet uses to keep the fluent third of each language
+    rather than applying one global threshold that high-resource
+    languages would dominate.
+
+    Composition of two exact primitives: ``lm_score`` (micro-nat long
+    sums) and the histogram disc-quantile machinery
+    (text/quantiles.histogram_quantiles — exact without sorting the
+    corpus). The per-doc metric is the mean per-token log-prob in
+    NANO-nats, ``logp_nano = round(sum_logp_micro * 1000.0 /
+    n_tokens)``: one multiply (exact — the micro sum is far below 2^53)
+    and one correctly-rounded divide, so both engines compute identical
+    doubles and the long quantization is replayable.
+
+    Tercile cuts are the disc-quantile VALUES at q = 1/3 and 2/3
+    (always actual data values); bucket = 'head' when logp_nano ≥
+    t_hi (most fluent — CCNet's head is LOWEST perplexity), 'middle'
+    when ≥ t_lo, else 'tail'. A single-doc language is its own head
+    (both cuts equal its value) — deterministic, no special case.
+
+    Scale shape: lm_score's two passes as documented there; the lang
+    attach is a doc_id-keyed equi-join (uniform key); the tercile table
+    is one row per language (≤ a few hundred for any web corpus) and
+    broadcasts. Output: (id, lang, logp_nano, bucket).
+    """
+    scored = lm_score(docs, id_col, text_col, vocab_join)
+    m = F.round(
+        F.col("sum_logp_micro").cast("double")
+        * F.lit(1000.0)
+        / F.col("n_tokens").cast("double")
+    ).cast("long")
+    s = scored.join(docs.select(id_col, lang_col), id_col).select(
+        id_col, lang_col, m.alias("logp_nano")
+    )
+    from osm_spark.text.quantiles import histogram_quantiles
+
+    qs = histogram_quantiles(s, lang_col, "logp_nano", [1 / 3, 2 / 3])
+    thr = qs.groupBy(lang_col).agg(
+        F.max(F.when(F.col("q") < 0.5, F.col("logp_nano"))).alias("_t_lo"),
+        F.max(F.when(F.col("q") >= 0.5, F.col("logp_nano"))).alias("_t_hi"),
+    )
+    bucket = (
+        F.when(F.col("logp_nano") >= F.col("_t_hi"), F.lit("head"))
+        .when(F.col("logp_nano") >= F.col("_t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        s.join(F.broadcast(thr), lang_col)
+        .select(id_col, lang_col, "logp_nano", bucket.alias("bucket"))
+    )

@@ -70,3 +70,55 @@ def test_train_unigram_counts(spark):
     df = spark.createDataFrame([(1, "a b a"), (2, "b")], "doc_id long, text string")
     got = {r.word: r.c for r in train_unigram(tokenize(df)).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def _bucket_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ccnet_buckets_terciles_within_language(spark):
+    from osm_spark.text.lm import ccnet_buckets
+
+    # 9 docs in one language with strictly ordered fluency: docs built
+    # from a shared common word ('a') vs increasing amounts of unique
+    # (rare -> low-prob) words give strictly decreasing scores.
+    rows = [
+        (i, " ".join(["a"] * (9 - i) + [f"rare{i}_{j}" for j in range(i)]), "en")
+        for i in range(9)
+    ]
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(_bucket_df(spark, rows)).collect()
+    }
+    # doc 0 is all common words (most fluent) -> head; doc 8 all rare -> tail
+    assert got[0] == "head" and got[8] == "tail"
+    buckets = [got[i] for i in range(9)]
+    # monotone: once past head it never returns (score strictly decreasing)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert all(order[buckets[i]] <= order[buckets[i + 1]] for i in range(8))
+    assert {"head", "middle", "tail"} == set(buckets)
+
+
+def test_ccnet_buckets_single_doc_language_is_head(spark):
+    from osm_spark.text.lm import ccnet_buckets
+
+    rows = [(1, "x y z", "fr"), (2, "a a a", "en"), (3, "a b b", "en")]
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(_bucket_df(spark, rows)).collect()}
+    assert got[1] == "head"  # its own tercile cuts equal its value
+
+
+def test_ccnet_buckets_per_language_not_global(spark):
+    from osm_spark.text.lm import ccnet_buckets
+
+    # lang 'lo' docs score far below every 'hi' doc globally, but each
+    # language still gets its own head — the point of CCNet bucketing.
+    rows = [
+        (1, "a a a a", "hi"),
+        (2, "a a a b", "hi"),
+        (3, "a a b c", "hi"),
+        (4, "q1 q2 q3 q4", "lo"),
+        (5, "q5 q6 q7 q8", "lo"),
+        (6, "q9 q10 q11 q12 q13 q14", "lo"),
+    ]
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(_bucket_df(spark, rows)).collect()}
+    assert "head" in {got[4], got[5], got[6]}
