@@ -3147,6 +3147,18 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon harmonic centrality (graph/neighborhood.py) —
+    the Boldi-Vigna geometric centrality folded from per-hop reachable
+    deltas in micro-units, exact path gated vs the unrolled BFS replay
+    plus a harmonic fold; the HyperBall variant is pinned equal by
+    tests/test_neighborhood.py sparse-mode parity."""
+    _prep(spark)
+    from osm_spark.graph.neighborhood import harmonic_centrality
+
+    return harmonic_centrality(_link_graph(spark, sf_dir), max_hops=3)
+
+
 def _bpe_oracle(n_merges: int = 3, final_select: str | None = None) -> str:
     """Generated unrolled replay of text/bpe.py bpe_train. DuckDB can't
     fold lists, so each round's greedy left-to-right merge replays
@@ -7891,6 +7903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
         "ccnet_buckets": q_ccnet_buckets,
+        "harmonic_centrality": q_harmonic_centrality,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -7958,6 +7971,24 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": _fuzzy_pairs_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
         "neighborhood": _neighborhood_oracle(),
+        # same unrolled BFS replay, harmonic fold on top: per-hop
+        # reachable deltas (lag default 1 = self at distance 0),
+        # micro-quantized terms, per-vertex long sum
+        "harmonic_centrality": _neighborhood_oracle(
+            3,
+            final_select="""
+            SELECT id,
+                   CAST(sum(CAST(round((n_reachable - prev) * 1000000.0
+                                       / hops) AS BIGINT)) AS BIGINT)
+                       AS harmonic_micro
+            FROM (
+                SELECT id, hops, n_reachable,
+                       coalesce(lag(n_reachable) OVER (PARTITION BY id
+                                    ORDER BY hops), 1) AS prev
+                FROM (__HOPS_UNION__)
+            ) GROUP BY id
+            """,
+        ),
         "cms_counts": _cms_oracle(),
         "phrase_search": _phrase_oracle(),
         "cosine_pairs": _cosine_pairs_oracle(),

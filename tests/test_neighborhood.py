@@ -90,3 +90,42 @@ def test_effective_diameter(spark):
     assert row1.pairs_at_h == row1.pairs_at_max
     with pytest.raises(ValueError):
         effective_diameter(df, q=0.0)
+
+
+def _harmonic_replay(edges, max_hops):
+    counts = _bfs_counts(edges, max_hops)
+    out = {}
+    for (u, h), n in counts.items():
+        prev = counts.get((u, h - 1), 1)
+        out[u] = out.get(u, 0) + round((n - prev) * 1e6 / h)
+    return out
+
+
+def test_harmonic_exact_matches_replay(spark):
+    from osm_spark.graph.neighborhood import harmonic_centrality
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    got = {r.id: r.harmonic_micro for r in harmonic_centrality(df, 3).collect()}
+    assert got == _harmonic_replay(EDGES, 3)
+
+
+def test_harmonic_hyperball_parity(spark):
+    # HLL sparse mode is exact at these cardinalities, so the 100 TB
+    # path must equal the audit path bit-for-bit here.
+    from osm_spark.graph.neighborhood import harmonic_centrality
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    exact = {r.id: r.harmonic_micro for r in harmonic_centrality(df, 3).collect()}
+    hb = {
+        r.id: r.harmonic_micro
+        for r in harmonic_centrality(df, 3, method="hyperball").collect()
+    }
+    assert hb == exact
+
+
+def test_harmonic_rejects_bad_method(spark):
+    from osm_spark.graph.neighborhood import harmonic_centrality
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    with pytest.raises(ValueError):
+        harmonic_centrality(df, 3, method="nope")
