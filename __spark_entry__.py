@@ -7307,6 +7307,39 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d.select("doc_id", "text"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule flags (text/rules.py gopher_rules —
+    Rae et al. 2021 A1, repetition-free subset): every threshold is an
+    integer comparison, so the DuckDB replay matches bit-for-bit."""
+    from osm_spark.text.rules import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (text/rules.py c4_line_filter — Raffel et
+    al. 2020 §2.2 deterministic rules) over a synthesized line table:
+    documents become 5-line pages with per-line terminal/lorem/plain
+    variants closed-form from doc_id, so the oracle rebuilds identical
+    lines and the retained-text output is BYTE-compared."""
+    from osm_spark.text.rules import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    line = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(".")))
+        .when(m == 1, F.concat(F.col("text"), F.lit("?")))
+        .when(m == 2, F.concat(F.lit("lorem ipsum "), F.col("text"), F.lit(".")))
+        .otherwise(F.col("text"))
+    )
+    lines = d.select(
+        F.expr("doc_id div 5").alias("page_id"),
+        F.col("doc_id").alias("pos"),
+        line.alias("line"),
+    )
+    return c4_line_filter(lines)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet per-language perplexity terciles (text/lm.py ccnet_buckets)
     — every document labeled head/middle/tail within ITS language's LM
@@ -7904,6 +7937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "ccnet_buckets": q_ccnet_buckets,
         "harmonic_centrality": q_harmonic_centrality,
+        "gopher_rules": q_gopher_rules,
+        "c4_lines": q_c4_lines,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -9144,6 +9179,93 @@ def oracle_sql() -> dict[str, str]:
         # tercile cuts per language, then the head/middle/tail labels —
         # row_number-at-rank-r selects the same VALUE as the engine's
         # histogram cumulative rank (ties collapse to one value)
+        # every Gopher threshold is replayed as the SAME integer
+        # comparison the engine evaluates (3n <= sum_len <= 10n etc.) —
+        # no float anywhere in a rule
+        "gopher_rules": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            w -> w <> '')) AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g'))
+                            AS BIGINT) AS sum_len,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            AS BIGINT)
+                       + CAST((length(text) - length(replace(text, '...', '')))
+                              / 3 AS BIGINT) AS symbols,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '') AS words
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_words, sum_len, symbols,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(lines,
+                            l -> l LIKE '- %' OR l LIKE '• %'))
+                            AS BIGINT) AS bullets,
+                       CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                            AS BIGINT) AS ellipses,
+                       CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[A-Za-z]')))
+                            AS BIGINT) AS alpha,
+                       CAST(len(list_filter(
+                            ['the','be','to','of','and','that','have','with'],
+                            s -> list_contains(
+                                list_transform(words, w -> lower(w)), s)))
+                            AS BIGINT) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   n_words >= 50 AND n_words <= 100000 AS r_word_count,
+                   sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                       AS r_mean_word_len,
+                   symbols * 10 <= n_words AS r_symbol_ratio,
+                   bullets * 10 <= n_lines AS r_bullet_lines,
+                   ellipses * 10 <= n_lines * 3 AS r_ellipsis_lines,
+                   alpha * 5 >= n_words * 4 AS r_alpha_words,
+                   stop_hits >= 2 AS r_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                   AND symbols * 10 <= n_words
+                   AND bullets * 10 <= n_lines
+                   AND ellipses * 10 <= n_lines * 3
+                   AND alpha * 5 >= n_words * 4
+                   AND stop_hits >= 2 AS keep
+            FROM m
+        """,
+        # identical closed-form line synthesis, then the C4 rules; the
+        # retained text is byte-compared (string_agg ORDER BY pos =
+        # the engine's sorted-struct re-assembly)
+        "c4_lines": r"""
+            WITH l AS (
+                SELECT doc_id // 5 AS page_id, doc_id AS pos,
+                       CASE doc_id % 4
+                         WHEN 0 THEN text || '.'
+                         WHEN 1 THEN text || '?'
+                         WHEN 2 THEN 'lorem ipsum ' || text || '.'
+                         ELSE text END AS line
+                FROM documents
+            ), f AS (
+                SELECT page_id, pos, line,
+                       (line LIKE '%.' OR line LIKE '%!'
+                        OR line LIKE '%?' OR line LIKE '%"')
+                       AND len(list_filter(string_split_regex(line, '\s+'),
+                                           w -> w <> '')) >= 5
+                       AND NOT contains(lower(line), 'lorem ipsum')
+                       AND NOT contains(line, '{')
+                       AND NOT regexp_matches(lower(line),
+                                              '(^|\s)javascript(\s|$)')
+                           AS keep
+                FROM l
+            )
+            SELECT page_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                       AS n_lines_kept,
+                   count(*) FILTER (WHERE keep) >= 3 AS kept
+            FROM f GROUP BY page_id
+        """,
         "ccnet_buckets": r"""
             WITH t AS (
                 SELECT doc_id,
