@@ -389,3 +389,38 @@ def test_sssp_round_joins_hash_without_sorting(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" in plan
     assert out.count() == 3  # vertices 0,1,2 within 2 hops
+
+
+def test_gopher_rules_is_pure_projection(spark, sf_small_dir):
+    """Per-document rule flags must plan as scan → project, nothing
+    else: no Exchange, no Python eval node — the filter runs where the
+    data is at any scale."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_gopher_rules(spark, sf_small_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_c4_lines_single_page_keyed_exchange(spark, sf_small_dir):
+    """C4 page re-assembly is ONE page-keyed exchange (the groupBy);
+    the per-line verdicts are projections before it. No sort-based
+    aggregate, no second shuffle."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_c4_lines(spark, sf_small_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_region_top_terms_doc_attach_is_shuffle_hash(spark, sf_small_dir):
+    """The geo×text composition must attach the corpus with a
+    shuffle-hash join (never a broadcast of the corpus side, never a
+    sort-merge) and rank inside per-region window partitions."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_region_top_terms(spark, sf_small_dir))
+    assert "ShuffledHashJoin [doc_id" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
