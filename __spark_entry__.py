@@ -7324,6 +7324,106 @@ def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines and the retained-text output is BYTE-compared."""
     from osm_spark.text.rules import c4_line_filter
 
+    return c4_line_filter(_c4_page_lines(spark, sf_dir))
+
+
+def _gopher_oracle(source: str) -> str:
+    """Gopher rule replay over any (doc_id, text) source — every
+    threshold the SAME integer comparison the engine evaluates."""
+    return rf"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            w -> w <> '')) AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g'))
+                            AS BIGINT) AS sum_len,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            AS BIGINT)
+                       + CAST((length(text) - length(replace(text, '...', '')))
+                              / 3 AS BIGINT) AS symbols,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '') AS words
+                FROM {source}
+            ), m AS (
+                SELECT doc_id, n_words, sum_len, symbols,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(lines,
+                            l -> l LIKE '- %' OR l LIKE '• %'))
+                            AS BIGINT) AS bullets,
+                       CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                            AS BIGINT) AS ellipses,
+                       CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[A-Za-z]')))
+                            AS BIGINT) AS alpha,
+                       CAST(len(list_filter(
+                            ['the','be','to','of','and','that','have','with'],
+                            s -> list_contains(
+                                list_transform(words, w -> lower(w)), s)))
+                            AS BIGINT) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   n_words >= 50 AND n_words <= 100000 AS r_word_count,
+                   sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                       AS r_mean_word_len,
+                   symbols * 10 <= n_words AS r_symbol_ratio,
+                   bullets * 10 <= n_lines AS r_bullet_lines,
+                   ellipses * 10 <= n_lines * 3 AS r_ellipsis_lines,
+                   alpha * 5 >= n_words * 4 AS r_alpha_words,
+                   stop_hits >= 2 AS r_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                   AND symbols * 10 <= n_words
+                   AND bullets * 10 <= n_lines
+                   AND ellipses * 10 <= n_lines * 3
+                   AND alpha * 5 >= n_words * 4
+                   AND stop_hits >= 2 AS keep
+            FROM m
+    """
+
+
+def _c4_lines_oracle() -> str:
+    """Identical closed-form line synthesis, then the C4 rules; the
+    retained text is byte-compared (string_agg ORDER BY pos = the
+    engine's sorted-struct re-assembly)."""
+    return r"""
+            WITH l AS (
+                SELECT doc_id // 5 AS page_id, doc_id AS pos,
+                       CASE doc_id % 4
+                         WHEN 0 THEN text || '.'
+                         WHEN 1 THEN text || '?'
+                         WHEN 2 THEN 'lorem ipsum ' || text || '.'
+                         ELSE text END AS line
+                FROM documents
+            ), f AS (
+                SELECT page_id, pos, line,
+                       (line LIKE '%.' OR line LIKE '%!'
+                        OR line LIKE '%?' OR line LIKE '%"')
+                       AND len(list_filter(string_split_regex(line, '\s+'),
+                                           w -> w <> '')) >= 5
+                       AND NOT contains(lower(line), 'lorem ipsum')
+                       AND NOT contains(line, '{')
+                       AND NOT regexp_matches(lower(line),
+                                              '(^|\s)javascript(\s|$)')
+                           AS keep
+                FROM l
+            )
+            SELECT page_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                       AS n_lines_kept,
+                   count(*) FILTER (WHERE keep) >= 3 AS kept
+            FROM f GROUP BY page_id
+    """
+
+
+def _c4_page_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form line-table synthesis shared by the C4 gate queries:
+    documents become 5-line pages with terminal/question/lorem/plain
+    variants decided by doc_id % 4 — the oracle rebuilds identical
+    lines from the same arithmetic."""
     d = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 4
     line = (
@@ -7332,12 +7432,26 @@ def q_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.concat(F.lit("lorem ipsum "), F.col("text"), F.lit(".")))
         .otherwise(F.col("text"))
     )
-    lines = d.select(
+    return d.select(
         F.expr("doc_id div 5").alias("page_id"),
         F.col("doc_id").alias("pos"),
         line.alias("line"),
     )
-    return c4_line_filter(lines)
+
+
+def q_clean_then_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition: C4 line cleaning feeds the Gopher document
+    rules over the REASSEMBLED page text — the stage coupling a real
+    cleaning pipeline has (Gopher thresholds see post-C4 word counts
+    and line structure, not the raw page), gated against the two
+    oracles chained in one DuckDB replay."""
+    from osm_spark.text.rules import c4_line_filter, gopher_rules
+
+    cleaned = c4_line_filter(_c4_page_lines(spark, sf_dir)).where(
+        F.col("kept")
+    )
+    out = gopher_rules(cleaned.select("page_id", "text"), id_col="page_id")
+    return out.withColumnRenamed("doc_id", "page_id")
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7939,6 +8053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
+        "clean_then_gopher": q_clean_then_gopher,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -9182,89 +9297,21 @@ def oracle_sql() -> dict[str, str]:
         # every Gopher threshold is replayed as the SAME integer
         # comparison the engine evaluates (3n <= sum_len <= 10n etc.) —
         # no float anywhere in a rule
-        "gopher_rules": r"""
-            WITH base AS (
-                SELECT doc_id, text,
-                       CAST(len(list_filter(string_split_regex(text, '\s+'),
-                                            w -> w <> '')) AS BIGINT) AS n_words,
-                       CAST(length(regexp_replace(text, '\s', '', 'g'))
-                            AS BIGINT) AS sum_len,
-                       CAST((length(text) - length(replace(text, '#', '')))
-                            AS BIGINT)
-                       + CAST((length(text) - length(replace(text, '...', '')))
-                              / 3 AS BIGINT) AS symbols,
-                       string_split(text, chr(10)) AS lines,
-                       list_filter(string_split_regex(text, '\s+'),
-                                   w -> w <> '') AS words
-                FROM documents
-            ), m AS (
-                SELECT doc_id, n_words, sum_len, symbols,
-                       CAST(len(lines) AS BIGINT) AS n_lines,
-                       CAST(len(list_filter(lines,
-                            l -> l LIKE '- %' OR l LIKE '• %'))
-                            AS BIGINT) AS bullets,
-                       CAST(len(list_filter(lines, l -> l LIKE '%...'))
-                            AS BIGINT) AS ellipses,
-                       CAST(len(list_filter(words,
-                            w -> regexp_matches(w, '[A-Za-z]')))
-                            AS BIGINT) AS alpha,
-                       CAST(len(list_filter(
-                            ['the','be','to','of','and','that','have','with'],
-                            s -> list_contains(
-                                list_transform(words, w -> lower(w)), s)))
-                            AS BIGINT) AS stop_hits
-                FROM base
-            )
-            SELECT doc_id, n_words,
-                   n_words >= 50 AND n_words <= 100000 AS r_word_count,
-                   sum_len >= 3 * n_words AND sum_len <= 10 * n_words
-                       AS r_mean_word_len,
-                   symbols * 10 <= n_words AS r_symbol_ratio,
-                   bullets * 10 <= n_lines AS r_bullet_lines,
-                   ellipses * 10 <= n_lines * 3 AS r_ellipsis_lines,
-                   alpha * 5 >= n_words * 4 AS r_alpha_words,
-                   stop_hits >= 2 AS r_stopwords,
-                   (n_words >= 50 AND n_words <= 100000)
-                   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-                   AND symbols * 10 <= n_words
-                   AND bullets * 10 <= n_lines
-                   AND ellipses * 10 <= n_lines * 3
-                   AND alpha * 5 >= n_words * 4
-                   AND stop_hits >= 2 AS keep
-            FROM m
-        """,
+        "gopher_rules": _gopher_oracle("documents"),
         # identical closed-form line synthesis, then the C4 rules; the
         # retained text is byte-compared (string_agg ORDER BY pos =
         # the engine's sorted-struct re-assembly)
-        "c4_lines": r"""
-            WITH l AS (
-                SELECT doc_id // 5 AS page_id, doc_id AS pos,
-                       CASE doc_id % 4
-                         WHEN 0 THEN text || '.'
-                         WHEN 1 THEN text || '?'
-                         WHEN 2 THEN 'lorem ipsum ' || text || '.'
-                         ELSE text END AS line
-                FROM documents
-            ), f AS (
-                SELECT page_id, pos, line,
-                       (line LIKE '%.' OR line LIKE '%!'
-                        OR line LIKE '%?' OR line LIKE '%"')
-                       AND len(list_filter(string_split_regex(line, '\s+'),
-                                           w -> w <> '')) >= 5
-                       AND NOT contains(lower(line), 'lorem ipsum')
-                       AND NOT contains(line, '{')
-                       AND NOT regexp_matches(lower(line),
-                                              '(^|\s)javascript(\s|$)')
-                           AS keep
-                FROM l
-            )
-            SELECT page_id,
-                   coalesce(string_agg(CASE WHEN keep THEN line END,
-                                       chr(10) ORDER BY pos), '') AS text,
-                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
-                       AS n_lines_kept,
-                   count(*) FILTER (WHERE keep) >= 3 AS kept
-            FROM f GROUP BY page_id
+        "c4_lines": _c4_lines_oracle(),
+        # the composed cleaning chain: C4-retained pages feed the
+        # Gopher rules over the reassembled text
+        "clean_then_gopher": f"""
+            WITH c4 AS ({_c4_lines_oracle()}),
+            pages AS (SELECT page_id AS doc_id, text FROM c4 WHERE kept),
+            g AS ({_gopher_oracle("pages")})
+            SELECT doc_id AS page_id, n_words, r_word_count,
+                   r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+                   r_ellipsis_lines, r_alpha_words, r_stopwords, keep
+            FROM g
         """,
         "ccnet_buckets": r"""
             WITH t AS (
