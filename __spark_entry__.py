@@ -7383,12 +7383,7 @@ def _gopher_oracle(source: str) -> str:
     """
 
 
-def _c4_lines_oracle() -> str:
-    """Identical closed-form line synthesis, then the C4 rules; the
-    retained text is byte-compared (string_agg ORDER BY pos = the
-    engine's sorted-struct re-assembly)."""
-    return r"""
-            WITH l AS (
+_C4_LINE_SYNTH_SQL = """
                 SELECT doc_id // 5 AS page_id, doc_id AS pos,
                        CASE doc_id % 4
                          WHEN 0 THEN text || '.'
@@ -7396,6 +7391,15 @@ def _c4_lines_oracle() -> str:
                          WHEN 2 THEN 'lorem ipsum ' || text || '.'
                          ELSE text END AS line
                 FROM documents
+"""
+
+
+def _c4_lines_oracle() -> str:
+    """Identical closed-form line synthesis, then the C4 rules; the
+    retained text is byte-compared (string_agg ORDER BY pos = the
+    engine's sorted-struct re-assembly)."""
+    return rf"""
+            WITH l AS ({_C4_LINE_SYNTH_SQL}
             ), f AS (
                 SELECT page_id, pos, line,
                        (line LIKE '%.' OR line LIKE '%!'
@@ -7403,7 +7407,7 @@ def _c4_lines_oracle() -> str:
                        AND len(list_filter(string_split_regex(line, '\s+'),
                                            w -> w <> '')) >= 5
                        AND NOT contains(lower(line), 'lorem ipsum')
-                       AND NOT contains(line, '{')
+                       AND NOT contains(line, '{{')
                        AND NOT regexp_matches(lower(line),
                                               '(^|\s)javascript(\s|$)')
                            AS keep
@@ -7437,6 +7441,32 @@ def _c4_page_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("pos"),
         line.alias("line"),
     )
+
+
+def q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document keep-first line dedup (text/lines.py
+    line_dedup_within — zero-shuffle Column program) over synthesized
+    multi-line pages with an injected repeated boilerplate line; the
+    cleaned text is BYTE-compared against the DuckDB list replay."""
+    from osm_spark.text.lines import line_dedup_within
+
+    lines = _c4_page_lines(spark, sf_dir)
+    pages = lines.groupBy("page_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    pages = pages.select(
+        "page_id",
+        F.concat(
+            F.lit("nav home\n"), F.col("text"), F.lit("\nnav home")
+        ).alias("text"),
+    )
+    return line_dedup_within(pages, id_col="page_id")
 
 
 def q_clean_then_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8054,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
         "clean_then_gopher": q_clean_then_gopher,
+        "line_dedup_within": q_line_dedup_within,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -9302,6 +9333,30 @@ def oracle_sql() -> dict[str, str]:
         # retained text is byte-compared (string_agg ORDER BY pos =
         # the engine's sorted-struct re-assembly)
         "c4_lines": _c4_lines_oracle(),
+        # same page synthesis with an injected repeated boilerplate
+        # line; DuckDB's (x, i) lambda index is 1-based where Spark's
+        # is 0-based — both sides test first-position == own-position
+        "line_dedup_within": f"""
+            WITH lines AS ({_C4_LINE_SYNTH_SQL}),
+            pages AS (
+                SELECT page_id,
+                       'nav home' || chr(10)
+                       || string_agg(line, chr(10) ORDER BY pos)
+                       || chr(10) || 'nav home' AS text
+                FROM lines GROUP BY page_id
+            ),
+            b AS (SELECT page_id, string_split(text, chr(10)) AS l
+                  FROM pages)
+            SELECT page_id,
+                   array_to_string(list_filter(l,
+                       (x, i) -> list_position(l, x) = i), chr(10))
+                       AS clean_text,
+                   CAST(len(l) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(l,
+                       (x, i) -> list_position(l, x) = i)) AS BIGINT)
+                       AS n_kept
+            FROM b
+        """,
         # the composed cleaning chain: C4-retained pages feed the
         # Gopher rules over the reassembled text
         "clean_then_gopher": f"""

@@ -94,3 +94,38 @@ def line_dedup(
         )
         .select(id_col, "clean_text", "n_lines", "n_kept")
     )
+
+
+def line_dedup_within(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document keep-first line dedup — the intra-page
+    counterpart of :func:`line_dedup`: repeated nav strings, footers
+    and boilerplate that recur INSIDE one page collapse to their first
+    occurrence, document order preserved. CCNet applies this pass
+    before the corpus-global one (a page's own repetition should not
+    consume the corpus-global first-occurrence slot).
+
+    Scale shape: a document's lines already live in its own row, so
+    this is a PURE per-row Column program — zero shuffle, zero Python,
+    whole-stage codegen. The first-occurrence test is
+    ``array_position(lines, line) == index`` (first 1-based position),
+    O(lines²) per document in the worst case — lines per page are
+    bounded (thousands), not corpus-scale, so per-row cost is constant
+    in corpus size.
+
+    Output per document: (id, clean_text, n_lines, n_kept).
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

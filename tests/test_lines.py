@@ -56,3 +56,25 @@ def test_line_dedup_plan_no_sort_merge_or_cartesian(spark):
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # digest join is hash, not re-sort
+
+
+def test_line_dedup_within_keeps_first_and_order(spark):
+    from osm_spark.text.lines import line_dedup_within
+
+    df = spark.createDataFrame(
+        [(1, "nav\na\nnav\nb\na\nnav"), (2, "x\ny"), (3, "z\nz\nz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup_within(df).collect()}
+    assert got[1]["clean_text"] == "nav\na\nb"
+    assert got[1]["n_lines"] == 6 and got[1]["n_kept"] == 3
+    assert got[2]["clean_text"] == "x\ny" and got[2]["n_kept"] == 2
+    assert got[3]["clean_text"] == "z" and got[3]["n_kept"] == 1
+
+
+def test_line_dedup_within_is_zero_shuffle(spark):
+    from osm_spark.text.lines import line_dedup_within
+
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = line_dedup_within(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
