@@ -3147,6 +3147,65 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-random walks (graph/walks.py) over the
+    synthetic link graph — DeepWalk-style sampling with md5-argmin next
+    hops, so the DuckDB unrolled replay reproduces every step exactly."""
+    _prep(spark)
+    from osm_spark.graph.walks import random_walks
+
+    return random_walks(
+        _link_graph(spark, sf_dir), walk_len=3, walks_per_node=2
+    )
+
+
+def _random_walks_oracle(walk_len: int = 3, walks_per_node: int = 2) -> str:
+    """Unrolled replay: per step, row_number over (md5(start:w:s:dst),
+    dst) picks the same neighbor Spark's min(struct(h, dst)) picks."""
+    vals = ", ".join(f"({w})" for w in range(walks_per_node))
+    steps_sql = []
+    rows = [
+        "SELECT start_id, walk_no, CAST(0 AS INT) AS step, node FROM w0"
+    ]
+    for s in range(1, walk_len + 1):
+        steps_sql.append(f"""
+        w{s} AS (
+            SELECT start_id, walk_no, node FROM (
+                SELECT w.start_id, w.walk_no, e.dst AS node,
+                       row_number() OVER (
+                           PARTITION BY w.start_id, w.walk_no
+                           ORDER BY md5(concat_ws(':', w.start_id,
+                                        w.walk_no, {s}, e.dst)), e.dst
+                       ) AS rn
+                FROM w{s - 1} w JOIN edges e ON e.src = w.node
+            ) WHERE rn = 1
+        )""")
+        rows.append(
+            f"SELECT start_id, walk_no, CAST({s} AS INT) AS step, node "
+            f"FROM w{s}"
+        )
+    body = ",".join(steps_sql)
+    union = " UNION ALL ".join(rows)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+        ),
+        edges AS (SELECT DISTINCT src, dst FROM e0),
+        verts AS (SELECT DISTINCT src AS id FROM edges
+                  UNION SELECT dst FROM edges),
+        w0 AS (SELECT id AS start_id, CAST(w AS INT) AS walk_no, id AS node
+               FROM verts CROSS JOIN (VALUES {vals}) t(w)),
+        {body}
+        SELECT * FROM ({union})
+    """
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon harmonic centrality (graph/neighborhood.py) —
     the Boldi-Vigna geometric centrality folded from per-hop reachable
@@ -8085,6 +8144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_lines": q_c4_lines,
         "clean_then_gopher": q_clean_then_gopher,
         "line_dedup_within": q_line_dedup_within,
+        "random_walks": q_random_walks,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -8152,6 +8212,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": _fuzzy_pairs_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
         "neighborhood": _neighborhood_oracle(),
+        "random_walks": _random_walks_oracle(),
         # same unrolled BFS replay, harmonic fold on top: per-hop
         # reachable deltas (lag default 1 = self at distance 0),
         # micro-quantized terms, per-vertex long sum
