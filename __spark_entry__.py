@@ -3147,6 +3147,119 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC ring-simplicity validation (geo/crossings.py ring_validity):
+    the polygon fixture with vertices 2 and 4 swapped on every 5th ring
+    (a closed-form bowtie injection both engines reproduce), validated
+    per ring by the int64 non-adjacent-segment-intersection count vs a
+    DuckDB brute-force pair replay."""
+    _prep(spark)
+    from osm_spark.geo.crossings import ring_validity
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    polys = synth_polygons(spark)
+    swap = lambda c: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.size(c)),
+        lambda i: F.element_at(
+            c,
+            F.when(i == 2, F.lit(4))
+            .when(i == 4, F.lit(2))
+            .otherwise(i)
+            .cast("int"),
+        ),
+    )
+    bent = polys.select(
+        "way_id",
+        F.when(F.col("way_id") % 5 == 0, swap(F.col("vlat")))
+        .otherwise(F.col("vlat"))
+        .alias("vlat"),
+        F.when(F.col("way_id") % 5 == 0, swap(F.col("vlon")))
+        .otherwise(F.col("vlon"))
+        .alias("vlon"),
+    )
+    return ring_validity(bent)
+
+
+def _ring_validity_oracle(scale: int = 100_000) -> str:
+    """Brute-force replay: same vertex swap, same quantization and
+    orientation arithmetic as the way_crossings oracle, pairs limited
+    to same-ring non-adjacent (j ≥ i+2, wrap pair (1, n) excluded),
+    counted per ring with valid rings kept via LEFT join."""
+    sc = repr(float(scale))
+    return f"""
+        WITH poly0(way_id, vlat0, vlon0) AS (VALUES
+                {_polygons_values_sql()}),
+        poly1 AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat0 AS DOUBLE[]) AS vlat,
+                   CAST(vlon0 AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        poly AS (
+            SELECT way_id,
+                   CASE WHEN way_id % 5 = 0 THEN
+                       list_transform(range(1, len(vlat) + 1),
+                           i -> vlat[CASE WHEN i = 2 THEN 4
+                                          WHEN i = 4 THEN 2
+                                          ELSE i END])
+                   ELSE vlat END AS vlat,
+                   CASE WHEN way_id % 5 = 0 THEN
+                       list_transform(range(1, len(vlon) + 1),
+                           i -> vlon[CASE WHEN i = 2 THEN 4
+                                          WHEN i = 4 THEN 2
+                                          ELSE i END])
+                   ELSE vlon END AS vlon
+            FROM poly1
+        ),
+        segs AS (
+            SELECT way_id, CAST(i AS INT) AS seg_idx,
+                   CAST(len(vlat) AS INT) AS nseg,
+                   CAST(round(vlon[i] * {sc}) AS BIGINT) AS x0,
+                   CAST(round(vlat[i] * {sc}) AS BIGINT) AS y0,
+                   CAST(round(vlon[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS x1,
+                   CAST(round(vlat[(i % len(vlat)) + 1] * {sc}) AS BIGINT) AS y1
+            FROM poly, UNNEST(range(1, len(vlat) + 1)) AS t(i)
+        ),
+        cand AS (
+            SELECT s.way_id,
+                   CASE WHEN (s.x1-s.x0)*(t.y0-s.y0) - (s.y1-s.y0)*(t.x0-s.x0) > 0 THEN 1
+                        WHEN (s.x1-s.x0)*(t.y0-s.y0) - (s.y1-s.y0)*(t.x0-s.x0) < 0 THEN -1 ELSE 0 END AS d1,
+                   CASE WHEN (s.x1-s.x0)*(t.y1-s.y0) - (s.y1-s.y0)*(t.x1-s.x0) > 0 THEN 1
+                        WHEN (s.x1-s.x0)*(t.y1-s.y0) - (s.y1-s.y0)*(t.x1-s.x0) < 0 THEN -1 ELSE 0 END AS d2,
+                   CASE WHEN (t.x1-t.x0)*(s.y0-t.y0) - (t.y1-t.y0)*(s.x0-t.x0) > 0 THEN 1
+                        WHEN (t.x1-t.x0)*(s.y0-t.y0) - (t.y1-t.y0)*(s.x0-t.x0) < 0 THEN -1 ELSE 0 END AS d3,
+                   CASE WHEN (t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0) > 0 THEN 1
+                        WHEN (t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0) < 0 THEN -1 ELSE 0 END AS d4,
+                   s.x0 AS ax0, s.y0 AS ay0, s.x1 AS ax1, s.y1 AS ay1,
+                   t.x0 AS bx0, t.y0 AS by0, t.x1 AS bx1, t.y1 AS by1
+            FROM segs s JOIN segs t
+              ON s.way_id = t.way_id
+             AND t.seg_idx >= s.seg_idx + 2
+             AND NOT (s.seg_idx = 1 AND t.seg_idx = s.nseg)
+        ),
+        hits AS (
+            SELECT way_id, CAST(count(*) AS BIGINT) AS n_bad_pairs
+            FROM cand
+            WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
+               OR (d1 = 0 AND bx0 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                          AND by0 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+               OR (d2 = 0 AND bx1 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                          AND by1 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+               OR (d3 = 0 AND ax0 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                          AND ay0 BETWEEN least(by0,by1) AND greatest(by0,by1))
+               OR (d4 = 0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                          AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))
+            GROUP BY way_id
+        )
+        SELECT p.way_id,
+               CAST(len(p.vlat) AS BIGINT) AS n_vertices,
+               coalesce(h.n_bad_pairs, 0) AS n_bad_pairs,
+               coalesce(h.n_bad_pairs, 0) = 0 AND len(p.vlat) >= 3
+                   AS is_valid
+        FROM poly p LEFT JOIN hits h USING (way_id)
+    """
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-random walks (graph/walks.py) over the
     synthetic link graph — DeepWalk-style sampling with md5-argmin next
@@ -8145,6 +8258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_then_gopher": q_clean_then_gopher,
         "line_dedup_within": q_line_dedup_within,
         "random_walks": q_random_walks,
+        "ring_validity": q_ring_validity,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -8213,6 +8327,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle(),
         "neighborhood": _neighborhood_oracle(),
         "random_walks": _random_walks_oracle(),
+        "ring_validity": _ring_validity_oracle(),
         # same unrolled BFS replay, harmonic fold on top: per-hop
         # reachable deltas (lag default 1 = self at distance 0),
         # micro-quantized terms, per-vertex long sum

@@ -55,7 +55,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["DEFAULT_SCALE", "DEFAULT_CELL_UNITS", "way_segments", "segment_crossings"]
+__all__ = [
+    "DEFAULT_SCALE",
+    "DEFAULT_CELL_UNITS",
+    "way_segments",
+    "segment_crossings",
+    "ring_validity",
+]
 
 # quantized units per degree (~1.1 m at the equator) — the snap tolerance
 DEFAULT_SCALE = 100_000
@@ -230,4 +236,89 @@ def segment_crossings(
         cand.where(segments_intersect_pred("a", "b"))
         .select("way_a", "seg_a", "way_b", "seg_b")
         .distinct()
+    )
+
+
+def _seg_pred(sa: Column, sb: Column) -> Column:
+    """segments_intersect_pred over two segment struct VALUES (for use
+    inside higher-order lambdas, where named columns don't exist)."""
+    d1 = _orient(sa.x0, sa.y0, sa.x1, sa.y1, sb.x0, sb.y0)
+    d2 = _orient(sa.x0, sa.y0, sa.x1, sa.y1, sb.x1, sb.y1)
+    d3 = _orient(sb.x0, sb.y0, sb.x1, sb.y1, sa.x0, sa.y0)
+    d4 = _orient(sb.x0, sb.y0, sb.x1, sb.y1, sa.x1, sa.y1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    touch = (
+        ((d1 == 0) & _on_bbox(sa.x0, sa.y0, sa.x1, sa.y1, sb.x0, sb.y0))
+        | ((d2 == 0) & _on_bbox(sa.x0, sa.y0, sa.x1, sa.y1, sb.x1, sb.y1))
+        | ((d3 == 0) & _on_bbox(sb.x0, sb.y0, sb.x1, sb.y1, sa.x0, sa.y0))
+        | ((d4 == 0) & _on_bbox(sb.x0, sb.y0, sb.x1, sb.y1, sa.x1, sa.y1))
+    )
+    return proper | touch
+
+
+def ring_validity(
+    ways: DataFrame,
+    *,
+    scale: int = DEFAULT_SCALE,
+    id_col: str = "way_id",
+) -> DataFrame:
+    """OGC-style ring simplicity check: a ring is VALID iff it has ≥ 3
+    vertices and no two NON-ADJACENT segments intersect (adjacent
+    segments — consecutive, and the first/last wrap pair — share an
+    endpoint by construction and are excluded; any other contact,
+    crossing OR touch/pinch, is invalid, matching the OGC simple-ring
+    rule). The ingestion guard in front of every polygon consumer
+    (PIP covering, overlay, area): a bowtie ring silently corrupts
+    even-odd containment downstream.
+
+    Scale shape: a ring's vertices live in ONE row, so this is a pure
+    per-row Column program — zero shuffle, zero Python, same int64
+    orientation arithmetic as ``segment_crossings`` (quantization
+    round(deg·scale)). O(n²) integer ops per ring over bounded ring
+    sizes, constant in table size.
+
+    Output: (way_id, n_vertices, n_bad_pairs, is_valid).
+    """
+    nv = F.size("vlat")
+    q = lambda v: F.round(v * F.lit(float(scale))).cast("long")  # noqa: E731
+    seg = lambda i: F.struct(  # noqa: E731
+        q(F.element_at("vlon", i.cast("int"))).alias("x0"),
+        q(F.element_at("vlat", i.cast("int"))).alias("y0"),
+        q(F.element_at("vlon", (i % nv + 1).cast("int"))).alias("x1"),
+        q(F.element_at("vlat", (i % nv + 1).cast("int"))).alias("y1"),
+    )
+    segs = F.when(nv >= 2, F.transform(F.sequence(F.lit(1), nv), seg)).otherwise(
+        F.array().cast(
+            "array<struct<x0:bigint,y0:bigint,x1:bigint,y1:bigint>>"
+        )
+    )
+    n = F.size(segs)
+    # j ranges over i+2 .. n, except the (1, n) wrap pair
+    jmax = lambda i: F.when(i == 1, n - 1).otherwise(n)  # noqa: E731
+    bad_for = lambda i: F.size(  # noqa: E731
+        F.filter(
+            F.when(i + 2 <= jmax(i), F.sequence(i + 2, jmax(i))).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda j: _seg_pred(
+                F.element_at(segs, i.cast("int")),
+                F.element_at(segs, j.cast("int")),
+            ),
+        )
+    )
+    # guard: sequence(1, 0) would run DESCENDING through index 0 on a
+    # degenerate ring — below 4 segments no non-adjacent pair exists
+    n_bad = F.when(
+        n >= 4,
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + bad_for(i).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return ways.select(
+        F.col(id_col).alias("way_id"),
+        nv.cast("long").alias("n_vertices"),
+        n_bad.alias("n_bad_pairs"),
+        ((nv >= 3) & (n_bad == 0)).alias("is_valid"),
     )

@@ -236,3 +236,45 @@ def test_stream_crossings_equals_batch(spark):
         for r in spark.table(sink).collect()
     )
     assert got == batch
+
+
+def test_ring_validity_square_vs_bowtie(spark):
+    from osm_spark.geo.crossings import ring_validity
+
+    square = ([0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0])  # (vlat, vlon)
+    # bowtie: same vertices ordered so edges 1-2 and 3-4 cross
+    bowtie = ([0.0, 1.0, 0.0, 1.0], [0.0, 1.0, 1.0, 0.0])
+    df = spark.createDataFrame(
+        [(1, *square), (2, *bowtie)],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    got = {r["way_id"]: r for r in ring_validity(df).collect()}
+    assert got[1]["is_valid"] is True and got[1]["n_bad_pairs"] == 0
+    assert got[2]["is_valid"] is False and got[2]["n_bad_pairs"] == 1
+
+
+def test_ring_validity_pinch_point_is_invalid(spark):
+    from osm_spark.geo.crossings import ring_validity
+
+    # two triangles sharing vertex (0,0): non-adjacent segments TOUCH
+    vlat = [0.0, 1.0, 1.0, 0.0, -1.0, -1.0]
+    vlon = [0.0, 0.5, -0.5, 0.0, 0.5, -0.5]
+    df = spark.createDataFrame(
+        [(1, vlat, vlon)], "way_id long, vlat array<double>, vlon array<double>"
+    )
+    got = ring_validity(df).collect()[0]
+    assert got["is_valid"] is False and got["n_bad_pairs"] >= 1
+
+
+def test_ring_validity_degenerate_and_plan(spark):
+    from osm_spark.geo.crossings import ring_validity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0]), (2, [0.0], [0.0])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    got = {r["way_id"]: r for r in ring_validity(df).collect()}
+    assert got[1]["is_valid"] is False  # < 3 vertices
+    assert got[2]["is_valid"] is False
+    plan = ring_validity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
