@@ -3147,6 +3147,57 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def q_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic ring area (geo/measure.py spherical_area_m2 —
+    Chamberlain-Duquette closed form, the high-latitude-correct
+    companion to the planar equirect shoelake) over the polygon
+    fixture, rounded to whole m² and replayed in DuckDB with the
+    identical left-fold op order."""
+    _prep(spark)
+    from osm_spark.geo.measure import spherical_area_m2
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    return synth_polygons(spark).select(
+        "way_id",
+        F.round(spherical_area_m2("vlat", "vlon"), 0)
+        .cast("long")
+        .alias("area_sph_m2"),
+    )
+
+
+def _spherical_area_oracle() -> str:
+    from osm_spark.geo.measure import _EARTH_R_M
+
+    c = repr(_EARTH_R_M * _EARTH_R_M / 2.0)
+    return f"""
+        WITH poly0(way_id, vlat0, vlon0) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat0 AS DOUBLE[]) AS vlat,
+                   CAST(vlon0 AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        t AS (
+            SELECT way_id, len(vlat) AS n,
+                   list_transform(range(1, len(vlat) + 1),
+                       i -> (radians(vlon[(i % len(vlat)) + 1])
+                             - radians(vlon[i]))
+                            * (2.0 + sin(radians(vlat[i]))
+                               + sin(radians(vlat[(i % len(vlat)) + 1]))))
+                       AS terms
+            FROM poly
+        )
+        SELECT way_id,
+               CAST(round(CASE WHEN n >= 3 THEN
+                   abs(list_reduce(list_prepend(0.0, terms),
+                                   (a, b) -> a + b))
+                   * CAST('{c}' AS DOUBLE)
+               ELSE 0.0 END) AS BIGINT) AS area_sph_m2
+        FROM t
+    """
+
+
 def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGC ring-simplicity validation (geo/crossings.py ring_validity):
     the polygon fixture with vertices 2 and 4 swapped on every 5th ring
@@ -8259,6 +8310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_within": q_line_dedup_within,
         "random_walks": q_random_walks,
         "ring_validity": q_ring_validity,
+        "spherical_area": q_spherical_area,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -8328,6 +8380,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood": _neighborhood_oracle(),
         "random_walks": _random_walks_oracle(),
         "ring_validity": _ring_validity_oracle(),
+        "spherical_area": _spherical_area_oracle(),
         # same unrolled BFS replay, harmonic fold on top: per-hop
         # reachable deltas (lag default 1 = self at distance 0),
         # micro-quantized terms, per-vertex long sum

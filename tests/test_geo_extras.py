@@ -255,3 +255,58 @@ def test_tile_refresh_equals_recompute(spark):
     e = {(r.z, r.x, r.y): r.n for r in expect.collect()}
     assert g == e
     assert all(n > 0 for n in g.values())
+
+
+def test_spherical_area_matches_python_replay_and_planar(spark):
+    import math
+
+    from osm_spark.geo.measure import spherical_area_m2
+
+    R = 6371000.0
+
+    def cd(vlat, vlon):
+        n = len(vlat)
+        tot = 0.0
+        for i in range(n):
+            j = (i + 1) % n
+            tot += (math.radians(vlon[j]) - math.radians(vlon[i])) * (
+                2 + math.sin(math.radians(vlat[i])) + math.sin(math.radians(vlat[j]))
+            )
+        return abs(tot) * R * R / 2
+
+    sq_eq = ([0.0, 0.0, 0.01, 0.01], [0.0, 0.01, 0.01, 0.0])
+    sq_60 = ([60.0, 60.0, 60.01, 60.01], [0.0, 0.01, 0.01, 0.0])
+    rev = (list(reversed(sq_60[0])), list(reversed(sq_60[1])))
+    df = spark.createDataFrame(
+        [(1, *sq_eq), (2, *sq_60), (3, *rev)],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["way_id"]: r["a"]
+        for r in df.select(
+            "way_id", spherical_area_m2("vlat", "vlon").alias("a")
+        ).collect()
+    }
+    assert abs(got[1] - cd(*sq_eq)) < 1e-3
+    # planar small-square expectation at the equator
+    side = math.radians(0.01) * R
+    assert abs(got[1] / (side * side) - 1) < 1e-6
+    # latitude term integrates per edge: half the equator area at lat 60
+    assert abs(got[2] / (side * side * math.cos(math.radians(60.005))) - 1) < 1e-6
+    # orientation invariance
+    assert got[3] == got[2]
+
+
+def test_spherical_area_degenerate_ring_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.measure import spherical_area_m2
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0])],
+        "way_id long, vlat array<double>, vlon array<double>",
+    )
+    got = df.select(spherical_area_m2("vlat", "vlon").alias("a")).collect()[0]
+    assert got["a"] == 0.0
