@@ -3147,6 +3147,111 @@ def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(_link_graph(spark, sf_dir), max_hops=3)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification — the spatial-ML composition
+    over the two-phase grid kNN (geo/knn.py): each point takes the
+    modal class of its k=3 nearest amenity nodes (class = node_id % 3,
+    closed-form so the oracle reproduces it), ties broken by class
+    ascending. One map-side-combined count + one argmax per point on
+    top of the gated kNN join — vs the brute-force DuckDB top-k replay
+    with the same vote."""
+    _prep(spark)
+    from osm_spark.geo.knn import knn_join
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    out = knn_join(_sql_points(spark, sf_dir), synth_nodes(spark), k=3)
+    votes = out.select(
+        F.col("url").cast("long").alias("point_id"),
+        (F.col("node_id") % 3).alias("cls"),
+    )
+    counted = votes.groupBy("point_id", "cls").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counted.groupBy("point_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n"),
+                    (-F.col("cls")).alias("_negcls"),
+                    F.col("cls"),
+                )
+            ).alias("_top")
+        )
+        .select(
+            "point_id",
+            F.col("_top.cls").alias("cls"),
+            F.col("_top.n").alias("votes"),
+        )
+    )
+
+
+def _knn_classify_oracle() -> str:
+    return f"""
+        WITH knn AS ({_knn_pairs_oracle()}),
+        votes AS (
+            SELECT point_id, node_id % 3 AS cls, count(*) AS n
+            FROM knn GROUP BY point_id, node_id % 3
+        )
+        SELECT point_id, cls, n AS votes FROM (
+            SELECT point_id, cls, n,
+                   row_number() OVER (PARTITION BY point_id
+                                      ORDER BY n DESC, cls ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    """
+
+
+def q_destination_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical direct geodesic (geo/measure.py destination_point) —
+    each fixture point projected along a closed-form bearing/distance,
+    output micro-degree quantized, vs a DuckDB replay with the
+    identical op order (the inverse companion of the gated haversine)."""
+    _prep(spark)
+    from osm_spark.geo.measure import destination_point
+
+    pts = _sql_points(spark, sf_dir)
+    bearing = (F.col("url").cast("long") * 37 % 360).cast("double")
+    dist = (F.lit(500) + F.col("url").cast("long") % 1500).cast("double")
+    d = destination_point(F.col("lat"), F.col("lon"), bearing, dist)
+    return pts.select(
+        F.col("url").cast("long").alias("point_id"),
+        F.round(d["lat"] * 1e6, 0).cast("long").alias("dlat_micro"),
+        F.round(d["lon"] * 1e6, 0).cast("long").alias("dlon_micro"),
+    )
+
+
+def _destination_points_oracle() -> str:
+    from osm_spark.geo.measure import _EARTH_R_M
+
+    r = repr(_EARTH_R_M)
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        g AS (
+            SELECT point_id,
+                   radians(lat) AS phi1,
+                   radians(CAST(point_id * 37 % 360 AS DOUBLE)) AS theta,
+                   (500 + point_id % 1500) / CAST('{r}' AS DOUBLE) AS delta,
+                   radians(lon) AS lam1
+            FROM pts
+        ),
+        s AS (
+            SELECT point_id, phi1, theta, delta, lam1,
+                   sin(phi1) * cos(delta)
+                   + cos(phi1) * sin(delta) * cos(theta) AS sin_phi2
+            FROM g
+        )
+        SELECT point_id,
+               CAST(round(degrees(asin(sin_phi2)) * 1e6) AS BIGINT)
+                   AS dlat_micro,
+               CAST(round(degrees(lam1 + atan2(
+                        sin(theta) * sin(delta) * cos(phi1),
+                        cos(delta) - sin(phi1) * sin_phi2)) * 1e6)
+                    AS BIGINT) AS dlon_micro
+        FROM s
+    """
+
+
 def q_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic ring area (geo/measure.py spherical_area_m2 —
     Chamberlain-Duquette closed form, the high-latitude-correct
@@ -8311,6 +8416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "ring_validity": q_ring_validity,
         "spherical_area": q_spherical_area,
+        "knn_classify": q_knn_classify,
+        "destination_points": q_destination_points,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -8381,6 +8488,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_oracle(),
         "ring_validity": _ring_validity_oracle(),
         "spherical_area": _spherical_area_oracle(),
+        "knn_classify": _knn_classify_oracle(),
+        "destination_points": _destination_points_oracle(),
         # same unrolled BFS replay, harmonic fold on top: per-hop
         # reachable deltas (lag default 1 = self at distance 0),
         # micro-quantized terms, per-vertex long sum

@@ -299,3 +299,38 @@ def spherical_area_m2(vlat: Column | str, vlon: Column | str) -> Column:
         n >= 3,
         F.abs(total) * F.lit(_EARTH_R_M * _EARTH_R_M / 2.0),
     ).otherwise(F.lit(0.0))
+
+
+def destination_point(
+    lat: Column, lon: Column, bearing_deg: Column, dist_m: Column
+) -> Column:
+    """Spherical direct problem: the point ``dist_m`` metres from
+    (lat, lon) along initial ``bearing_deg`` (great-circle; standard
+    navigation closed form, e.g. Movable Type's "Destination point
+    given distance and bearing"):
+
+        φ2 = asin(sin φ1 · cos δ + cos φ1 · sin δ · cos θ)
+        λ2 = λ1 + atan2(sin θ · sin δ · cos φ1,
+                        cos δ − sin φ1 · sin φ2)
+
+    with δ = d/R. Returns a struct(lat, lon) in degrees — one pure
+    Column expression per row (zero shuffle), float op order pinned so
+    a SQL replay reproduces it; consumers quantize (micro-degrees) at
+    their output boundary like every float surface in the engine. The
+    inverse companion of the haversine distance, completing the
+    forward/inverse geodesic pair (trip simulation, synthetic GPS
+    noise, isochrone ray casting)."""
+    phi1 = F.radians(lat)
+    theta = F.radians(bearing_deg)
+    delta = dist_m / F.lit(_EARTH_R_M)
+    sin_phi2 = F.sin(phi1) * F.cos(delta) + F.cos(phi1) * F.sin(delta) * F.cos(
+        theta
+    )
+    phi2 = F.asin(sin_phi2)
+    lam2 = F.radians(lon) + F.atan2(
+        F.sin(theta) * F.sin(delta) * F.cos(phi1),
+        F.cos(delta) - F.sin(phi1) * sin_phi2,
+    )
+    return F.struct(
+        F.degrees(phi2).alias("lat"), F.degrees(lam2).alias("lon")
+    )

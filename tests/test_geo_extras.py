@@ -310,3 +310,32 @@ def test_spherical_area_degenerate_ring_is_zero(spark):
     )
     got = df.select(spherical_area_m2("vlat", "vlon").alias("a")).collect()[0]
     assert got["a"] == 0.0
+
+
+def test_destination_point_roundtrip_against_haversine(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo.measure import destination_point
+
+    df = spark.createDataFrame(
+        [(1, 48.85, 2.35, 45.0, 1000.0), (2, -33.86, 151.21, 200.0, 5000.0),
+         (3, 60.0, 5.0, 0.0, 2000.0), (4, 0.0, 0.0, 90.0, 10000.0)],
+        "id long, lat double, lon double, bearing double, dist double",
+    )
+    d = destination_point(F.col("lat"), F.col("lon"), F.col("bearing"), F.col("dist"))
+    rows = df.select("id", "lat", "lon", "dist", d["lat"].alias("lat2"), d["lon"].alias("lon2")).collect()
+    R = 6371000.0
+    for r in rows:
+        # haversine back must equal the requested distance (same sphere)
+        dphi = math.radians(r.lat2 - r.lat)
+        dlam = math.radians(r.lon2 - r.lon)
+        a = math.sin(dphi / 2) ** 2 + math.cos(math.radians(r.lat)) * math.cos(
+            math.radians(r.lat2)
+        ) * math.sin(dlam / 2) ** 2
+        back = 2 * R * math.asin(math.sqrt(a))
+        assert abs(back - r.dist) < 1e-6 * r.dist + 1e-6
+    # due north from lat 60 by 2 km: lon unchanged
+    r3 = [r for r in rows if r.id == 3][0]
+    assert abs(r3.lon2 - 5.0) < 1e-12
