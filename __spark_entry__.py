@@ -7812,6 +7812,54 @@ def q_clean_then_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("doc_id", "page_id")
 
 
+def q_c4_lines_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming C4 line verdicts: the synthesized line table arrives
+    as a two-drop availableNow STREAM and each line's retention verdict
+    (text/rules.py c4_line_verdict — stateless, so append-mode safe) is
+    emitted on ingest. Oracle = the batch per-line replay: stream ≡
+    batch, the engine's streaming contract."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from osm_spark.text.rules import c4_line_verdict
+
+    lines = _c4_page_lines(spark, sf_dir)
+    base = _tempfile.mkdtemp(prefix="osm_spark_c4s_")
+    drops = _os.path.join(base, "drops")
+    _os.makedirs(drops)
+    for i, part in enumerate(
+        (lines.where(F.col("pos") % 2 == 0), lines.where(F.col("pos") % 2 == 1))
+    ):
+        stage = _os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(drops, f"d{i}.parquet")
+        _shutil.move(f, dst)
+        _os.utime(dst, (1_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema("page_id long, pos long, line string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    out = stream.select(
+        "page_id", "pos", c4_line_verdict(F.col("line")).alias("retained")
+    )
+    sink = f"c4s_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet per-language perplexity terciles (text/lm.py ccnet_buckets)
     — every document labeled head/middle/tail within ITS language's LM
@@ -8418,6 +8466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spherical_area": q_spherical_area,
         "knn_classify": q_knn_classify,
         "destination_points": q_destination_points,
+        "c4_lines_stream": q_c4_lines_stream,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
         "trip_stats": q_trip_stats,
@@ -8490,6 +8539,22 @@ def oracle_sql() -> dict[str, str]:
         "spherical_area": _spherical_area_oracle(),
         "knn_classify": _knn_classify_oracle(),
         "destination_points": _destination_points_oracle(),
+        # stream == batch: the per-line verdict replay (the f CTE of the
+        # batch c4 oracle) over the same synthesized lines
+        "c4_lines_stream": f"""
+            WITH l AS ({_C4_LINE_SYNTH_SQL})
+            SELECT page_id, pos,
+                   (line LIKE \'%.\' OR line LIKE \'%!\'
+                    OR line LIKE \'%?\' OR line LIKE \'%"\')
+                   AND len(list_filter(string_split_regex(line, \'\\s+\'),
+                                       w -> w <> \'\')) >= 5
+                   AND NOT contains(lower(line), \'lorem ipsum\')
+                   AND NOT contains(line, \'{{\')
+                   AND NOT regexp_matches(lower(line),
+                                          \'(^|\\s)javascript(\\s|$)\')
+                       AS retained
+            FROM l
+        """,
         # same unrolled BFS replay, harmonic fold on top: per-hop
         # reachable deltas (lag default 1 = self at distance 0),
         # micro-quantized terms, per-vertex long sum

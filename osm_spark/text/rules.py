@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gopher_rules", "c4_line_filter", "GOPHER_REQUIRED_STOPWORDS"]
+__all__ = [
+    "gopher_rules",
+    "c4_line_filter",
+    "c4_line_verdict",
+    "GOPHER_REQUIRED_STOPWORDS",
+]
 
 # Gopher's "must contain ≥ 2 of these" stopword list (Rae et al., A1).
 GOPHER_REQUIRED_STOPWORDS = [
@@ -128,6 +133,27 @@ def gopher_rules(
     )
 
 
+def c4_line_verdict(line: Column, min_words: int = 5) -> Column:
+    """The per-line C4 retention predicate as a standalone Column —
+    STATELESS, so it runs unchanged in a structured stream (the
+    line-verdict stage of a streaming ingest pipeline) and inside the
+    batch page re-assembly below."""
+    low = F.lower(line)
+    terminal = (
+        line.endswith(".")
+        | line.endswith("!")
+        | line.endswith("?")
+        | line.endswith('"')
+    )
+    enough_words = F.size(_nonempty_words(line)) >= min_words
+    clean = (
+        ~low.contains("lorem ipsum")
+        & ~line.contains("{")
+        & ~low.rlike(r"(^|\s)javascript(\s|$)")
+    )
+    return terminal & enough_words & clean
+
+
 def c4_line_filter(
     lines: DataFrame,
     page_col: str = "page_id",
@@ -154,22 +180,11 @@ def c4_line_filter(
     with at least three retained sentences/lines). Pages whose lines
     are ALL dropped still return a row (empty text, kept = false).
     """
-    l = F.col(line_col)
-    low = F.lower(l)
-    terminal = (
-        l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
-    )
-    enough_words = F.size(_nonempty_words(l)) >= min_words
-    clean = (
-        ~low.contains("lorem ipsum")
-        & ~l.contains("{")
-        & ~low.rlike(r"(^|\s)javascript(\s|$)")
-    )
-    retained = terminal & enough_words & clean
+    retained = c4_line_verdict(F.col(line_col), min_words)
     per_line = lines.select(
         F.col(page_col).alias("page_id"),
         F.col(pos_col).alias("pos"),
-        l.alias("line"),
+        F.col(line_col).alias("line"),
         retained.alias("_keep"),
     )
     agg = per_line.groupBy("page_id").agg(
