@@ -8305,7 +8305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attach → per-region term rank, the graft's two axes chained
         # under one composed oracle) — displacing hausdorff_pairs to
         # the tail head (frechet_pairs holds the trajectory-similarity
-        # slot: same candidate join, same fixture, deeper DP oracle). ---
+        # slot: same candidate join, same fixture, deeper DP oracle).
+        # A FIFTH rotation gated clean_then_gopher (the C4→Gopher
+        # composed cleaning chain) and ring_validity (OGC ring
+        # simplicity — the polygon-ingestion guard), displacing
+        # corpus_ingest (incremental_dedup attests the incremental
+        # family and corpus_pipeline the composed chain) and
+        # label_propagation (pagerank/cc/kcore/triangles/scc keep the
+        # graph family attested); both keep their exact oracles. ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "dsir_weights": q_dsir_weights,
@@ -8345,9 +8352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
-        "label_propagation": q_label_propagation,
+        "ring_validity": q_ring_validity,
         "corpus_pipeline": q_corpus_pipeline,
-        "corpus_ingest": q_corpus_ingest,
+        "clean_then_gopher": q_clean_then_gopher,
         "scc": q_scc,
         "fuzzy_pairs": q_fuzzy_pairs,
         "cosine_pairs": q_cosine_pairs,
@@ -8380,6 +8387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins running the same engine code above (simhash, pip_pairs,
         # knn_pairs) ---
         "hausdorff_pairs": q_hausdorff_pairs,
+        "corpus_ingest": q_corpus_ingest,
+        "label_propagation": q_label_propagation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "latest_order_per_customer": q_latest_order_per_customer,
         "interval_filter": q_interval_filter,
@@ -8459,10 +8468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
-        "clean_then_gopher": q_clean_then_gopher,
         "line_dedup_within": q_line_dedup_within,
         "random_walks": q_random_walks,
-        "ring_validity": q_ring_validity,
         "spherical_area": q_spherical_area,
         "knn_classify": q_knn_classify,
         "destination_points": q_destination_points,
