@@ -7320,6 +7320,129 @@ def _triangle_counts_oracle() -> str:
     """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbour link prediction (osm_spark/graph/linkpred.py)
+    over the synthetic link graph: Jaccard (ppm) + Resource-Allocation
+    (nano) scores for every NON-adjacent pair with ≥2 shared
+    neighbours. All three scores are integer-exact (RA uses bigint
+    integer division precisely so no libm log enters the hash); the
+    oracle replays the wedge generation + anti join in SQL."""
+    from osm_spark.graph.linkpred import link_prediction
+
+    return link_prediction(_link_graph(spark, sf_dir), min_common=2)
+
+
+def _link_prediction_oracle() -> str:
+    return """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, n
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        adj AS (
+            SELECT a.z, a.nb, CAST(1000000000 AS BIGINT) // d.deg AS ra_term
+            FROM (
+                SELECT u AS z, v AS nb FROM e
+                UNION ALL SELECT v, u FROM e
+            ) a JOIN deg d ON d.id = a.z
+        ),
+        s AS (
+            SELECT l.nb AS n1, r.nb AS n2,
+                   count(*) AS common,
+                   CAST(sum(l.ra_term) AS BIGINT) AS ra_nano
+            FROM adj l JOIN adj r ON r.z = l.z AND l.nb < r.nb
+            GROUP BY l.nb, r.nb
+            HAVING count(*) >= 2
+        ),
+        ne AS (
+            SELECT s.* FROM s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = s.n1 AND e.v = s.n2
+            )
+        )
+        SELECT ne.n1 AS u, ne.n2 AS v, ne.common,
+               d1.deg AS deg_u, d2.deg AS deg_v,
+               (CAST(1000000 AS BIGINT) * ne.common)
+                   // (d1.deg + d2.deg - ne.common) AS jaccard_ppm,
+               ne.ra_nano
+        FROM ne
+        JOIN deg d1 ON d1.id = ne.n1
+        JOIN deg d2 ON d2.id = ne.n2
+        WHERE d1.deg + d2.deg - ne.common > 0
+    """
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (graph/linkpred.py
+    degree_assortativity) of the synthetic link graph — one (m, r_nano)
+    row. Exact bigint sums over the direction-doubled edge list close
+    with a single IEEE double expression (no sqrt needed: the doubled
+    list makes both marginals identical), floor'd to nano-units — the
+    gearys_c cross-engine precedent."""
+    from osm_spark.graph.linkpred import degree_assortativity
+
+    return degree_assortativity(_link_graph(spark, sf_dir))
+
+
+def _assortativity_oracle() -> str:
+    return """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, n
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        ed AS (
+            SELECT du.deg AS x, dv.deg AS y
+            FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+        ),
+        sums AS (
+            SELECT count(*) AS m,
+                   CAST(sum(x + y) AS BIGINT) AS sx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x + y * y) AS BIGINT) AS sxx
+            FROM ed
+        )
+        SELECT m,
+               CASE WHEN CAST(2 * m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                    THEN CAST(floor(
+                        1000000000.0
+                        * (CAST(2 * m AS DOUBLE) * CAST(2 * sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(2 * m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    ) AS BIGINT)
+               END AS r_nano
+        FROM sums
+    """
+
+
 _KCORE_ORACLE_ROUNDS = 10
 
 
@@ -8368,6 +8491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
+        "link_prediction": q_link_prediction,
+        "assortativity": q_assortativity,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9606,6 +9731,8 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_oracle(),
         "label_propagation": _lpa_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
+        "link_prediction": _link_prediction_oracle(),
+        "assortativity": _assortativity_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
