@@ -6818,6 +6818,51 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, index, centroids, k=10, nprobe=8)
 
 
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-10 (osm_spark/vector/mips.py) — the
+    recsys ranking cosine cannot answer: corpus vectors are rescaled by
+    a deterministic per-row factor (1 + vec_id % 4) so norms genuinely
+    spread 4:1 (the parquet table is unit-norm and would degenerate to
+    cosine). Gated on the exact path — provably the brute-force ground
+    truth the oracle replays; the Range-LSH banded-augmentation
+    candidate path (same exact scores, bounded recall) is
+    pytest-verified (tests/test_mips.py)."""
+    from osm_spark.vector.mips import mips_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = (F.lit(1) + F.col("vec_id") % 4).cast("double")
+    e = e.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double") * scale)
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mips_topk(q, e, k=10)
+
+
+def _mips_topk_oracle() -> str:
+    return """
+        WITH s AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> x::DOUBLE * (1 + vec_id % 4)) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < 8),
+        d AS (
+            SELECT q.query_id, s.vec_id,
+                   round(list_sum(list_transform(range(64),
+                       i -> q.qv[i+1] * s.v[i+1])), 6) AS dot
+            FROM s CROSS JOIN q
+        )
+        SELECT query_id, vec_id, dot, CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot DESC, vec_id ASC) AS rn
+            FROM d
+        ) WHERE rn <= 10
+    """
+
+
 def _pq_ann_oracle() -> str:
     """Brute-force squared-L2 top-10 with the (distance, vec_id)
     tie-break — what LOSSLESS PQ (k_sub ≥ n, every distinct subvector
@@ -8493,6 +8538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "link_prediction": q_link_prediction,
         "assortativity": q_assortativity,
+        "mips_topk": q_mips_topk,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9733,6 +9779,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangle_counts_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "assortativity": _assortativity_oracle(),
+        "mips_topk": _mips_topk_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
