@@ -6818,6 +6818,81 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, index, centroids, k=10, nprobe=8)
 
 
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable time-bucket OHLC rollup (osm_spark/pipeline/rollup.py)
+    over the events table at hourly buckets — one map-side-combined
+    exchange on (key, bucket); open/close are deterministic struct
+    selections (ts, event_id tie-break), sum is per-row micro-quantized
+    then integer-summed (lm_score precedent). The oracle replays the
+    selection with two row_number windows and the same quantized sum."""
+    from osm_spark.pipeline.rollup import rollup_ohlc
+
+    return rollup_ohlc(_t(spark, sf_dir, "events"), width_s=3600)
+
+
+def _ohlc_rollup_oracle(where: str = "TRUE") -> str:
+    return f"""
+        WITH e AS (
+            SELECT event_type AS key,
+                   epoch_us(ts) // 3600000000 AS bucket,
+                   ts, event_id, value
+            FROM events WHERE {where}
+        ),
+        w AS (
+            SELECT key, bucket, value,
+                   row_number() OVER (PARTITION BY key, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY key, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT key, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sum_micro,
+               count(*) AS n
+        FROM w GROUP BY key, bucket
+    """
+
+
+def q_ohlc_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed rollup → gap_fill chain: the events table THINNED to
+    every 13th event so hourly buckets genuinely go missing, then each
+    key's bucket axis densified (sequence/explode — keys × span rows,
+    no cross join) with close carried forward (LOCF window per key).
+    The oracle chains the same two stages over generate_series +
+    last_value IGNORE NULLS."""
+    from osm_spark.pipeline.rollup import gap_fill, rollup_ohlc
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return gap_fill(rollup_ohlc(e, width_s=3600))
+
+
+def _ohlc_gapfill_oracle() -> str:
+    return f"""
+        WITH rolled AS ({_ohlc_rollup_oracle("event_id % 13 = 0")}),
+        span AS (
+            SELECT key, min(bucket) AS lo, max(bucket) AS hi
+            FROM rolled GROUP BY key
+        ),
+        grid AS (
+            SELECT key, unnest(generate_series(lo, hi)) AS bucket FROM span
+        ),
+        j AS (
+            SELECT g.key, g.bucket, r.close
+            FROM grid g LEFT JOIN rolled r USING (key, bucket)
+        )
+        SELECT key, bucket, close,
+               last_value(close IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS filled,
+               close IS NULL AS is_gap
+        FROM j
+    """
+
+
 def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product top-10 (osm_spark/vector/mips.py) — the
     recsys ranking cosine cannot answer: corpus vectors are rescaled by
@@ -8539,6 +8614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "assortativity": q_assortativity,
         "mips_topk": q_mips_topk,
+        "ohlc_rollup": q_ohlc_rollup,
+        "ohlc_gapfill": q_ohlc_gapfill,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9780,6 +9857,8 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _link_prediction_oracle(),
         "assortativity": _assortativity_oracle(),
         "mips_topk": _mips_topk_oracle(),
+        "ohlc_rollup": _ohlc_rollup_oracle(),
+        "ohlc_gapfill": _ohlc_gapfill_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the

@@ -1,0 +1,130 @@
+"""Hypertable-style time-bucket rollup — OHLC downsampling + gap fill.
+
+The continuous-aggregate primitive a timeseries store (TimescaleDB's
+``time_bucket`` + ``locf``/``interpolate``, InfluxDB's downsampling
+tasks) pairs with an events stream: collapse a high-rate event table to
+one row per (series key, fixed-width bucket) carrying open/high/low/
+close/sum/count, then densify the bucket axis so every series exposes a
+gap-free grid with last-observation-carried-forward values — the shape
+every dashboard and ML feature pipeline consumes. Extends the
+reference's attendance/date-keyed rollup semantics (lib/osm/register.rb
+date-column folds — SURVEY §2.4 A6/A7) from per-term columns to
+arbitrary fixed-width time buckets.
+
+Exactness contract (the engine's value-hash conventions):
+- bucket ids are integer ``epoch_us div width_us`` — tz-free (the
+  trips.py ``unix_micros``/``epoch_us`` precedent), portable;
+- open/close are SELECTIONS via struct-min/max ordered (ts, id, value)
+  — deterministic under ties, no accumulation, so the raw doubles hash;
+- high/low are order-independent double extrema — hashable as-is;
+- sum quantizes PER ROW to micro-units and integer-sums (the lm_score
+  micro-nat precedent): no float-accumulation order dependence.
+
+Scale shape:
+- ``rollup_ohlc`` is ONE map-side-combined exchange on (key, bucket) —
+  every aggregate (struct-min/max, extrema, bigint sum, count) is
+  algebraic, so the shuffle carries one partial row per partition per
+  live (key, bucket), not the event stream. At 10^12 events the output
+  is bounded by keys × span/width, independent of the input rate.
+- ``gap_fill`` densifies per key with sequence()/explode — grid size is
+  keys × bucket span, never a cross join — and carries values forward
+  with ONE window per key (last ignoreNulls ordered by bucket). The
+  window partitions by series key, so parallelism is the key
+  cardinality; a single series spanning decades at 1 s buckets is a
+  skewed partition — pick a width that bounds buckets-per-key (the
+  TimescaleDB chunk-sizing rule) or split the fill by coarse epoch
+  first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SUM_SCALE = 1_000_000  # micro-units carried by the quantized sum
+
+__all__ = ["time_bucket", "rollup_ohlc", "gap_fill"]
+
+
+def time_bucket(ts: Column | str, width_s: int) -> Column:
+    """Integer bucket id: epoch_us div (width·10^6) — tz-free, portable
+    (DuckDB: ``epoch_us(ts) // (width * 1000000)``). Integer division
+    via pmod subtraction (not double /) so the id is exact at any
+    epoch."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    us = F.unix_micros(c.cast("timestamp"))
+    width_us = F.lit(int(width_s) * 1_000_000)
+    return ((us - F.pmod(us, width_us)) / width_us).cast("long")
+
+
+def rollup_ohlc(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    width_s: int = 3600,
+) -> DataFrame:
+    """(key, bucket, open, high, low, close, sum_micro, n) per live
+    (key, bucket) — one map-side-combined exchange."""
+    key = F.col(key_col).alias("key")
+    b = time_bucket(F.col(ts_col), width_s).alias("bucket")
+    pick = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(val_col).cast("double").alias("v"),
+    )
+    rows = events.select(
+        key, b, pick.alias("_p"), F.col(val_col).cast("double").alias("_v")
+    )
+    return rows.groupBy("key", "bucket").agg(
+        F.min("_p").getField("v").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max("_p").getField("v").alias("close"),
+        F.sum(F.round(F.col("_v") * SUM_SCALE, 0).cast("long")).alias(
+            "sum_micro"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def gap_fill(
+    rolled: DataFrame,
+    *,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    fill_col: str = "close",
+) -> DataFrame:
+    """Densify each key's bucket axis between its own min and max bucket
+    and carry ``fill_col`` forward (LOCF). Returns (key, bucket, <fill>,
+    filled, is_gap): ``filled`` is the carried value (never NULL —
+    every key's first bucket is observed by construction), ``is_gap``
+    marks synthesized rows."""
+    from pyspark.sql import Window
+
+    span = rolled.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(bucket_col),
+    )
+    j = grid.join(
+        rolled.select(key_col, bucket_col, fill_col),
+        [key_col, bucket_col],
+        "left",
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key_col,
+        bucket_col,
+        F.col(fill_col),
+        F.last(fill_col, ignorenulls=True).over(w).alias("filled"),
+        F.col(fill_col).isNull().alias("is_gap"),
+    )
