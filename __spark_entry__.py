@@ -6893,6 +6893,40 @@ def _ohlc_gapfill_oracle() -> str:
     """
 
 
+def q_ohlc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh (pipeline/rollup.py
+    rollup_state/merge_rollup_states/finalize_rollup): the events table
+    split 3 ways by event_id mod, each partial state built
+    independently, merged WITHOUT rescanning history, finalized. The
+    oracle is the FULL recompute over all events — merge(state(A),
+    state(B), state(C)) must equal state(A∪B∪C) because every column
+    is algebraic (struct picks, extrema, integer sums)."""
+    from osm_spark.pipeline.rollup import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    parts = [e.where(F.col("event_id") % 3 == r) for r in range(3)]
+    return finalize_rollup(
+        merge_rollup_states(*[rollup_state(p, width_s=3600) for p in parts])
+    )
+
+
+def q_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC (streaming/rollup.py stream_ohlc): the events
+    table arrives as an availableNow file stream, watermarked tumbling
+    1 h windows accumulate the same algebraic state as the batch
+    rollup, complete-mode memory sink. Oracle = the batch rollup
+    replay: stream ≡ batch, the engine's streaming contract."""
+    from osm_spark.streaming.rollup import run_stream_ohlc_batchlike
+
+    return run_stream_ohlc_batchlike(
+        spark, os.path.join(sf_dir, "events.parquet"), width_s=3600
+    )
+
+
 def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product top-10 (osm_spark/vector/mips.py) — the
     recsys ranking cosine cannot answer: corpus vectors are rescaled by
@@ -8616,6 +8650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": q_mips_topk,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
+        "ohlc_refresh": q_ohlc_refresh,
+        "ohlc_stream": q_ohlc_stream,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9859,6 +9895,8 @@ def oracle_sql() -> dict[str, str]:
         "mips_topk": _mips_topk_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),
         "ohlc_gapfill": _ohlc_gapfill_oracle(),
+        "ohlc_refresh": _ohlc_rollup_oracle(),
+        "ohlc_stream": _ohlc_rollup_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the

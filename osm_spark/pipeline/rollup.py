@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 
 SUM_SCALE = 1_000_000  # micro-units carried by the quantized sum
 
-__all__ = ["time_bucket", "rollup_ohlc", "gap_fill"]
+__all__ = [
+    "time_bucket",
+    "rollup_ohlc",
+    "rollup_state",
+    "merge_rollup_states",
+    "finalize_rollup",
+    "gap_fill",
+]
 
 
 def time_bucket(ts: Column | str, width_s: int) -> Column:
@@ -57,7 +64,7 @@ def time_bucket(ts: Column | str, width_s: int) -> Column:
     return ((us - F.pmod(us, width_us)) / width_us).cast("long")
 
 
-def rollup_ohlc(
+def rollup_state(
     events: DataFrame,
     *,
     key_col: str = "event_type",
@@ -66,8 +73,11 @@ def rollup_ohlc(
     val_col: str = "value",
     width_s: int = 3600,
 ) -> DataFrame:
-    """(key, bucket, open, high, low, close, sum_micro, n) per live
-    (key, bucket) — one map-side-combined exchange."""
+    """ALGEBRAIC partial state per (key, bucket): every column is
+    re-combinable (struct-min/max keep the full (t, i, v) pick so a
+    later merge can still decide open/close across batches) — the
+    continuous-aggregate state table a TimescaleDB materialization
+    stores. One map-side-combined exchange."""
     key = F.col(key_col).alias("key")
     b = time_bucket(F.col(ts_col), width_s).alias("bucket")
     pick = F.struct(
@@ -79,14 +89,73 @@ def rollup_ohlc(
         key, b, pick.alias("_p"), F.col(val_col).cast("double").alias("_v")
     )
     return rows.groupBy("key", "bucket").agg(
-        F.min("_p").getField("v").alias("open"),
+        F.min("_p").alias("open_pick"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
-        F.max("_p").getField("v").alias("close"),
+        F.max("_p").alias("close_pick"),
         F.sum(F.round(F.col("_v") * SUM_SCALE, 0).cast("long")).alias(
             "sum_micro"
         ),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Combine partial states (incremental refresh: standing state ⊕
+    new-batch state, NO rescan of history). Correct because every
+    column is algebraic: struct-min/max, extrema, and integer sums all
+    re-combine associatively — merge(state(A), state(B)) ≡ state(A∪B)
+    by construction, and the gate attests it against the full
+    recompute."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("key", "bucket").agg(
+        F.min("open_pick").alias("open_pick"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("close_pick").alias("close_pick"),
+        F.sum("sum_micro").alias("sum_micro"),
+        F.sum("n").alias("n"),
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """Project the user-facing (key, bucket, open, high, low, close,
+    sum_micro, n) row from a (possibly merged) state table."""
+    return state.select(
+        "key",
+        "bucket",
+        F.col("open_pick").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("close_pick").getField("v").alias("close"),
+        "sum_micro",
+        "n",
+    )
+
+
+def rollup_ohlc(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    width_s: int = 3600,
+) -> DataFrame:
+    """(key, bucket, open, high, low, close, sum_micro, n) per live
+    (key, bucket) — finalize(state): still one map-side-combined
+    exchange (the projection adds no shuffle)."""
+    return finalize_rollup(
+        rollup_state(
+            events,
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            val_col=val_col,
+            width_s=width_s,
+        )
     )
 
 

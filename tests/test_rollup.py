@@ -80,6 +80,45 @@ def test_gap_fill_locf(spark):
     assert len(got) == 5
 
 
+def test_incremental_merge_equals_full_recompute(spark):
+    """merge(state(A), state(B), state(C)) finalizes identically to
+    rollup over A∪B∪C — the continuous-aggregate refresh contract."""
+    from osm_spark.pipeline.rollup import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    rows = [
+        (i, _ts((i * 7) % 24, i % 60, 0, i * 11), "k" + str(i % 3), float(i) - 4.5)
+        for i in range(60)
+    ]
+    ev = _events(spark, rows)
+    parts = [ev.where(F.col("event_id") % 3 == r) for r in range(3)]
+    merged = finalize_rollup(
+        merge_rollup_states(*[rollup_state(p, width_s=3600) for p in parts])
+    )
+    full = rollup_ohlc(ev, width_s=3600)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and len(a) > 10
+
+
+def test_stream_ohlc_equals_batch(spark, sf_small_dir):
+    """availableNow streaming OHLC over the real events parquet equals
+    the batch rollup row for row."""
+    import os
+
+    from osm_spark.streaming.rollup import run_stream_ohlc_batchlike
+
+    path = os.path.join(sf_small_dir, "events.parquet")
+    streamed = run_stream_ohlc_batchlike(spark, path, width_s=3600)
+    batch = rollup_ohlc(spark.read.parquet(path), width_s=3600)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_rollup_plan_single_exchange(spark):
     rows = [(i, _ts(i % 4), "a", float(i)) for i in range(20)]
     plan = (
