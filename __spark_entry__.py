@@ -6893,6 +6893,58 @@ def _ohlc_gapfill_oracle() -> str:
     """
 
 
+def q_ohlc_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (pipeline/rollup.py gap_fill
+    method='interpolate' — the TimescaleDB ``interpolate`` semantics)
+    over the same thinned hourly rollup as ohlc_gapfill: gap buckets
+    take prev + (next − prev)·(b − pb)/(nb − pb), one IEEE double
+    expression the oracle replays with the same four IGNORE NULLS
+    windows."""
+    from osm_spark.pipeline.rollup import gap_fill, rollup_ohlc
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return gap_fill(rollup_ohlc(e, width_s=3600), method="interpolate")
+
+
+def _ohlc_interpolate_oracle() -> str:
+    return f"""
+        WITH rolled AS ({_ohlc_rollup_oracle("event_id % 13 = 0")}),
+        span AS (
+            SELECT key, min(bucket) AS lo, max(bucket) AS hi
+            FROM rolled GROUP BY key
+        ),
+        grid AS (
+            SELECT key, unnest(generate_series(lo, hi)) AS bucket FROM span
+        ),
+        j AS (
+            SELECT g.key, g.bucket, r.close
+            FROM grid g LEFT JOIN rolled r USING (key, bucket)
+        ),
+        f AS (
+            SELECT key, bucket, close,
+                   last_value(close IGNORE NULLS) OVER back AS prev_v,
+                   last_value(CASE WHEN close IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER back AS prev_b,
+                   first_value(close IGNORE NULLS) OVER fwd AS next_v,
+                   first_value(CASE WHEN close IS NOT NULL THEN bucket END
+                               IGNORE NULLS) OVER fwd AS next_b
+            FROM j
+            WINDOW back AS (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   fwd AS (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT key, bucket, close,
+               CASE WHEN close IS NOT NULL THEN close
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(bucket - prev_b AS DOUBLE)
+                            / CAST(next_b - prev_b AS DOUBLE))
+               END AS filled,
+               close IS NULL AS is_gap
+        FROM f
+    """
+
+
 def q_ohlc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental continuous-aggregate refresh (pipeline/rollup.py
     rollup_state/merge_rollup_states/finalize_rollup): the events table
@@ -8652,6 +8704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_gapfill": q_ohlc_gapfill,
         "ohlc_refresh": q_ohlc_refresh,
         "ohlc_stream": q_ohlc_stream,
+        "ohlc_interpolate": q_ohlc_interpolate,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9897,6 +9950,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_gapfill": _ohlc_gapfill_oracle(),
         "ohlc_refresh": _ohlc_rollup_oracle(),
         "ohlc_stream": _ohlc_rollup_oracle(),
+        "ohlc_interpolate": _ohlc_interpolate_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the

@@ -165,14 +165,23 @@ def gap_fill(
     key_col: str = "key",
     bucket_col: str = "bucket",
     fill_col: str = "close",
+    method: str = "locf",
 ) -> DataFrame:
     """Densify each key's bucket axis between its own min and max bucket
-    and carry ``fill_col`` forward (LOCF). Returns (key, bucket, <fill>,
-    filled, is_gap): ``filled`` is the carried value (never NULL —
-    every key's first bucket is observed by construction), ``is_gap``
-    marks synthesized rows."""
+    and fill ``fill_col``. Returns (key, bucket, <fill>, filled,
+    is_gap): ``filled`` is the fill value (never NULL — every key's
+    first and last buckets are observed by construction), ``is_gap``
+    marks synthesized rows.
+
+    ``method='locf'`` carries the last observation forward;
+    ``method='interpolate'`` fills each gap linearly between the
+    surrounding observations (the TimescaleDB ``interpolate``
+    semantics) — prev + (next − prev)·(b − pb)/(nb − pb), one IEEE
+    double expression replayable bit-for-bit in SQL."""
     from pyspark.sql import Window
 
+    if method not in ("locf", "interpolate"):
+        raise ValueError(f"unknown gap_fill method: {method!r}")
     span = rolled.groupBy(key_col).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
@@ -185,15 +194,34 @@ def gap_fill(
         [key_col, bucket_col],
         "left",
     )
-    w = (
+    back = (
         Window.partitionBy(key_col)
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    prev_v = F.last(fill_col, ignorenulls=True).over(back)
+    if method == "locf":
+        filled = prev_v
+    else:
+        fwd = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_b = F.when(F.col(fill_col).isNotNull(), F.col(bucket_col))
+        prev_b = F.last(obs_b, ignorenulls=True).over(back)
+        next_v = F.first(fill_col, ignorenulls=True).over(fwd)
+        next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+        frac = (F.col(bucket_col) - prev_b).cast("double") / (
+            next_b - prev_b
+        ).cast("double")
+        filled = F.when(F.col(fill_col).isNotNull(), F.col(fill_col)).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
     return j.select(
         key_col,
         bucket_col,
         F.col(fill_col),
-        F.last(fill_col, ignorenulls=True).over(w).alias("filled"),
+        filled.alias("filled"),
         F.col(fill_col).isNull().alias("is_gap"),
     )

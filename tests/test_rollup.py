@@ -80,6 +80,24 @@ def test_gap_fill_locf(spark):
     assert len(got) == 5
 
 
+def test_gap_fill_interpolate(spark):
+    rows = [
+        (1, _ts(0, 10), "a", 1.0),
+        (2, _ts(3, 10), "a", 4.0),  # gaps at h1, h2: expect 2.0, 3.0
+        (3, _ts(5, 10), "a", 5.0),  # gap at h4: expect 4.5
+    ]
+    rolled = rollup_ohlc(_events(spark, rows), width_s=3600)
+    filled = gap_fill(rolled, method="interpolate")
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    got = {(r.key, r.bucket): (r.filled, r.is_gap) for r in filled.collect()}
+    assert got[("a", base)] == (1.0, False)
+    assert got[("a", base + 1)] == (2.0, True)
+    assert got[("a", base + 2)] == (3.0, True)
+    assert got[("a", base + 3)] == (4.0, False)
+    assert got[("a", base + 4)] == (4.5, True)
+    assert got[("a", base + 5)] == (5.0, False)
+
+
 def test_incremental_merge_equals_full_recompute(spark):
     """merge(state(A), state(B), state(C)) finalizes identically to
     rollup over A∪B∪C — the continuous-aggregate refresh contract."""
