@@ -6945,6 +6945,137 @@ def _ohlc_interpolate_oracle() -> str:
     """
 
 
+def q_region_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo×timeseries composition: event positions (the geofence
+    arithmetic) → broadcast covering prejoin + codegen ray-cast refine →
+    hourly OHLC rollup PER REGION (pipeline/rollup.py keyed by way_id).
+    Chains the graft's spatial join into the hypertable family under
+    ONE composed DuckDB replay (brute-force PIP → same window OHLC).
+
+    Scale shape: the event stream is the 10^12-row side and never
+    sorts — covering prejoin on the cell key, refine in codegen, then
+    ONE map-side-combined exchange on (way_id, bucket); output is
+    bounded by regions × span/width, independent of the event rate."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.pages import CITIES
+    from osm_spark.pipeline.rollup import rollup_ohlc
+    from osm_spark.pipeline.spatial_join import pip_cover_expr
+
+    ev = _t(spark, sf_dir, "events")
+    did = F.col("event_id")
+    city = (did % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    lat = clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    lon = clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    pts = ev.select(
+        "event_id", "ts", "value", lat.alias("lat"), lon.alias("lon")
+    ).withColumn("h3_9", hex_cell_expr("lat", "lon", 9))
+    polygons = synth_polygons(spark)
+    wc = F.broadcast(build_way_cells(polygons))
+    vx = F.broadcast(polygons.select("way_id", "vlat", "vlon"))
+    cand = pts.join(wc, pts["h3_9"] == F.col("cell")).select(
+        "event_id", "ts", "value", "lat", "lon", "way_id"
+    )
+    hits = cand.join(vx, "way_id").filter(
+        pip_cover_expr(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    )
+    return rollup_ohlc(
+        hits, key_col="way_id", ts_col="ts", id_col="event_id",
+        val_col="value", width_s=3600,
+    ).withColumnRenamed("key", "way_id")
+
+
+def _region_ohlc_oracle() -> str:
+    """Composed replay: brute-force PIP over event positions (the
+    _geofence_oracle blocks, value riding along) → the _ohlc_rollup
+    window selection keyed by (way_id, bucket)."""
+    eps2 = repr(1e-12 * 1e-12)
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        poly AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   CAST(vlat AS DOUBLE[]) AS vlat,
+                   CAST(vlon AS DOUBLE[]) AS vlon
+            FROM poly0
+        ),
+        pts AS (
+            SELECT event_id AS point_id, ts, value,
+                   ([{lats}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events
+        ),
+        ed AS (
+            SELECT way_id, vlat, vlon, unnest(range(len(vlat))) AS i FROM poly
+        ), e AS (
+            SELECT way_id,
+                   vlat[CAST(i AS INT) + 1] AS ay, vlon[CAST(i AS INT) + 1] AS ax,
+                   vlat[CAST((i + 1) % len(vlat) AS INT) + 1] AS by,
+                   vlon[CAST((i + 1) % len(vlat) AS INT) + 1] AS bx
+            FROM ed
+        ), c1 AS (
+            SELECT p.point_id, p.lat, p.lon, e.way_id, e.ax, e.ay, e.bx, e.by,
+                   e.bx - e.ax AS abx, e.by - e.ay AS aby,
+                   p.lon - e.ax AS apx, p.lat - e.ay AS apy
+            FROM pts p CROSS JOIN e
+        ), c2 AS (
+            SELECT *, abx * abx + aby * aby AS d,
+                   ((ay > lat) <> (by > lat))
+                   AND lon < abx * apy
+                       / (CASE WHEN aby = 0 THEN 1.0 ELSE aby END) + ax AS crossed
+            FROM c1
+        ), c3 AS (
+            SELECT *, CASE WHEN d > 0
+                           THEN (apx * abx + apy * aby)
+                                / (CASE WHEN d = 0 THEN 1.0 ELSE d END)
+                           ELSE 0.0 END AS t0
+            FROM c2
+        ), c4 AS (
+            SELECT *, LEAST(GREATEST(t0, 0.0), 1.0) AS t FROM c3
+        ), c5 AS (
+            SELECT *, apx - t * abx AS dx, apy - t * aby AS dy FROM c4
+        ), hit AS (
+            SELECT point_id, way_id,
+                   SUM(CASE WHEN crossed THEN 1 ELSE 0 END) AS crossings,
+                   MAX(CASE WHEN dx * dx + dy * dy <= {eps2} THEN 1 ELSE 0 END) AS on_edge
+            FROM c5 GROUP BY point_id, way_id
+        ),
+        hits AS (
+            SELECT h.way_id, p.ts, p.point_id AS event_id, p.value,
+                   epoch_us(p.ts) // 3600000000 AS bucket
+            FROM (SELECT point_id, way_id FROM hit
+                  WHERE crossings % 2 = 1 OR on_edge = 1) h
+            JOIN pts p USING (point_id)
+        ),
+        w AS (
+            SELECT way_id, bucket, value,
+                   row_number() OVER (PARTITION BY way_id, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY way_id, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM hits
+        )
+        SELECT way_id, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sum_micro,
+               count(*) AS n
+        FROM w GROUP BY way_id, bucket
+    """
+
+
 def q_ohlc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental continuous-aggregate refresh (pipeline/rollup.py
     rollup_state/merge_rollup_states/finalize_rollup): the events table
@@ -8705,6 +8836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_refresh": q_ohlc_refresh,
         "ohlc_stream": q_ohlc_stream,
         "ohlc_interpolate": q_ohlc_interpolate,
+        "region_ohlc": q_region_ohlc,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9951,6 +10083,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_refresh": _ohlc_rollup_oracle(),
         "ohlc_stream": _ohlc_rollup_oracle(),
         "ohlc_interpolate": _ohlc_interpolate_oracle(),
+        "region_ohlc": _region_ohlc_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
