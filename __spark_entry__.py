@@ -7690,7 +7690,11 @@ def _link_prediction_oracle() -> str:
             ) GROUP BY id
         ),
         adj AS (
-            SELECT a.z, a.nb, CAST(1000000000 AS BIGINT) // d.deg AS ra_term
+            SELECT a.z, a.nb,
+                   CAST(1000000000 AS BIGINT) // d.deg AS ra_term,
+                   CASE WHEN d.deg >= 2
+                        THEN CAST(round(1000000.0 / ln(d.deg), 0) AS BIGINT)
+                        ELSE 0 END AS aa_term
             FROM (
                 SELECT u AS z, v AS nb FROM e
                 UNION ALL SELECT v, u FROM e
@@ -7699,7 +7703,8 @@ def _link_prediction_oracle() -> str:
         s AS (
             SELECT l.nb AS n1, r.nb AS n2,
                    count(*) AS common,
-                   CAST(sum(l.ra_term) AS BIGINT) AS ra_nano
+                   CAST(sum(l.ra_term) AS BIGINT) AS ra_nano,
+                   CAST(sum(l.aa_term) AS BIGINT) AS aa_micro
             FROM adj l JOIN adj r ON r.z = l.z AND l.nb < r.nb
             GROUP BY l.nb, r.nb
             HAVING count(*) >= 2
@@ -7714,7 +7719,7 @@ def _link_prediction_oracle() -> str:
                d1.deg AS deg_u, d2.deg AS deg_v,
                (CAST(1000000 AS BIGINT) * ne.common)
                    // (d1.deg + d2.deg - ne.common) AS jaccard_ppm,
-               ne.ra_nano
+               ne.ra_nano, ne.aa_micro
         FROM ne
         JOIN deg d1 ON d1.id = ne.n1
         JOIN deg d2 ON d2.id = ne.n2

@@ -17,13 +17,15 @@ variant, EPJ B 2009):
 - ``common``  — |Γ(u) ∩ Γ(v)|, the common-neighbour count;
 - ``jaccard_ppm`` — floor(10^6 · |Γ∩| / |Γ∪|), integer division;
 - ``ra_nano`` — Σ_{z ∈ Γ∩} floor(10^9 / deg(z)), the Resource
-  Allocation index in nano-units. RA is chosen over Adamic-Adar
-  DELIBERATELY: AA's 1/ln(deg) pulls libm's ``log`` into the result,
-  whose last-ulp behaviour differs across engines, while RA's 1/deg
-  quantizes with one bigint integer division — bit-identical in any
-  engine, so the whole output is hash-gateable (the lm_score
-  micro-quantization precedent). RA also outperforms AA on most
-  benchmark graphs (Zhou et al., Table 1).
+  Allocation index in nano-units: one bigint integer division per
+  term, bit-identical in any engine with NO libm dependence (RA also
+  outperforms AA on most benchmark graphs — Zhou et al., Table 1);
+- ``aa_micro`` — Σ_{z ∈ Γ∩} round(10^6 / ln(deg(z))), Adamic-Adar in
+  micro-units. ln() is quantized PER TERM before the integer sum —
+  the lm_score micro-nat convention: the only cross-engine risk is
+  ln differing in its last ulp exactly at a 0.5 micro rounding
+  boundary, the same accepted trade. Degree-1 centers generate no
+  wedges, so the ln(1)=0 pole never contributes.
 
 Shape — one wedge exchange, same skew discipline as triangles.py:
 
@@ -53,6 +55,7 @@ from pyspark.sql import functions as F
 from osm_spark.graph.triangles import canonical_edges, vertex_degrees
 
 RA_SCALE = 1_000_000_000  # nano-units carried by the RA index
+AA_SCALE = 1_000_000  # micro-units carried by the Adamic-Adar index
 JACCARD_SCALE = 1_000_000  # ppm carried by the Jaccard coefficient
 
 __all__ = ["link_prediction", "degree_assortativity"]
@@ -66,8 +69,9 @@ def link_prediction(
     min_common: int = 1,
     hub_cap: int | None = None,
 ) -> DataFrame:
-    """(u, v, common, deg_u, deg_v, jaccard_ppm, ra_nano) for every
-    NON-adjacent pair with ≥ ``min_common`` shared neighbours, u < v.
+    """(u, v, common, deg_u, deg_v, jaccard_ppm, ra_nano, aa_micro) for
+    every NON-adjacent pair with ≥ ``min_common`` shared neighbours,
+    u < v.
 
     Input may be directed / duplicated / self-looped — canonicalized
     first.  ``hub_cap`` drops wedge centers with deg > cap (the 100 TB
@@ -82,12 +86,23 @@ def link_prediction(
     zdeg = deg.select(F.col("id").alias("z"), F.col("deg").alias("zdeg"))
     if hub_cap is not None:
         zdeg = zdeg.where(F.col("zdeg") <= F.lit(int(hub_cap)))
-    adj = adj.join(zdeg.hint("shuffle_hash"), "z").withColumn(
-        "ra_term", F.expr(f"{RA_SCALE}L div zdeg")
+    adj = (
+        adj.join(zdeg.hint("shuffle_hash"), "z")
+        .withColumn("ra_term", F.expr(f"{RA_SCALE}L div zdeg"))
+        .withColumn(
+            "aa_term",
+            F.when(
+                F.col("zdeg") >= 2,
+                F.round(
+                    F.lit(float(AA_SCALE)) / F.log(F.col("zdeg").cast("double")),
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
     )
 
     # each unordered neighbour pair of z exactly once (n1 < n2)
-    left = adj.select("z", F.col("nb").alias("n1"), "ra_term")
+    left = adj.select("z", F.col("nb").alias("n1"), "ra_term", "aa_term")
     right = adj.select("z", F.col("nb").alias("n2"))
     wedges = left.join(right.hint("shuffle_hash"), "z").where(
         F.col("n1") < F.col("n2")
@@ -95,6 +110,7 @@ def link_prediction(
     scored = wedges.groupBy("n1", "n2").agg(
         F.count(F.lit(1)).alias("common"),
         F.sum("ra_term").alias("ra_nano"),
+        F.sum("aa_term").alias("aa_micro"),
     )
     if min_common > 1:
         scored = scored.where(F.col("common") >= F.lit(int(min_common)))
@@ -124,6 +140,7 @@ def link_prediction(
             "jaccard_ppm"
         ),
         "ra_nano",
+        "aa_micro",
     ).where(union_sz > 0)
 
 

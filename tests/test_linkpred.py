@@ -48,13 +48,21 @@ def _brute(pairs, min_common=1, hub_cap=None):
             deg[v],
             (JAC * len(shared)) // union,
             sum(RA // deg[z] for z in shared),
+            # HALF_UP like Spark's round (python round is banker's)
+            sum(
+                math.floor(1_000_000 / math.log(deg[z]) + 0.5)
+                for z in shared
+                if deg[z] >= 2
+            ),
         )
     return out
 
 
 def _collect(df):
     return {
-        (r.u, r.v): (r.common, r.deg_u, r.deg_v, r.jaccard_ppm, r.ra_nano)
+        (r.u, r.v): (
+            r.common, r.deg_u, r.deg_v, r.jaccard_ppm, r.ra_nano, r.aa_micro
+        )
         for r in df.collect()
     }
 
