@@ -6945,6 +6945,88 @@ def _ohlc_interpolate_oracle() -> str:
     """
 
 
+def q_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf ranked vocabulary (osm_spark/text/zipf.py zipf_ranks) over
+    the documents table, freq ≥ 5: rank = histogram-folded strict-
+    greater count + intra-class row_number — NO vocab-sized global
+    window (the token_quantiles histogram-collapse precedent). Oracle =
+    the plain global row_number replay (DuckDB can afford it)."""
+    from osm_spark.text.zipf import zipf_ranks
+
+    return zipf_ranks(_t(spark, sf_dir, "documents"), min_freq=5)
+
+
+def _zipf_ranked_sql() -> str:
+    return """
+        tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        vocab AS (
+            SELECT word, count(*) AS freq FROM tok
+            WHERE len(word) > 0 GROUP BY word HAVING count(*) >= 5
+        ),
+        ranked AS (
+            SELECT word, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, word ASC)
+                        AS BIGINT) AS rank
+            FROM vocab
+        )
+    """
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law OLS fit (text/zipf.py zipf_fit): ln(rank)/ln(freq)
+    milli-quantized per type then exactly integer-summed (lm_score
+    convention; milli keeps Σx·y inside int64 at a 10^9-type vocab),
+    slope/intercept closed with one IEEE double expression each,
+    floor'd to nano. The corpus-health one-number diagnostic."""
+    from osm_spark.text.zipf import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), min_freq=5)
+
+
+def _zipf_fit_oracle() -> str:
+    return f"""
+        WITH {_zipf_ranked_sql()},
+        xy AS (
+            SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000, 0)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE)) * 1000, 0)
+                        AS BIGINT) AS y
+            FROM ranked
+        ),
+        sums AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy
+        ),
+        d AS (
+            SELECT n, sx, sy, sxy, sxx,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS slope
+            FROM sums
+        )
+        SELECT n AS n_types,
+               CAST(floor(1000000000.0 * slope) AS BIGINT) AS slope_nano,
+               CAST(floor(1000000000.0
+                    * ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 1000.0)) AS BIGINT)
+                   AS intercept_nano
+        FROM d
+    """
+
+
 def q_region_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo×timeseries composition: event positions (the geofence
     arithmetic) → broadcast covering prejoin + codegen ray-cast refine →
@@ -8842,6 +8924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_stream": q_ohlc_stream,
         "ohlc_interpolate": q_ohlc_interpolate,
         "region_ohlc": q_region_ohlc,
+        "zipf_ranks": q_zipf_ranks,
+        "zipf_fit": q_zipf_fit,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -10089,6 +10173,8 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_stream": _ohlc_rollup_oracle(),
         "ohlc_interpolate": _ohlc_interpolate_oracle(),
         "region_ohlc": _region_ohlc_oracle(),
+        "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
+        "zipf_fit": _zipf_fit_oracle(),
         "kcore": _kcore_oracle(),
         # Transitive-closure oracle: the iterative min-label algorithm
         # converges to the exact min id per component, which is what the
