@@ -7809,6 +7809,68 @@ def _link_prediction_oracle() -> str:
     """
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (graph/modularity.py) of the synthetic
+    link graph under the deterministic labeling doc_id % 10 — exact
+    bigint m / m_intra / Σd_c² closed by one IEEE double expression,
+    floor'd to nano (assortativity precedent). The quality metric that
+    pairs with label_propagation/components, gated on a labeling both
+    engines can replay."""
+    from osm_spark.graph.modularity import modularity
+
+    e = _link_graph(spark, sf_dir)
+    labels = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 10).alias("label")
+    )
+    return modularity(e, labels)
+
+
+def _modularity_oracle() -> str:
+    return """
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, n
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        counts AS (
+            SELECT count(*) AS m,
+                   CAST(sum(CASE WHEN u % 10 = v % 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m_intra
+            FROM e
+        ),
+        dc AS (
+            SELECT id % 10 AS lab, CAST(sum(deg) AS BIGINT) AS d_c
+            FROM deg GROUP BY id % 10
+        ),
+        dsq AS (
+            SELECT count(*) AS n_communities,
+                   CAST(sum(d_c * d_c) AS BIGINT) AS sdc2
+            FROM dc
+        )
+        SELECT m, n_communities,
+               CASE WHEN m > 0 THEN CAST(floor(
+                   1000000000.0
+                   * ((4.0 * CAST(m AS DOUBLE) * CAST(m_intra AS DOUBLE)
+                       - CAST(sdc2 AS DOUBLE))
+                      / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+               ) AS BIGINT) END AS q_nano
+        FROM counts, dsq
+    """
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity (graph/linkpred.py
     degree_assortativity) of the synthetic link graph — one (m, r_nano)
@@ -8917,6 +8979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "link_prediction": q_link_prediction,
         "assortativity": q_assortativity,
+        "modularity": q_modularity,
         "mips_topk": q_mips_topk,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -10166,6 +10229,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangle_counts_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "assortativity": _assortativity_oracle(),
+        "modularity": _modularity_oracle(),
         "mips_topk": _mips_topk_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),
         "ohlc_gapfill": _ohlc_gapfill_oracle(),
