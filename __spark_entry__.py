@@ -7871,6 +7871,83 @@ def _modularity_oracle() -> str:
     """
 
 
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed graph chain: label_propagation (3 synchronous rounds)
+    finds communities on the chain+shortcut graph, modularity scores
+    THAT labeling — find → evaluate, chained under one oracle (the LPA
+    unrolled replay nested as a subquery inside the modularity
+    formula). Attests the two operators' schema/dtype contract
+    composes, not just each in isolation."""
+    from osm_spark.graph.lpa import label_propagation
+    from osm_spark.graph.modularity import modularity
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    chain = d.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    shortcut = (
+        d.where(F.col("doc_id") % 17 == 0)
+        .crossJoin(n)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 2) % F.col("n_docs")).alias("dst"),
+        )
+    )
+    edges = chain.unionByName(shortcut)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = label_propagation(sym, n_iter=3)
+    return modularity(edges, labels)
+
+
+def _lpa_modularity_oracle() -> str:
+    return f"""
+        WITH labs AS (SELECT * FROM ({_lpa_oracle()})),
+        nn AS (SELECT count(*) AS n_docs FROM documents),
+        pairs AS (
+            SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+            WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 2) % n_docs
+            FROM documents, nn WHERE doc_id % 17 = 0
+        ),
+        e AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM pairs WHERE a <> b
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        counts AS (
+            SELECT count(*) AS m,
+                   CAST(sum(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m_intra
+            FROM e JOIN labs lu ON lu.id = e.u JOIN labs lv ON lv.id = e.v
+        ),
+        dc AS (
+            SELECT l.label AS lab, CAST(sum(d.deg) AS BIGINT) AS d_c
+            FROM deg d JOIN labs l ON l.id = d.id GROUP BY l.label
+        ),
+        dsq AS (
+            SELECT count(*) AS n_communities,
+                   CAST(sum(d_c * d_c) AS BIGINT) AS sdc2
+            FROM dc
+        )
+        SELECT m, n_communities,
+               CASE WHEN m > 0 THEN CAST(floor(
+                   1000000000.0
+                   * ((4.0 * CAST(m AS DOUBLE) * CAST(m_intra AS DOUBLE)
+                       - CAST(sdc2 AS DOUBLE))
+                      / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+               ) AS BIGINT) END AS q_nano
+        FROM counts, dsq
+    """
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity (graph/linkpred.py
     degree_assortativity) of the synthetic link graph — one (m, r_nano)
@@ -8980,6 +9057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "assortativity": q_assortativity,
         "modularity": q_modularity,
+        "lpa_modularity": q_lpa_modularity,
         "mips_topk": q_mips_topk,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -10230,6 +10308,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _link_prediction_oracle(),
         "assortativity": _assortativity_oracle(),
         "modularity": _modularity_oracle(),
+        "lpa_modularity": _lpa_modularity_oracle(),
         "mips_topk": _mips_topk_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),
         "ohlc_gapfill": _ohlc_gapfill_oracle(),
