@@ -6945,6 +6945,56 @@ def _ohlc_interpolate_oracle() -> str:
     """
 
 
+def q_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed rollup → trailing z-score anomaly chain
+    (pipeline/tsanomaly.py over pipeline/rollup.py): hourly sum_micro
+    per event_type, each bucket scored against its own trailing 24
+    buckets (current row excluded; <8 observations or zero variance →
+    NULL). Integer rolling moments close with one IEEE double z,
+    floor'd to milli — the oracle replays the identical bounded frame."""
+    from osm_spark.pipeline.rollup import rollup_ohlc
+    from osm_spark.pipeline.tsanomaly import rollup_anomalies
+
+    return rollup_anomalies(
+        rollup_ohlc(_t(spark, sf_dir, "events"), width_s=3600),
+        window=24,
+        min_history=8,
+        threshold=3.0,
+    )
+
+
+def _rollup_anomalies_oracle() -> str:
+    return f"""
+        WITH rolled AS ({_ohlc_rollup_oracle()}),
+        f AS (
+            SELECT key, bucket, sum_micro,
+                   count(sum_micro) OVER tw AS n,
+                   CAST(sum(sum_micro) OVER tw AS BIGINT) AS sx,
+                   CAST(sum(sum_micro * sum_micro) OVER tw AS BIGINT) AS sxx
+            FROM rolled
+            WINDOW tw AS (PARTITION BY key ORDER BY bucket
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ),
+        g AS (
+            SELECT *,
+                   (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var,
+                   CAST(sum_micro AS DOUBLE)
+                   - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS dev
+            FROM f
+        )
+        SELECT key, bucket, sum_micro, n AS n_hist,
+               CASE WHEN n >= 8 AND var > 0
+                    THEN CAST(floor(1000.0 * (dev / sqrt(var))) AS BIGINT)
+               END AS z_milli,
+               CASE WHEN n >= 8 AND var > 0
+                    THEN abs(dev / sqrt(var)) > 3.0
+                    ELSE FALSE END AS is_anomaly
+        FROM g
+    """
+
+
 def q_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf ranked vocabulary (osm_spark/text/zipf.py zipf_ranks) over
     the documents table, freq ≥ 5: rank = histogram-folded strict-
@@ -9065,6 +9115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_stream": q_ohlc_stream,
         "ohlc_interpolate": q_ohlc_interpolate,
         "region_ohlc": q_region_ohlc,
+        "rollup_anomalies": q_rollup_anomalies,
         "zipf_ranks": q_zipf_ranks,
         "zipf_fit": q_zipf_fit,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
@@ -10316,6 +10367,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_stream": _ohlc_rollup_oracle(),
         "ohlc_interpolate": _ohlc_interpolate_oracle(),
         "region_ohlc": _region_ohlc_oracle(),
+        "rollup_anomalies": _rollup_anomalies_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),
         "kcore": _kcore_oracle(),
