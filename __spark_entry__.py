@@ -6945,6 +6945,71 @@ def _ohlc_interpolate_oracle() -> str:
     """
 
 
+_SESSION_Q_PROBS = [0.5, 0.9, 0.99]
+
+
+def q_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed sessionize → exact-quantile chain: 30-min inactivity
+    sessions (streaming/windowed.py batch formulation), duration in
+    integer MICROSECONDS (unix_micros end − start — no float anywhere),
+    then the histogram-collapse nearest-rank quantiles
+    (functions/quantiles.py). One oracle chains the gaps-and-islands
+    replay into the cumulative-histogram pick."""
+    from osm_spark.functions.quantiles import integer_quantiles
+    from osm_spark.streaming.windowed import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    # NTZ → TZ cast shifts both endpoints identically; the difference
+    # is session-timezone-invariant (the trips.py unix_micros idiom)
+    d = s.select(
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp"))
+        ).alias("dur_us")
+    )
+    return integer_quantiles(d, "dur_us", _SESSION_Q_PROBS)
+
+
+def _session_quantiles_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"""SELECT {int(round(p * 1000))} AS prob_pmille,
+                   (SELECT min(v) FROM cum
+                    WHERE cum >= CAST(ceil({p!r} * n_total) AS BIGINT))
+                       AS value,
+                   CAST(ceil({p!r} * n_total) AS BIGINT) AS rank_needed,
+                   n_total
+            FROM tot"""
+        for p in _SESSION_Q_PROBS
+    )
+    return f"""
+        WITH m AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM m
+        ), sess AS (
+            SELECT user_id, session_seq,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+            FROM s GROUP BY user_id, session_seq
+        ),
+        hist AS (SELECT dur_us AS v, count(*) AS c FROM sess GROUP BY dur_us),
+        cum AS (
+            SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM hist
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist)
+        {selects}
+    """
+
+
 def q_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed rollup → trailing z-score anomaly chain
     (pipeline/tsanomaly.py over pipeline/rollup.py): hourly sum_micro
@@ -9116,6 +9181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_interpolate": q_ohlc_interpolate,
         "region_ohlc": q_region_ohlc,
         "rollup_anomalies": q_rollup_anomalies,
+        "session_quantiles": q_session_quantiles,
         "zipf_ranks": q_zipf_ranks,
         "zipf_fit": q_zipf_fit,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
@@ -10368,6 +10434,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_interpolate": _ohlc_interpolate_oracle(),
         "region_ohlc": _region_ohlc_oracle(),
         "rollup_anomalies": _rollup_anomalies_oracle(),
+        "session_quantiles": _session_quantiles_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),
         "kcore": _kcore_oracle(),
