@@ -7352,6 +7352,71 @@ def _mips_topk_oracle() -> str:
     """
 
 
+def q_mips_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed int8-quantize → MIPS chain (vector/mips.py
+    mips_topk_int8 over vector/quantize.py): both sides absmax int8,
+    EXACT integer dot (no float accumulation anywhere), one rescale per
+    pair round-6. Same 4:1 norm-spread fixture as mips_topk; the oracle
+    replays quantization + integer dot + rescale in full."""
+    from osm_spark.vector.mips import mips_topk_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = (F.lit(1) + F.col("vec_id") % 4).cast("double")
+    e = e.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double") * scale)
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mips_topk_int8(q, e, k=10)
+
+
+def _mips_int8_oracle() -> str:
+    return """
+        WITH s AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> x::DOUBLE * (1 + vec_id % 4)) AS v
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                       ELSE greatest(-127, least(127,
+                            CAST(round(x / scale) AS INT))) END) AS q
+            FROM (
+                SELECT vec_id, v,
+                       COALESCE(list_max(list_transform(v, x -> abs(x))),
+                                0.0) / 127.0 AS scale
+                FROM s
+            )
+        ),
+        qside AS (
+            SELECT vec_id AS query_id, scale AS q_scale, q AS qq
+            FROM qv WHERE vec_id < 8
+        ),
+        d AS (
+            SELECT qside.query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(64),
+                       i -> CAST(qq[i+1] AS BIGINT)
+                            * CAST(c.q[i+1] AS BIGINT))) AS BIGINT) AS idot,
+                   qside.q_scale, c.scale AS c_scale
+            FROM qv c CROSS JOIN qside
+        ),
+        r AS (
+            SELECT query_id, vec_id, idot,
+                   round(q_scale * c_scale * CAST(idot AS DOUBLE), 6)
+                       AS dot_q
+            FROM d
+        )
+        SELECT query_id, vec_id, idot, dot_q, CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot_q DESC, vec_id ASC) AS rn
+            FROM r
+        ) WHERE rn <= 10
+    """
+
+
 def _pq_ann_oracle() -> str:
     """Brute-force squared-L2 top-10 with the (distance, vec_id)
     tie-break — what LOSSLESS PQ (k_sub ≥ n, every distinct subvector
@@ -9174,6 +9239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "lpa_modularity": q_lpa_modularity,
         "mips_topk": q_mips_topk,
+        "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
         "ohlc_refresh": q_ohlc_refresh,
@@ -10427,6 +10493,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _modularity_oracle(),
         "lpa_modularity": _lpa_modularity_oracle(),
         "mips_topk": _mips_topk_oracle(),
+        "mips_int8": _mips_int8_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),
         "ohlc_gapfill": _ohlc_gapfill_oracle(),
         "ohlc_refresh": _ohlc_rollup_oracle(),

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.vector.similarity import _bucket, _dot, _probe_buckets
 
-__all__ = ["augment_corpus", "augment_queries", "mips_topk"]
+__all__ = ["augment_corpus", "augment_queries", "mips_topk", "mips_topk_int8"]
 
 
 def _sq_norm(a: Column) -> Column:
@@ -172,4 +172,61 @@ def mips_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot", "rank")
+    )
+
+
+def mips_topk_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, idot, dot_q, rank): MIPS over the int8
+    absmax-quantized representation (vector/quantize.py) — the
+    bandwidth-compressed serving path composed with the MIPS ranking.
+
+    ``idot`` is the EXACT integer Σ q_a·q_b (order-free bigint — no
+    float accumulation anywhere); ``dot_q`` rescales once per pair
+    (scale_a · scale_b · idot, round-6 with vec_id tie-break — the
+    engine's float-portability convention). 4× the bandwidth of the
+    float path at a bounded quantization error; ranking differences vs
+    the exact path are the documented int8 trade, not nondeterminism —
+    the same inputs rank identically on every run and engine."""
+    from osm_spark.vector.quantize import quantize_embeddings
+
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id).alias("vec_id"), F.col(vec_col))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_q"),
+    )
+    qc = quantize_embeddings(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(vec_col))
+    ).select("vec_id", F.col("scale").alias("c_scale"), F.col("qvec").alias("c_q"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        "vec_id",
+        idot.alias("idot"),
+        F.round(
+            F.col("q_scale") * F.col("c_scale") * idot.cast("double"), 6
+        ).alias("dot_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "idot", "dot_q", "rank")
     )

@@ -101,6 +101,47 @@ def test_mips_differs_from_cosine(emb):
     assert mips != cos
 
 
+def _half_up(v):
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
+def test_int8_path_matches_python_replay(emb):
+    from osm_spark.vector.mips import mips_topk_int8
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def quant(v):
+        s = max(abs(x) for x in v) / 127.0
+        if s == 0:
+            return s, [0] * len(v)
+        return s, [max(-127, min(127, _half_up(x / s))) for x in v]
+
+    got = mips_topk_int8(_queries(emb, 3), emb, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.idot, r.dot_q))
+    for qid, ranked in by_q.items():
+        sq, qv = quant(vecs[qid])
+        scored = []
+        for vid, v in vecs.items():
+            sc, cv = quant(v)
+            idot = sum(a * b for a, b in zip(qv, cv))
+            scored.append((round(sq * sc * idot, 6), -vid, idot))
+        top = sorted(scored, reverse=True)[:5]
+        assert [(-t[1], t[2], t[0]) for t in top] == ranked
+
+
+def test_int8_ranking_close_to_exact(emb):
+    from osm_spark.vector.mips import mips_topk_int8
+
+    qs = _queries(emb, 8)
+    exact = mips_topk(qs, emb, k=10).select("query_id", "vec_id")
+    q8 = mips_topk_int8(qs, emb, k=10).select("query_id", "vec_id")
+    overlap = exact.intersect(q8).count() / exact.count()
+    assert overlap >= 0.8, overlap
+
+
 def test_lsh_scores_are_exact_dots(emb):
     # approximation touches WHICH rows come back, never the score
     qs = _queries(emb, 3)
