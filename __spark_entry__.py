@@ -9178,7 +9178,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_ingest (incremental_dedup attests the incremental
         # family and corpus_pipeline the composed chain) and
         # label_propagation (pagerank/cc/kcore/triangles/scc keep the
-        # graph family attested); both keep their exact oracles. ---
+        # graph family attested); both keep their exact oracles.
+        # A SIXTH (closing-session) rotation gated the new rollup /
+        # MIPS / link-prediction / Zipf flagships and compositions
+        # (region_ohlc, ohlc_stream, ohlc_refresh, rollup_anomalies,
+        # session_quantiles, lpa_modularity, link_prediction, zipf_fit,
+        # mips_topk), displacing nine r4-ATTESTED cousins whose family
+        # sibling stays in-window (embedding_near_dups — ivf_ann +
+        # mips_topk hold the vector slots; radius_pairs + overlay_pairs
+        # — pip/knn/dbscan/snap/region_ohlc hold spatial; merge_upsert
+        # + tile_refresh — ohlc_refresh holds incremental refresh and
+        # the Iceberg seam script pins MERGE; top_tokens — cms_counts
+        # holds sketches; bm25_search — lm_score + zipf_fit hold text
+        # stats; stream_window_counts — ohlc_stream is the same
+        # windowed-stream contract with richer aggregates; line_dedup
+        # — near_dup_jaccard + corpus_pipeline, which composes the
+        # line-dedup stage, keep dedup attested). Every displaced
+        # query keeps its exact oracle in the tail. ---
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "dsir_weights": q_dsir_weights,
@@ -9197,19 +9213,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_pairs": q_frechet_pairs,
         "quality_features": q_quality_features,
         "way_resample": q_way_resample,
-        "embedding_near_dups": q_embedding_near_dups,
+        "region_ohlc": q_region_ohlc,
         "media_features": q_media_features,
-        "stream_window_counts": q_stream_window_counts,
+        "ohlc_stream": q_ohlc_stream,
         "isochrone_hull": q_isochrone_hull,
-        "radius_pairs": q_radius_pairs,
-        "overlay_pairs": q_overlay_pairs,
+        "link_prediction": q_link_prediction,
+        "lpa_modularity": q_lpa_modularity,
         "token_quantiles": q_token_quantiles,
-        "merge_upsert": q_merge_upsert,
-        "line_dedup": q_line_dedup,
-        "top_tokens": q_top_tokens,
+        "ohlc_refresh": q_ohlc_refresh,
+        "rollup_anomalies": q_rollup_anomalies,
+        "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
-        "bm25_search": q_bm25_search,
-        "tile_refresh": q_tile_refresh,
+        "zipf_fit": q_zipf_fit,
+        "mips_topk": q_mips_topk,
         "ripley_k": q_ripley_k,
         "dbscan_clusters": q_dbscan_clusters,
         "snap_roads": q_snap_roads,
@@ -9230,26 +9246,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "incremental_dedup": q_incremental_dedup,
         "zorder_key": q_zorder_key,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_window_counts": q_stream_window_counts,
+        "radius_pairs": q_radius_pairs,
+        "overlay_pairs": q_overlay_pairs,
+        "merge_upsert": q_merge_upsert,
+        "line_dedup": q_line_dedup,
+        "top_tokens": q_top_tokens,
+        "bm25_search": q_bm25_search,
+        "tile_refresh": q_tile_refresh,
         "doc_chunks": q_doc_chunks,
         "covisitation": q_covisitation,
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
-        "link_prediction": q_link_prediction,
         "assortativity": q_assortativity,
         "modularity": q_modularity,
-        "lpa_modularity": q_lpa_modularity,
-        "mips_topk": q_mips_topk,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
-        "ohlc_refresh": q_ohlc_refresh,
-        "ohlc_stream": q_ohlc_stream,
         "ohlc_interpolate": q_ohlc_interpolate,
-        "region_ohlc": q_region_ohlc,
-        "rollup_anomalies": q_rollup_anomalies,
-        "session_quantiles": q_session_quantiles,
         "zipf_ranks": q_zipf_ranks,
-        "zipf_fit": q_zipf_fit,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
