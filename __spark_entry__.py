@@ -8051,6 +8051,68 @@ def _modularity_oracle() -> str:
     """
 
 
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (graph/pagerank.py weighted_pagerank)
+    over the link graph with deterministic multiplicities w = 1 +
+    (src + dst) % 3 — per-edge (85·r·w) div (100·w_out) exact bigints,
+    same dropped-remainder convention as the unweighted gate; oracle =
+    the generated unrolled weighted replay."""
+    from osm_spark.graph.pagerank import weighted_pagerank
+
+    e = _link_graph(spark, sf_dir).select(
+        "src", "dst", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).alias("w")
+    )
+    return weighted_pagerank(e, n_iter=3).select("id", "rank_scaled")
+
+
+def _wpr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+    """Generated unrolled replay of weighted_pagerank — the pagerank
+    oracle's round shape with w_out replacing out_deg and the per-edge
+    weighted numerator."""
+    base_num = 15 * scale
+    rounds = []
+    for k in range(n_iter):
+        rounds.append(f"""
+            d{k} AS (SELECT CAST(COALESCE(SUM(CASE WHEN w.id IS NULL
+                                THEN r.r END), 0) AS BIGINT) AS dang
+                     FROM r{k} r LEFT JOIN wout w USING (id)),
+            s{k} AS (SELECT e.dst AS id,
+                            CAST(SUM((85 * r.r * e.w) // (100 * w.w_out))
+                                 AS BIGINT) AS in_sum
+                     FROM edges e JOIN r{k} r ON r.id = e.src
+                                  JOIN wout w ON w.id = e.src
+                     GROUP BY e.dst),
+            r{k + 1} AS (SELECT v.id,
+                            CAST({base_num} // (100 * nv.n_v)
+                                 + COALESCE(s.in_sum, 0)
+                                 + (85 * dd.dang) // (100 * nv.n_v)
+                                 AS BIGINT) AS r
+                         FROM verts v LEFT JOIN s{k} s USING (id), nv, d{k} dd)
+        """)
+    body = ",".join(rounds)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, nn
+        ),
+        edges AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM e0),
+        verts AS (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nv AS (SELECT count(*) AS n_v FROM verts),
+        wout AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS w_out
+                 FROM edges GROUP BY src),
+        r0 AS (SELECT id, {scale} // n_v AS r FROM verts, nv),
+        {body}
+        SELECT id, r AS rank_scaled FROM r{n_iter}
+    """
+
+
 def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed graph chain: label_propagation (3 synchronous rounds)
     finds communities on the chain+shortcut graph, modularity scores
@@ -9261,6 +9323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "assortativity": q_assortativity,
         "modularity": q_modularity,
+        "weighted_pagerank": q_weighted_pagerank,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -10508,6 +10571,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_oracle(),
         "modularity": _modularity_oracle(),
         "lpa_modularity": _lpa_modularity_oracle(),
+        "weighted_pagerank": _wpr_oracle(),
         "mips_topk": _mips_topk_oracle(),
         "mips_int8": _mips_int8_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),

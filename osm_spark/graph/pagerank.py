@@ -337,3 +337,109 @@ def personalized_pagerank(
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r") / float(scale), 12).alias("rank"),
     )
+
+
+def out_weights(
+    edges: DataFrame, src: str = "src", weight: str = "w"
+) -> DataFrame:
+    """Total out-WEIGHT per source (columns ``id``, ``w_out``) — the
+    weighted analog of ``out_degrees``."""
+    return edges.groupBy(F.col(src).alias("id")).agg(
+        F.sum(F.col(weight).cast("long")).alias("w_out")
+    )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Edge-weighted fixed-point PageRank: each source distributes its
+    damped mass ∝ edge weight — per edge, (d_num·r·w) div (d_den·w_out)
+    in exact bigints, so the result hash-gates like the unweighted form
+    (same dropped-remainder convention, deterministic).
+
+    The host graph's natural weights are link MULTIPLICITIES (how many
+    anchors point a→b) — the unweighted form treats a single nav-bar
+    link and 400 in-content links identically; this one doesn't.
+
+    Integer-overflow bound (documented, not checked per row): the
+    contribution numerator is d_num·r·w, so weights must satisfy
+    w < 2^63 / (d_num · scale) — ~10^5 at the default 10^12 scale.
+    Clamp heavier multiplicities upstream (they are navigation
+    boilerplate, not endorsement, long before 10^5).
+
+    Same loop discipline as ``pagerank``: per-round lineage truncation,
+    every |V|-sized join shuffle_hash-hinted, dangling mass a scan-agg
+    over the rank leaf (dangling = zero out-WEIGHT here)."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    verts = truncate_lineage(vertex_ids(e))
+    wout = truncate_lineage(out_weights(e))
+    n_v = truncate_lineage(verts.agg(F.count("*").alias("n_v")))
+
+    ranks = (
+        verts.crossJoin(n_v)
+        .join(wout.hint("shuffle_hash"), "id", "left")
+        .select("id", F.expr(f"{scale}L div n_v").alias("r"), "w_out")
+    )
+    base_num = (damping_den - damping_num) * scale
+
+    for _ in range(n_iter):
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("w_out").isNull(), F.col("r"))), F.lit(0)
+            ).alias("dang_sum")
+        )
+        contrib = (
+            e.select(F.col("src").alias("id"), "dst", "w")
+            .join(
+                ranks.where(F.col("w_out").isNotNull())
+                .select("id", "r", "w_out")
+                .hint("shuffle_hash"),
+                "id",
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(
+                    f"({damping_num}L * r * w) div ({damping_den}L * w_out)"
+                ).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        new_ranks = truncate_lineage(
+            verts.join(contrib.hint("shuffle_hash"), "id", "left")
+            .join(wout.hint("shuffle_hash"), "id", "left")
+            .crossJoin(n_v)
+            .crossJoin(dang)
+            .select(
+                "id",
+                (
+                    F.expr(f"{base_num}L div ({damping_den}L * n_v)")
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                    + F.expr(
+                        f"({damping_num}L * dang_sum) div ({damping_den}L * n_v)"
+                    )
+                ).alias("r"),
+                "w_out",
+            )
+        )
+        drop_truncated(ranks)
+        ranks = new_ranks
+
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / float(scale), 12).alias("rank"),
+    )

@@ -378,3 +378,54 @@ def test_lpa_argmax_stays_in_hash_aggregate(spark):
     )
     # the struct-min plurality pick must not degrade to SortAggregate
     assert "SortAggregate" not in plan
+
+
+def test_weighted_pagerank_reduces_to_unweighted(spark):
+    """All weights equal k ≡ the unweighted recurrence (k cancels in
+    (85·r·k) div (100·k·out_deg) ONLY when the div is exact... it is
+    NOT in general — so compare against a python replay instead, and
+    separately pin that weight-1 equals unweighted exactly."""
+    from osm_spark.graph.pagerank import pagerank, weighted_pagerank
+
+    n = 30
+    edges = [(i, (i * 7 + 1) % n, 1) for i in range(n)]
+    edges += [(i, (i * 3 + 2) % n, 1) for i in range(n) if i % 4 == 0]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    wr = {r.id: r.rank_scaled for r in weighted_pagerank(e, n_iter=3).collect()}
+    ur = {
+        r.id: r.rank_scaled
+        for r in pagerank(e.select("src", "dst"), n_iter=3).collect()
+    }
+    assert wr == ur
+
+
+def test_weighted_pagerank_python_replay(spark):
+    from osm_spark.graph.pagerank import weighted_pagerank
+
+    n = 24
+    edges = [(i, (i * 7 + 1) % n, 1 + (i % 3)) for i in range(n)]
+    edges += [(i, (i * 5 + 3) % n, 2) for i in range(n) if i % 2 == 0]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    # drop some sources entirely -> dangling vertices
+    edges = [t for t in edges if t[0] % 11 != 0]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: r.rank_scaled for r in weighted_pagerank(e, n_iter=3).collect()}
+
+    scale = 10**12
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    wout: dict[int, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: scale // len(verts) for v in verts}
+    for _ in range(3):
+        dang = sum(r[v] for v in verts if v not in wout)
+        in_sum: dict[int, int] = {}
+        for s, d, w in edges:
+            in_sum[d] = in_sum.get(d, 0) + (85 * r[s] * w) // (100 * wout[s])
+        base = (15 * scale) // (100 * len(verts))
+        t = (85 * dang) // (100 * len(verts))
+        r = {v: base + in_sum.get(v, 0) + t for v in verts}
+    assert got == r
+    # heavier edges pull rank: weight-3 targets beat weight-1 targets
+    # from the same source class on this fixture (spot check nonuniform)
+    assert len(set(got.values())) > 3
