@@ -24,7 +24,15 @@ Scale shape:
 - ``rollup_ohlc`` is ONE map-side-combined exchange on (key, bucket) —
   every aggregate (struct-min/max, extrema, bigint sum, count) is
   algebraic, so the shuffle carries one partial row per partition per
-  live (key, bucket), not the event stream. At 10^12 events the output
+  live (key, bucket), not the event stream. Plan note (measured,
+  PLANS.md): Spark executes struct min/max via SortAggregate — the
+  partial aggregate STILL combines before the exchange, but each input
+  partition pays one (key, bucket)-sort. min_by with a struct ordering
+  hits the same fallback (tested), and packing (ts, id) into one long
+  overflows for widths > ~1 h, so the sort is the accepted price of
+  exact deterministic open/close; the alternative (drop the event_id
+  tie-break) trades determinism for a HashAggregate and is rejected by
+  the engine's hash-gate contract. At 10^12 events the output
   is bounded by keys × span/width, independent of the input rate.
 - ``gap_fill`` densifies per key with sequence()/explode — grid size is
   keys × bucket span, never a cross join — and carries values forward

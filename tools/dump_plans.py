@@ -183,6 +183,32 @@ def main() -> None:
         ),
     ]
 
+    from osm_spark.graph.linkpred import link_prediction
+    from osm_spark.pipeline.rollup import rollup_ohlc
+
+    events = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    link_edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 200).alias("dst")
+    )
+    sections += [
+        (
+            "Hypertable OHLC rollup",
+            "One map-side-combined exchange on (key, bucket): every "
+            "aggregate (struct picks, extrema, quantized bigint sum) is "
+            "algebraic, so the shuffle carries one partial row per "
+            "partition per live bucket — the continuous-aggregate shape.",
+            rollup_ohlc(events, width_s=3600),
+        ),
+        (
+            "Link prediction — wedge generation",
+            "Every join an explicit shuffle_hash equi join on skinny long "
+            "keys (degree attach, wedge self-join, anti join against the "
+            "edge set, two degree re-attaches); no sort-merge, no "
+            "cartesian. hub_cap bounds the wedge exchange at web scale.",
+            link_prediction(link_edges),
+        ),
+    ]
+
     out = [
         "# PLANS — live formatted plans of the headline queries",
         "",
