@@ -8051,6 +8051,99 @@ def _modularity_oracle() -> str:
     """
 
 
+_KTRUSS_ORACLE_ROUNDS = 6
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss extraction (graph/ktruss.py) over the kcore fixture graph
+    (per-5-doc triangles + 2-hop tails + affine shortcuts): every chain
+    edge peels away — triangle-free by construction — and the support
+    recount cascades like the kcore peel. Oracle = the bounded
+    unrolled SQL peel (extra rounds past the fixpoint are no-ops; the
+    engine raises if IT needed more — the kcore precedent)."""
+    from osm_spark.graph.ktruss import ktruss
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    did = F.col("doc_id")
+    chain = d.where(did % 5 != 0).select(
+        (did - 1).alias("src"), did.alias("dst")
+    )
+    closer = d.where(did % 5 == 2).select(
+        (did - 2).alias("src"), did.alias("dst")
+    )
+    shortcut = (
+        d.where(did % 35 == 0)
+        .crossJoin(n)
+        .select(did.alias("src"), ((did * 3 + 7) % F.col("n_docs")).alias("dst"))
+    )
+    edges = chain.unionByName(closer).unionByName(shortcut)
+    return ktruss(edges, k=3, max_iter=_KTRUSS_ORACLE_ROUNDS)
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled synchronous support peel at k=3 (need = 1 triangle per
+    edge): round i recounts triangles on round i−1's edge set (edges
+    stored u<v, so the id-ordered triple join finds each triangle
+    once) and keeps reinforced edges."""
+    rounds = []
+    for i in range(1, _KTRUSS_ORACLE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+        t{p} AS MATERIALIZED (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM e{p} a
+            JOIN e{p} b ON b.u = a.v
+            JOIN e{p} c ON c.u = a.u AND c.v = b.v
+        ),
+        s{p} AS MATERIALIZED (
+            SELECT e.u, e.v, COALESCE(p.sup, 0) AS support
+            FROM e{p} e LEFT JOIN (
+                SELECT a AS u, b AS v, count(*) AS sup FROM (
+                    SELECT x AS a, y AS b FROM t{p}
+                    UNION ALL SELECT x, z FROM t{p}
+                    UNION ALL SELECT y, z FROM t{p}
+                ) GROUP BY a, b
+            ) p USING (u, v)
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT u, v FROM s{p} WHERE support >= 1
+        )""")
+    body = ",".join(rounds)
+    r = _KTRUSS_ORACLE_ROUNDS
+    return f"""
+        WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        pairs AS (
+            SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+            WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id - 2, doc_id FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 7) % n_docs
+            FROM documents, nn WHERE doc_id % 35 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM pairs WHERE a <> b
+        ),
+        {body},
+        tf AS MATERIALIZED (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM e{r} a
+            JOIN e{r} b ON b.u = a.v
+            JOIN e{r} c ON c.u = a.u AND c.v = b.v
+        )
+        SELECT e.u, e.v, COALESCE(p.sup, 0) AS support
+        FROM e{r} e LEFT JOIN (
+            SELECT a AS u, b AS v, count(*) AS sup FROM (
+                SELECT x AS a, y AS b FROM tf
+                UNION ALL SELECT x, z FROM tf
+                UNION ALL SELECT y, z FROM tf
+            ) GROUP BY a, b
+        ) p USING (u, v)
+    """
+
+
 def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank (graph/pagerank.py weighted_pagerank)
     over the link graph with deterministic multiplicities w = 1 +
@@ -9324,6 +9417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "modularity": q_modularity,
         "weighted_pagerank": q_weighted_pagerank,
+        "ktruss": q_ktruss,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -10572,6 +10666,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _modularity_oracle(),
         "lpa_modularity": _lpa_modularity_oracle(),
         "weighted_pagerank": _wpr_oracle(),
+        "ktruss": _ktruss_oracle(),
         "mips_topk": _mips_topk_oracle(),
         "mips_int8": _mips_int8_oracle(),
         "ohlc_rollup": _ohlc_rollup_oracle(),
