@@ -6259,6 +6259,75 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(_sql_points(spark, sf_dir), _HOTSPOT_Z)
 
 
+def q_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA — local Moran's I per occupied z15 tile (geo/moran.py
+    local_morans_i): same N²-cancelled integer forms as the global
+    statistic, one closing float per tile, HH/LL/HL/LH quadrant labels
+    — WHICH tiles cluster, pairing with hotspot_gi's Gi*. Full DuckDB
+    replay."""
+    _prep(spark)
+    from osm_spark.geo.moran import local_morans_i
+
+    return local_morans_i(_sql_points(spark, sf_dir), _HOTSPOT_Z)
+
+
+def _local_morans_oracle() -> str:
+    n = 1 << _HOTSPOT_Z
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat, lon
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                                (1,-1), (1,0), (1,1)),
+        scattered AS (
+            SELECT c.x + o.dx AS tx, c.y + o.dy AS ty, c.cnt
+            FROM counts c CROSS JOIN offs o
+        ),
+        nbr AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum,
+                       count(*) AS w
+                FROM scattered GROUP BY tx, ty),
+        occ AS (
+            SELECT c.x, c.y, c.cnt,
+                   coalesce(n2.nbr_sum, 0) AS nbr_sum,
+                   coalesce(n2.w, 0) AS w
+            FROM counts c LEFT JOIN nbr n2 ON n2.tx = c.x AND n2.ty = c.y
+        ),
+        tot AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx
+                FROM counts),
+        wd AS (
+            SELECT x, y, cnt, w, n,
+                   CAST(n * cnt - sx AS HUGEINT) AS d,
+                   CAST(n * nbr_sum - w * sx AS HUGEINT) AS lag
+            FROM occ CROSS JOIN tot
+        ),
+        den AS (SELECT sum(d * d) AS den FROM wd)
+        SELECT x, y, cnt, w,
+               CASE WHEN den > 0 AND w > 0 AND n > 1
+                    THEN CAST(round(
+                         CAST(n AS DOUBLE) * CAST(d * lag AS DOUBLE)
+                         / CAST(den AS DOUBLE) * 1e6) AS BIGINT)
+               END AS ii_micro,
+               CASE WHEN NOT (den > 0 AND w > 0 AND n > 1) THEN NULL
+                    WHEN d > 0 AND lag > 0 THEN 'HH'
+                    WHEN d < 0 AND lag < 0 THEN 'LL'
+                    WHEN d > 0 AND lag < 0 THEN 'HL'
+                    WHEN d < 0 AND lag > 0 THEN 'LH'
+               END AS quadrant
+        FROM wd CROSS JOIN den
+    """
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: global Geary's C over the same z15 raster / queen
     weights as ``morans_i`` (geo/moran.py gearys_c) — the variogram-
@@ -9418,6 +9487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "weighted_pagerank": q_weighted_pagerank,
         "ktruss": q_ktruss,
+        "local_morans": q_local_morans,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -9573,6 +9643,7 @@ def oracle_sql() -> dict[str, str]:
         "hmm_match_stream": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "morans_i": _morans_oracle(),
+        "local_morans": _local_morans_oracle(),
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),

@@ -224,3 +224,83 @@ def gearys_c(points: DataFrame, z: int) -> DataFrame:
         c_micro.alias("c_micro"),
         e_micro.alias("e_c_micro"),
     )
+
+
+def local_morans_i(points: DataFrame, z: int) -> DataFrame:
+    """Local Moran's I (LISA — Anselin, "Local indicators of spatial
+    association", Geographical Analysis 1995) per occupied z-tile, same
+    queen weights / sparse-raster universe as the global statistic:
+
+        I_i = N · d_i · L_i / Σ_k d_k²
+
+    with d_i = N·x_i − Σx and L_i = N·nbr_sum_i − w_i·Σx — the same
+    N²-cancelled integer forms as ``morans_i``, so every data-sized
+    term is exact decimal(38,0) and ONE closing float expression per
+    tile micro-quantizes (the global statistic says "clustered at
+    all?"; this says WHICH tiles cluster, and how: quadrant HH = hot
+    spot, LL = cold spot, HL/LH = spatial outliers — the standard LISA
+    read-out that pairs with hotspot.py's Gi*).
+
+    Output per occupied tile: (x, y, cnt, w, ii_micro, quadrant);
+    ii_micro/quadrant are NULL for isolated tiles (w = 0), zero
+    deviations, or a degenerate raster (den = 0)."""
+    counts = tile_count_grid(points, z)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS8
+        ]
+    )
+    scattered = counts.select("x", "y", "cnt", F.explode(offs).alias("o")).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        "cnt",
+    )
+    nbr = scattered.groupBy("tx", "ty").agg(
+        F.sum("cnt").alias("nbr_sum"), F.count(F.lit(1)).alias("w")
+    )
+    occ = counts.join(
+        nbr.hint("shuffle_hash"),
+        (counts["x"] == nbr["tx"]) & (counts["y"] == nbr["ty"]),
+        "left",
+    ).select(
+        "x",
+        "y",
+        "cnt",
+        F.coalesce(F.col("nbr_sum"), F.lit(0)).alias("nbr_sum"),
+        F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+    )
+    glob = counts.agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("sx"))
+    j = occ.crossJoin(F.broadcast(glob))
+    nd_dec = F.col("n").cast("decimal(19,0)")
+    d = nd_dec * F.col("cnt") - F.col("sx")
+    lag = nd_dec * F.col("nbr_sum") - F.col("w").cast("decimal(19,0)") * F.col("sx")
+    withdl = j.select(
+        "x", "y", "cnt", "w", "n",
+        d.alias("d"),
+        lag.alias("lag"),
+        (d * lag).alias("dl"),
+    )
+    den = j.groupBy().agg(F.sum(d * d).alias("den"))
+    out = withdl.crossJoin(F.broadcast(den))
+    nd = F.col("n").cast("double")
+    ok = (F.col("den") > 0) & (F.col("w") > 0) & (F.col("n") > 1)
+    ii = F.when(
+        ok,
+        F.round(
+            nd * F.col("dl").cast("double") / F.col("den").cast("double") * 1e6,
+            0,
+        ).cast("long"),
+    )
+    quad = F.when(
+        ok & (F.col("d") > 0) & (F.col("lag") > 0), F.lit("HH")
+    ).when(
+        ok & (F.col("d") < 0) & (F.col("lag") < 0), F.lit("LL")
+    ).when(
+        ok & (F.col("d") > 0) & (F.col("lag") < 0), F.lit("HL")
+    ).when(
+        ok & (F.col("d") < 0) & (F.col("lag") > 0), F.lit("LH")
+    )
+    return out.select(
+        "x", "y", "cnt", "w", ii.alias("ii_micro"), quad.alias("quadrant")
+    )

@@ -138,3 +138,69 @@ def test_morans_i_degenerate(spark):
     # single tile: everything undefined
     got1 = morans_i(_points_for({(100, 200): 5}, spark), Z).toPandas().iloc[0]
     assert pd.isna(got1["i_micro"]) and pd.isna(got1["e_i_micro"])
+
+
+def _lisa_replay(grid):
+    cells = list(grid)
+    n = len(cells)
+    xs = np.array([grid[c] for c in cells], dtype=np.int64)
+    mean = xs.mean()
+    den = ((xs - mean) ** 2).sum()
+    out = {}
+    for i, (cx, cy) in enumerate(cells):
+        nbrs = [
+            j for j, (ox, oy) in enumerate(cells)
+            if j != i and abs(cx - ox) <= 1 and abs(cy - oy) <= 1
+        ]
+        w = len(nbrs)
+        if n <= 1 or den == 0 or w == 0:
+            out[(cx, cy)] = (int(xs[i]), w, None, None)
+            continue
+        d = xs[i] - mean
+        lag = sum(xs[j] - mean for j in nbrs)
+        ii = n * d * lag / den
+        quad = None
+        if d > 0 and lag > 0:
+            quad = "HH"
+        elif d < 0 and lag < 0:
+            quad = "LL"
+        elif d > 0 and lag < 0:
+            quad = "HL"
+        elif d < 0 and lag > 0:
+            quad = "LH"
+        out[(cx, cy)] = (int(xs[i]), w, round(ii * 1e6), quad)
+    return out
+
+
+@pytest.mark.parametrize(
+    "grid",
+    [
+        {(100 + i, 200 + j): 10 + 3 * (i + j) for i in range(4) for j in range(4)},
+        {(100 + i, 200 + j): (1 if (i + j) % 2 else 9) for i in range(4) for j in range(4)},
+        {(100, 200): 5, (100, 201): 7, (101, 200): 6, (101, 201): 8, (150, 250): 3},
+    ],
+)
+def test_local_morans_i_matches_replay(spark, grid):
+    from osm_spark.geo.moran import local_morans_i
+
+    want = _lisa_replay(grid)
+    got = {
+        (r.x, r.y): (r.cnt, r.w, r.ii_micro, r.quadrant)
+        for r in local_morans_i(_points_for(grid, spark), Z).collect()
+    }
+    assert got == want
+
+
+def test_local_morans_i_quadrants(spark):
+    # one strong peak inside a flat low field -> the peak is HL (high
+    # among lows) and its flat neighbors are LH
+    grid = {(100 + i, 200 + j): 1 for i in range(3) for j in range(3)}
+    grid[(101, 201)] = 50
+    from osm_spark.geo.moran import local_morans_i
+
+    got = {
+        (r.x, r.y): r.quadrant
+        for r in local_morans_i(_points_for(grid, spark), Z).collect()
+    }
+    assert got[(101, 201)] == "HL"
+    assert got[(100, 200)] == "LH"
