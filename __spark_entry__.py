@@ -6328,6 +6328,117 @@ def _local_morans_oracle() -> str:
     """
 
 
+_EMERGING_Z = 11
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time-cube emerging-hotspot analysis (geo/emerging.py):
+    event positions (the geofence arithmetic) → z11 tile × daily-bucket
+    cube (dense over the global range) → per-tile Mann-Kendall with
+    tie correction → heating/cooling at |z| > 1.96. Integer S/var18,
+    one closing float — full DuckDB replay including the pair join."""
+    _prep(spark)
+    from osm_spark.geo.emerging import emerging_hotspots
+    from osm_spark.pipeline.pages import CITIES
+
+    ev = _t(spark, sf_dir, "events")
+    did = F.col("event_id")
+    city = (did % 10).cast("int")
+    clat = F.element_at(F.array(*[F.lit(x[1]) for x in CITIES]), city + 1)
+    clon = F.element_at(F.array(*[F.lit(x[2]) for x in CITIES]), city + 1)
+    lat = clat + (did * 2654435761 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    lon = clon + (did * 40503 % 2001 - 1000) / 1000.0 * _SQL_PT_SPREAD
+    pts = ev.select("ts", lat.alias("lat"), lon.alias("lon"))
+    return emerging_hotspots(pts, _EMERGING_Z, width_s=86400)
+
+
+def _emerging_oracle() -> str:
+    n = 1 << _EMERGING_Z
+    from osm_spark.pipeline.pages import CITIES
+
+    lats = ", ".join(repr(float(x[1])) for x in CITIES)
+    lons = ", ".join(repr(float(x[2])) for x in CITIES)
+    sp = repr(float(_SQL_PT_SPREAD))
+    return f"""
+        WITH pts AS (
+            SELECT ts,
+                   ([{lats}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 2654435761 % 2001 - 1000) / 1000.0 * {sp} AS lat,
+                   ([{lons}])[CAST(event_id % 10 AS INT) + 1]
+                     + (event_id * 40503 % 2001 - 1000) / 1000.0 * {sp} AS lon
+            FROM events
+        ),
+        clamped AS (
+            SELECT LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS lat,
+                   lon, ts
+            FROM pts
+        ),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0)
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                       + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                       / pi()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1}) AS y,
+                   epoch_us(ts) // 86400000000 AS bucket
+            FROM clamped
+        ),
+        counts AS (SELECT x, y, bucket, count(*) AS cnt
+                   FROM t GROUP BY x, y, bucket),
+        rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM counts),
+        tiles AS (SELECT DISTINCT x, y FROM counts),
+        grid AS (
+            SELECT x, y, unnest(generate_series(lo, hi)) AS bucket
+            FROM tiles CROSS JOIN rng
+        ),
+        cube AS (
+            SELECT g.x, g.y, g.bucket,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+            FROM grid g LEFT JOIN counts c USING (x, y, bucket)
+        ),
+        s AS (
+            SELECT a.x, a.y,
+                   CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                                 WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM cube a JOIN cube b ON b.x = a.x AND b.y = a.y
+                                   AND a.bucket < b.bucket
+            GROUP BY a.x, a.y
+        ),
+        ties AS (
+            SELECT x, y,
+                   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+                   CAST(sum(t) AS BIGINT) AS n_buckets
+            FROM (SELECT x, y, cnt, count(*) AS t
+                  FROM cube GROUP BY x, y, cnt)
+            GROUP BY x, y
+        ),
+        j AS (
+            SELECT s.x, s.y, t.n_buckets, s.s,
+                   t.n_buckets * (t.n_buckets - 1) * (2 * t.n_buckets + 5)
+                       - t.tie_sum AS var18
+            FROM s JOIN ties t USING (x, y)
+        )
+        SELECT x, y, n_buckets, s, var18,
+               CASE WHEN var18 > 0 THEN CAST(round(
+                   (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+                   AS BIGINT)
+               END AS z_micro,
+               CASE WHEN var18 > 0 THEN
+                   CASE WHEN CAST(round(
+                            (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+                            AS BIGINT) > 1960000 THEN 'heating'
+                        WHEN CAST(round(
+                            (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+                            AS BIGINT) < -1960000 THEN 'cooling'
+                   END
+               END AS trend
+        FROM j
+    """
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: global Geary's C over the same z15 raster / queen
     weights as ``morans_i`` (geo/moran.py gearys_c) — the variogram-
@@ -9488,6 +9599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pagerank": q_weighted_pagerank,
         "ktruss": q_ktruss,
         "local_morans": q_local_morans,
+        "emerging_hotspots": q_emerging_hotspots,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -9644,6 +9756,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": _hotspot_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
+        "emerging_hotspots": _emerging_oracle(),
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
