@@ -7240,6 +7240,59 @@ def _rollup_anomalies_oracle() -> str:
     """
 
 
+def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM fluency score (text/lm.py bigram_score) over the
+    documents corpus — the conditional-probability upgrade on lm_score
+    (unigram scoring is word-order-blind; the 2-gram model catches
+    shuffled/templated text, the CCNet perplexity-filter shape).
+    Laplace P(w2|w1), per-pair micro-nat quantize → exact long sums;
+    the oracle replays tokenize → pair → model → score in full."""
+    from osm_spark.text.lm import bigram_score
+
+    return bigram_score(_t(spark, sf_dir, "documents"))
+
+
+def _bigram_score_oracle() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> len(w) > 0) AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        pairs AS (
+            SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                   toks[CAST(i AS INT) + 1] AS w2
+            FROM base,
+                 unnest(range(1, CASE WHEN len(toks) > 1
+                                      THEN len(toks) ELSE 1 END)) AS u(i)
+        ),
+        model AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+        tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        uni AS (SELECT word, count(*) AS c1 FROM tok
+                WHERE len(word) > 0 GROUP BY word),
+        v AS (SELECT count(*) AS v_size FROM uni),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(round(ln(CAST(m.c2 + 1 AS DOUBLE)
+                                 / CAST(u.c1 + v.v_size AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS lw
+            FROM pairs p
+            JOIN model m USING (w1, w2)
+            JOIN uni u ON u.word = p.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lw) AS BIGINT) AS sum_logp_micro,
+               round(CAST(sum(lw) AS DOUBLE) / 1e6 / count(*), 6)
+                   AS mean_logp
+        FROM scored GROUP BY doc_id
+    """
+
+
 def q_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf ranked vocabulary (osm_spark/text/zipf.py zipf_ranks) over
     the documents table, freq ≥ 5: rank = histogram-folded strict-
@@ -9605,6 +9658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_gapfill": q_ohlc_gapfill,
         "ohlc_interpolate": q_ohlc_interpolate,
         "zipf_ranks": q_zipf_ranks,
+        "bigram_score": q_bigram_score,
         "pip_pairs_adaptive": q_pip_pairs_adaptive,
         "reachability": q_reachability,
         "tag_requirement_met": q_tag_requirement_met,
@@ -9757,6 +9811,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
+        "bigram_score": _bigram_score_oracle(),
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),

@@ -242,3 +242,96 @@ def ccnet_buckets(
         s.join(F.broadcast(thr), lang_col)
         .select(id_col, lang_col, "logp_nano", bucket.alias("bucket"))
     )
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — adjacent token pairs per document, generated as a
+    pure Column program (zero shuffle: one array transform + explode;
+    empty tokens dropped FIRST so doubled spaces don't break
+    adjacency)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "(w, i) -> struct(w AS w1, _toks[i + 1] AS w2))"
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def bigram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigram_join: str = "shuffle",
+) -> DataFrame:
+    """Per-document BIGRAM LM score over the corpus's own model — the
+    fluency upgrade on ``lm_score``: unigram scoring cannot tell
+    shuffled words from prose, the conditional P(w2|w1) can (the
+    standard perplexity-filter refinement, e.g. CCNet's 5-gram LM —
+    this is its exact 2-gram little sibling, SQL-replayable).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)   (Laplace over the
+    unigram vocabulary V; unseen continuations fall to the w1 floor,
+    unseen w1 to 1/V). Same micro-nat per-pair quantize → exact long
+    sum as lm_score. Returns (id, n_bigrams, sum_logp_micro,
+    mean_logp); single-token and empty documents are absent.
+
+    Scale: the bigram model is one map-side-combined exchange; scoring
+    joins doc pairs to the model on the (w1, w2) composite then to the
+    unigram counts on w1 — both shuffle_hash by default (a web-scale
+    bigram table dwarfs any broadcast ceiling; 'broadcast' is for
+    curated reference models)."""
+    if bigram_join not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"bigram_join must be broadcast|shuffle, got {bigram_join!r}"
+        )
+    pairs = doc_bigrams(docs, id_col, text_col)
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = tokenize(docs, id_col, text_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v_size"))
+
+    def _h(df):
+        return F.broadcast(df) if bigram_join == "broadcast" else df.hint(
+            "shuffle_hash"
+        )
+
+    j = (
+        pairs.join(_h(model), ["w1", "w2"], "left")
+        .join(_h(uni.withColumnRenamed("word", "w1")), "w1", "left")
+        .crossJoin(F.broadcast(v))
+    )
+    lw = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")).cast(
+                "double"
+            )
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        j.select(id_col, lw.alias("lw"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lw").alias("sum_logp_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_logp_micro",
+            F.round(
+                F.col("sum_logp_micro") / F.lit(1e6) / F.col("n_bigrams"), 6
+            ).alias("mean_logp"),
+        )
+    )

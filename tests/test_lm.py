@@ -122,3 +122,60 @@ def test_ccnet_buckets_per_language_not_global(spark):
     ]
     got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(_bucket_df(spark, rows)).collect()}
     assert "head" in {got[4], got[5], got[6]}
+
+
+def test_doc_bigrams_adjacency(spark):
+    from osm_spark.text.lm import doc_bigrams
+
+    d = spark.createDataFrame(
+        [(1, "a  b c"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.w1, r.w2) for r in doc_bigrams(d).collect()}
+    # doubled space does NOT break adjacency; 1-token/empty docs vanish
+    assert got == {(1, "a", "b"), (1, "b", "c")}
+
+
+def test_bigram_score_python_replay(spark):
+    import math
+
+    from osm_spark.text.lm import bigram_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the mat",
+        3: "mat the on sat cat the",  # shuffled words, same unigrams
+    }
+    d = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_logp_micro)
+        for r in bigram_score(d).collect()
+    }
+    # python replay
+    from collections import Counter
+
+    uni = Counter(w for t in texts.values() for w in t.split())
+    v = len(uni)
+    big = Counter(
+        (ws[i], ws[i + 1])
+        for t in texts.values()
+        for ws in [t.split()]
+        for i in range(len(ws) - 1)
+    )
+    for did, t in texts.items():
+        ws = t.split()
+        s = 0
+        for i in range(len(ws) - 1):
+            p = (big[(ws[i], ws[i + 1])] + 1) / (uni[ws[i]] + v)
+            q = math.log(p) * 1e6
+            s += int(math.copysign(math.floor(abs(q) + 0.5), q))
+        assert got[did] == (len(ws) - 1, s)
+    # the bigram model must rank shuffled text BELOW its prose twin
+    # while a unigram model cannot separate them
+    from osm_spark.text.lm import lm_score
+
+    u = {r.doc_id: r.sum_logp_micro for r in lm_score(d).collect()}
+    assert u[1] == u[3]  # unigram-blind
+    assert got[3][1] < got[1][1]  # bigram catches the shuffle
