@@ -6328,6 +6328,79 @@ def _local_morans_oracle() -> str:
     """
 
 
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per city cluster (geo/ellipse.py
+    std_ellipse): e7-quantized integer moments in decimal/HUGEINT, one
+    closing IEEE eigen decomposition — orientation emitted as the
+    micro-quantized (sin 2θ, cos 2θ) pair (NO atan2: libm-free by
+    design, the orientation.py precedent). Full DuckDB replay."""
+    _prep(spark)
+    from osm_spark.geo.ellipse import std_ellipse
+
+    pts = _sql_points(spark, sf_dir).select(
+        (F.col("url").cast("long") % 10).alias("city"), "lat", "lon"
+    )
+    return std_ellipse(pts, group_cols=["city"])
+
+
+def _std_ellipse_oracle() -> str:
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        q AS (
+            SELECT point_id % 10 AS city,
+                   CAST(round(lon * 1e7) AS HUGEINT) AS x,
+                   CAST(round(lat * 1e7) AS HUGEINT) AS y
+            FROM pts
+        ),
+        sums AS (
+            SELECT city, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM q GROUP BY city
+        ),
+        m AS (
+            SELECT city, n,
+                   CAST(sy // n AS BIGINT) AS mean_lat_e7,
+                   CAST(sx // n AS BIGINT) AS mean_lon_e7,
+                   n * sxx - sx * sx AS cxx,
+                   n * syy - sy * sy AS cyy,
+                   n * sxy - sx * sy AS cxy
+            FROM sums
+        ),
+        e AS (
+            SELECT *,
+                   CAST(2 * cxy AS DOUBLE) AS numd,
+                   CAST(cxx - cyy AS DOUBLE) AS dend,
+                   sqrt(CAST(cxx - cyy AS DOUBLE) * CAST(cxx - cyy AS DOUBLE)
+                        + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                       AS disc,
+                   CAST(n AS DOUBLE) AS nd
+            FROM m
+        )
+        SELECT city, n, mean_lat_e7, mean_lon_e7,
+               CASE WHEN n >= 3
+                         AND sqrt(numd * numd + dend * dend) > 0
+                    THEN CAST(floor(1000000.0
+                         * (numd / sqrt(numd * numd + dend * dend)))
+                         AS BIGINT) END AS sin2t_micro,
+               CASE WHEN n >= 3
+                         AND sqrt(numd * numd + dend * dend) > 0
+                    THEN CAST(floor(1000000.0
+                         * (dend / sqrt(numd * numd + dend * dend)))
+                         AS BIGINT) END AS cos2t_micro,
+               CASE WHEN n >= 3 THEN CAST(floor(sqrt(greatest(
+                    (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE) + disc) / 2.0,
+                    0.0) / (nd * nd * nd)) / 10.0) AS BIGINT)
+               END AS major_micro,
+               CASE WHEN n >= 3 THEN CAST(floor(sqrt(greatest(
+                    (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE) - disc) / 2.0,
+                    0.0) / (nd * nd * nd)) / 10.0) AS BIGINT)
+               END AS minor_micro
+        FROM e
+    """
+
+
 _EMERGING_Z = 11
 
 
@@ -9653,6 +9726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "local_morans": q_local_morans,
         "emerging_hotspots": q_emerging_hotspots,
+        "std_ellipse": q_std_ellipse,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -9812,6 +9886,7 @@ def oracle_sql() -> dict[str, str]:
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
         "bigram_score": _bigram_score_oracle(),
+        "std_ellipse": _std_ellipse_oracle(),
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
