@@ -349,6 +349,83 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", key.alias("zkey"))
 
 
+_HILBERT_BITS = 12
+
+
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout key (pipeline/hilbert.py): the locality upgrade on
+    zorder_key — fewer contiguous key runs per bbox scan (Moon et al.
+    TKDE 2001; measured in tests/test_hilbert.py), emitted by the
+    classic xy→d loop unrolled as per-level projections (linear plan,
+    pure integer codegen, no UDF). Oracle = the generated unrolled SQL
+    replay, one CTE per level."""
+    _prep(spark)
+    from osm_spark.pipeline.hilbert import attach_hilbert_key
+
+    o = _t(spark, sf_dir, "orders")
+    return attach_hilbert_key(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        (F.col("o_custkey").cast("double"), 0.0, 200000.0),
+        (F.col("o_totalprice").cast("double"), 0.0, 600000.0),
+        bits=_HILBERT_BITS,
+    ).select("o_orderkey", "hkey")
+
+
+def _hilbert_oracle() -> str:
+    bits = _HILBERT_BITS
+    span = float(2**bits - 1)
+
+    def norm(col: str, lo: float, hi: float) -> str:
+        return (
+            f"CAST(floor(least(greatest((CAST({col} AS DOUBLE) - {lo!r})"
+            f" / {hi - lo!r} * {span!r}, 0.0), {span!r})) AS BIGINT)"
+        )
+
+    rounds = []
+    prev = "r"
+    for k, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        cur = f"r{k}"
+        rounds.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT o_orderkey,
+                   CASE WHEN (y & {s}) = 0 THEN
+                        CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+                   ELSE x END AS nx0,
+                   x, y, d FROM {prev}
+        ),
+        {cur}b AS MATERIALIZED (
+            SELECT o_orderkey,
+                   CASE WHEN (y & {s}) = 0 THEN
+                        CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+                   ELSE y END AS ny0,
+                   nx0, x, y, d FROM {cur}
+        ),
+        {cur}c AS MATERIALIZED (
+            SELECT o_orderkey,
+                   CASE WHEN (y & {s}) = 0 THEN ny0 ELSE x END AS x,
+                   CASE WHEN (y & {s}) = 0 THEN nx0 ELSE y END AS y,
+                   d + CAST({s} AS BIGINT) * {s}
+                     * CAST(xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                                (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END))
+                            AS BIGINT) AS d
+            FROM {cur}b
+        )""")
+        prev = f"{cur}c"
+    body = ",".join(rounds)
+    return f"""
+        WITH r AS (
+            SELECT o_orderkey,
+                   {norm('o_custkey', 0.0, 200000.0)} AS x,
+                   {norm('o_totalprice', 0.0, 600000.0)} AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM orders
+        ),
+        {body}
+        SELECT o_orderkey, d AS hkey FROM {prev}
+    """
+
+
 def _zorder_sql_expr(ca: str, cb: str, bits: int) -> str:
     """The DuckDB replay of interleave_bits for two pre-normalized
     BIGINT expressions — same literal shifts, same positions."""
@@ -9727,6 +9804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_morans": q_local_morans,
         "emerging_hotspots": q_emerging_hotspots,
         "std_ellipse": q_std_ellipse,
+        "hilbert_key": q_hilbert_key,
         "mips_int8": q_mips_int8,
         "ohlc_rollup": q_ohlc_rollup,
         "ohlc_gapfill": q_ohlc_gapfill,
@@ -9887,6 +9965,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _emerging_oracle(),
         "bigram_score": _bigram_score_oracle(),
         "std_ellipse": _std_ellipse_oracle(),
+        "hilbert_key": _hilbert_oracle(),
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
