@@ -85,3 +85,64 @@ def test_plan_stays_linear_no_udf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(plan) < 2_000_000  # linear unroll, no 3^bits blow-up
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    """End-to-end file-skipping A/B (the test_zorder footer-stats
+    method): a small box query over a Hilbert-clustered layout touches
+    no MORE files than the Z-order layout of the same data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from osm_spark.pipeline.hilbert import cluster_by_hilbert
+    from osm_spark.pipeline.zorder import cluster_by_zorder
+
+    n, files = 200_000, 16
+    pts = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(10000)) / 100.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10000)) / 100.0).alias("y"),
+    )
+    xs_spec, ys_spec = (F.col("x"), 0.0, 100.0), (F.col("y"), 0.0, 100.0)
+
+    def file_boxes(path):
+        boxes = []
+        for root, _d, fns in os.walk(path):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                xs, ys = [], []
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        tgt = xs if col.path_in_schema == "x" else ys
+                        tgt.append((col.statistics.min, col.statistics.max))
+                boxes.append(
+                    (min(a for a, _ in xs), max(b for _, b in xs),
+                     min(a for a, _ in ys), max(b for _, b in ys))
+                )
+        return boxes
+
+    h_path, z_path = str(tmp_path / "hil"), str(tmp_path / "zord")
+    cluster_by_hilbert(pts, xs_spec, ys_spec, files).write.mode(
+        "overwrite"
+    ).parquet(h_path)
+    cluster_by_zorder(pts, [xs_spec, ys_spec], files).write.mode(
+        "overwrite"
+    ).parquet(z_path)
+
+    def overlapping(boxes, lo, hi):
+        return sum(
+            1 for x0, x1, y0, y1 in boxes
+            if x1 >= lo and x0 <= hi and y1 >= lo and y0 <= hi
+        )
+
+    h_boxes, z_boxes = file_boxes(h_path), file_boxes(z_path)
+    assert len(h_boxes) >= files // 2
+    totals = [0, 0]
+    for lo in (5.0, 25.0, 45.0, 65.0, 85.0):
+        totals[0] += overlapping(h_boxes, lo, lo + 10.0)
+        totals[1] += overlapping(z_boxes, lo, lo + 10.0)
+    assert totals[0] <= totals[1], totals
+    # and both layouts genuinely prune vs all-files on a 1%-area box
+    assert overlapping(h_boxes, 10.0, 20.0) <= len(h_boxes) // 2
