@@ -4933,6 +4933,75 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_K, _SEM_THRESHOLD = 8, 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune (vector/semdedup.py): deterministic
+    md5-picked seeds, exact nearest-seed assignment (rounded cosine,
+    seed-id tie-break), within-cluster ε-neighbour prune keeping the
+    low-centroid-similarity member — every stage replayed in the oracle."""
+    _prep(spark)
+    from osm_spark.vector.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=_SEM_K, threshold=_SEM_THRESHOLD
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Full SQL replay: seed pick by md5(vec_id), corpus × seed cosine
+    (same left-fold sum as Spark's ``aggregate``), row_number argmax with
+    the identical (cent_sim DESC, seed_id ASC) order, witness EXISTS with
+    the (cent_sim, vec_id) precedence, default-keep on no witness."""
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id AS seed_id, embedding AS seed_vec
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_SEM_K}
+        ), sims AS (
+            SELECT e.vec_id, s.seed_id,
+                   round(
+                       list_sum(list_transform(range(64),
+                           i -> e.embedding[i+1]::DOUBLE * s.seed_vec[i+1]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(64),
+                              i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(64),
+                              i -> s.seed_vec[i+1]::DOUBLE * s.seed_vec[i+1]::DOUBLE)))),
+                       6) AS cent_sim
+            FROM embeddings e CROSS JOIN seeds s
+        ), assigned AS (
+            SELECT vec_id, seed_id AS cluster_id, cent_sim
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY cent_sim DESC, seed_id ASC) AS rn
+                  FROM sims)
+            WHERE rn = 1
+        ), vx AS (
+            SELECT a.vec_id, a.cluster_id, a.cent_sim, e.embedding
+            FROM assigned a JOIN embeddings e USING (vec_id)
+        ), witness AS (
+            SELECT DISTINCT a.vec_id
+            FROM vx a JOIN vx b
+              ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+            WHERE (b.cent_sim < a.cent_sim
+                   OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+              AND round(
+                    list_sum(list_transform(range(64),
+                        i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+                    / (sqrt(list_sum(list_transform(range(64),
+                           i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+                     * sqrt(list_sum(list_transform(range(64),
+                           i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))),
+                    6) >= {_SEM_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cluster_id, a.cent_sim,
+               (w.vec_id IS NULL) AS keep
+        FROM assigned a LEFT JOIN witness w ON a.vec_id = w.vec_id
+    """
+
+
 _SIM_THRESHOLD, _SIM_MAX_DF = 0.9, 1.0
 
 
@@ -9930,6 +9999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "phrase_search": q_phrase_search,
         "quantize_embeddings": q_quantize_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -10032,6 +10102,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_oracle(),
         "cosine_pairs": _cosine_pairs_oracle(),
         "quantize_embeddings": _quantize_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),

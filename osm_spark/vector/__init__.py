@@ -8,6 +8,7 @@ from osm_spark.vector.similarity import (
     ann_lsh_topk,
     embedding_near_dups,
 )
+from osm_spark.vector.semdedup import semantic_dedup, seed_pick
 
 __all__ = [
     "cosine",
@@ -15,4 +16,6 @@ __all__ = [
     "hyperplane_buckets",
     "ann_lsh_topk",
     "embedding_near_dups",
+    "semantic_dedup",
+    "seed_pick",
 ]
