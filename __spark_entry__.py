@@ -6265,6 +6265,63 @@ def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hotspot_gi(_sql_points(spark, sf_dir), _HOTSPOT_Z)
 
 
+_KDE_Z, _KDE_R = 14, 2
+
+
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Epanechnikov KDE heatmap (geo/kde.py): point-level kernel
+    at 1/256-tile precision scattered over a 2-tile bandwidth, one
+    combiner-reduced groupBy — vs a DuckDB full replay (the contour
+    pipeline's pixel floor feeds pure-integer distance/weight sums)."""
+    _prep(spark)
+    from osm_spark.geo.kde import kde_density
+
+    return kde_density(_sql_points(spark, sf_dir), _KDE_Z, radius=_KDE_R)
+
+
+def _kde_oracle() -> str:
+    """Full replay of kde_density: tile_pixel's Mercator floor (ln-spelled
+    asinh, identical clamps), sub-cell integer positions, (2r+1)² offset
+    scatter, w = R² − d² kept when positive, BIGINT sums."""
+    z, r, ts = _KDE_Z, _KDE_R, 256
+    n, nmax, half, r2 = 1 << z, (1 << z) - 1, 128, (2 * 256) ** 2
+    clat = "LEAST(GREATEST(lat, -85.05112878), 85.05112878)"
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        fxy AS (
+            SELECT (lon + 180.0) / 360.0 * {float(n)!r} AS fx,
+                   (1.0 - ln(tan(radians({clat}))
+                             + sqrt(tan(radians({clat})) * tan(radians({clat})) + 1.0))
+                         / pi()) / 2.0 * {float(n)!r} AS fy
+            FROM pts
+        ), pix AS (
+            SELECT LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), {nmax}) AS cx,
+                   LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), {nmax}) AS cy,
+                   fx, fy
+            FROM fxy
+        ), q AS (
+            SELECT cx, cy,
+                   cx * {ts} + LEAST(CAST(floor((fx - cx) * {ts}) AS BIGINT), {ts - 1}) AS qx,
+                   cy * {ts} + LEAST(CAST(floor((fy - cy) * {ts}) AS BIGINT), {ts - 1}) AS qy
+            FROM pix
+        ), sc AS (
+            SELECT cx + dx AS x, cy + dy AS y, qx, qy
+            FROM q
+            CROSS JOIN (SELECT unnest(range({-r}, {r + 1})) AS dx) od
+            CROSS JOIN (SELECT unnest(range({-r}, {r + 1})) AS dy) oe
+            WHERE cx + dx BETWEEN 0 AND {nmax}
+              AND cy + dy BETWEEN 0 AND {nmax}
+        ), wts AS (
+            SELECT x, y,
+                   {r2} - ((qx - (x * {ts} + {half})) * (qx - (x * {ts} + {half}))
+                         + (qy - (y * {ts} + {half})) * (qy - (y * {ts} + {half}))) AS w
+            FROM sc
+        )
+        SELECT {z} AS z, x, y, CAST(sum(w) AS BIGINT) AS kde
+        FROM wts WHERE w > 0 GROUP BY x, y
+    """
+
+
 def _morans_oracle() -> str:
     """Full replay of global Moran's I (geo/moran.py): same tile floor
     as the hotspot oracle, 8-offset scatter (self excluded), LEFT join
@@ -9839,6 +9896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_match": q_hmm_match,
         "containment_pairs": q_containment_pairs,
         "hotspot_gi": q_hotspot_gi,
+        "kde_density": q_kde_density,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10030,6 +10088,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming twin: must equal the batch DP row for row
         "hmm_match_stream": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
+        "kde_density": _kde_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
