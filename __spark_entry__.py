@@ -6322,6 +6322,72 @@ def _kde_oracle() -> str:
     """
 
 
+_VOR_Z = 14
+
+
+def q_voronoi_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi catchment map (geo/voronoi.py): occupied z14
+    tiles argmin-assigned to the nearest amenity node in the integer
+    Mercator grid metric — vs a DuckDB brute-force argmin replay."""
+    _prep(spark)
+    from osm_spark.geo.voronoi import voronoi_regions
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    return voronoi_regions(_sql_points(spark, sf_dir), synth_nodes(spark), _VOR_Z)
+
+
+def _voronoi_oracle() -> str:
+    """Full replay: tile_pixel floors for both sides, integer squared
+    distances, row_number argmin with the (d2, seed_id) tie-break."""
+    z, ts = _VOR_Z, 256
+    n, nmax, half = 1 << z, (1 << z) - 1, 128
+    clat = "LEAST(GREATEST(lat, -85.05112878), 85.05112878)"
+    nclat = "LEAST(GREATEST(nlat, -85.05112878), 85.05112878)"
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        fxy AS (
+            SELECT (lon + 180.0) / 360.0 * {float(n)!r} AS fx,
+                   (1.0 - ln(tan(radians({clat}))
+                             + sqrt(tan(radians({clat})) * tan(radians({clat})) + 1.0))
+                         / pi()) / 2.0 * {float(n)!r} AS fy
+            FROM pts
+        ), tiles AS (
+            SELECT DISTINCT
+                   LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), {nmax}) AS x,
+                   LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), {nmax}) AS y
+            FROM fxy
+        ), nodes0(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        nfxy AS (
+            SELECT CAST(node_id AS BIGINT) AS seed_id,
+                   (CAST(nlon AS DOUBLE) + 180.0) / 360.0 * {float(n)!r} AS fx,
+                   (1.0 - ln(tan(radians({nclat}))
+                             + sqrt(tan(radians({nclat})) * tan(radians({nclat})) + 1.0))
+                         / pi()) / 2.0 * {float(n)!r} AS fy
+            FROM (SELECT node_id, CAST(nlat AS DOUBLE) AS nlat,
+                         CAST(nlon AS DOUBLE) AS nlon FROM nodes0)
+        ), seeds AS (
+            SELECT seed_id, sx, sy,
+                   sx * {ts} + LEAST(CAST(floor((fx - sx) * {ts}) AS BIGINT), {ts - 1}) AS sqx,
+                   sy * {ts} + LEAST(CAST(floor((fy - sy) * {ts}) AS BIGINT), {ts - 1}) AS sqy
+            FROM (SELECT seed_id, fx, fy,
+                         LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), {nmax}) AS sx,
+                         LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), {nmax}) AS sy
+                  FROM nfxy)
+        ), d AS (
+            SELECT t.x, t.y, s.seed_id,
+                   (t.x * {ts} + {half} - s.sqx) * (t.x * {ts} + {half} - s.sqx)
+                 + (t.y * {ts} + {half} - s.sqy) * (t.y * {ts} + {half} - s.sqy) AS d2
+            FROM tiles t CROSS JOIN seeds s
+        )
+        SELECT {z} AS z, x, y, seed_id, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY x, y
+                       ORDER BY d2 ASC, seed_id ASC) AS rn
+            FROM d
+        ) WHERE rn = 1
+    """
+
+
 def _morans_oracle() -> str:
     """Full replay of global Moran's I (geo/moran.py): same tile floor
     as the hotspot oracle, 8-offset scatter (self excluded), LEFT join
@@ -9897,6 +9963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "hotspot_gi": q_hotspot_gi,
         "kde_density": q_kde_density,
+        "voronoi_regions": q_voronoi_regions,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10089,6 +10156,7 @@ def oracle_sql() -> dict[str, str]:
         "hmm_match_stream": _hmm_oracle(),
         "hotspot_gi": _hotspot_oracle(),
         "kde_density": _kde_oracle(),
+        "voronoi_regions": _voronoi_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
