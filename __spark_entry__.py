@@ -6388,6 +6388,74 @@ def _voronoi_oracle() -> str:
     """
 
 
+_TREND_Z = 14
+
+
+def q_trend_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order trend surface + residual map (geo/trend.py): Cramer
+    integer determinants in decimal(38,0), one closing float divide —
+    vs a DuckDB HUGEINT full replay."""
+    _prep(spark)
+    from osm_spark.geo.trend import trend_surface
+
+    return trend_surface(_sql_points(spark, sf_dir), _TREND_Z)
+
+
+def _trend_oracle() -> str:
+    """HUGEINT replay of the nine sums, four determinants, exact integer
+    residual numerators and the single pinned float round."""
+    z = _TREND_Z
+    n, nmax = 1 << z, (1 << z) - 1
+    clat = "LEAST(GREATEST(lat, -85.05112878), 85.05112878)"
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        t AS (
+            SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(n)!r})
+                       AS BIGINT), 0), {nmax}) AS x,
+                   LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians({clat}))
+                             + sqrt(tan(radians({clat})) * tan(radians({clat})) + 1.0))
+                         / pi()) / 2.0 * {float(n)!r}) AS BIGINT), 0), {nmax}) AS y
+            FROM pts
+        ),
+        g AS (SELECT x, y, count(*) AS cnt FROM t GROUP BY x, y),
+        s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS s0,
+                   CAST(sum(x) AS HUGEINT) AS su,
+                   CAST(sum(y) AS HUGEINT) AS sv,
+                   CAST(sum(x * x) AS HUGEINT) AS suu,
+                   CAST(sum(x * y) AS HUGEINT) AS suv,
+                   CAST(sum(y * y) AS HUGEINT) AS svv,
+                   CAST(sum(cnt) AS HUGEINT) AS sc,
+                   CAST(sum(cnt * x) AS HUGEINT) AS scu,
+                   CAST(sum(cnt * y) AS HUGEINT) AS scv
+            FROM g
+        ),
+        d AS (
+            SELECT s0 * (suu * svv - suv * suv)
+                 - su * (su * svv - suv * sv)
+                 + sv * (su * suv - suu * sv) AS dd,
+                   sc * (suu * svv - suv * suv)
+                 - su * (scu * svv - suv * scv)
+                 + sv * (scu * suv - suu * scv) AS da,
+                   s0 * (scu * svv - suv * scv)
+                 - sc * (su * svv - suv * sv)
+                 + sv * (su * scv - scu * sv) AS db,
+                   s0 * (suu * scv - scu * suv)
+                 - su * (su * scv - scu * sv)
+                 + sc * (su * suv - suu * sv) AS dc
+            FROM s
+        )
+        SELECT {z} AS z, g.x, g.y, g.cnt,
+               CASE WHEN d.dd <> 0 THEN
+                   CAST(round(CAST(CAST(g.cnt AS HUGEINT) * d.dd - d.da
+                                   - d.db * CAST(g.x AS HUGEINT)
+                                   - d.dc * CAST(g.y AS HUGEINT) AS DOUBLE)
+                              / CAST(d.dd AS DOUBLE) * 1e6, 0) AS BIGINT)
+               ELSE NULL END AS resid_micro
+        FROM g CROSS JOIN d
+    """
+
+
 def _morans_oracle() -> str:
     """Full replay of global Moran's I (geo/moran.py): same tile floor
     as the hotspot oracle, 8-offset scatter (self excluded), LEFT join
@@ -9964,6 +10032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "kde_density": q_kde_density,
         "voronoi_regions": q_voronoi_regions,
+        "trend_surface": q_trend_surface,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10157,6 +10226,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": _hotspot_oracle(),
         "kde_density": _kde_oracle(),
         "voronoi_regions": _voronoi_oracle(),
+        "trend_surface": _trend_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
