@@ -2143,6 +2143,90 @@ def _dbscan_oracle() -> str:
     """
 
 
+_ST_EPS_M, _ST_EPS_T, _ST_MIN_PTS = 1500.0, 1800, 10
+
+
+def q_st_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 family: ST-DBSCAN (geo/dbscan.py st_dbscan, Birant & Kut
+    2007) — the spatiotemporal burst clusterer: (cell, time-bucket)
+    blocked pairs within 1500 m AND 1800 s, then the shared
+    labels_from_pairs core/border/noise labeling — vs the brute-force +
+    recursive-closure oracle with the time predicate added. Timestamps
+    are a deterministic integer function of the key (replayed exactly)."""
+    _prep(spark)
+    from osm_spark.geo.dbscan import st_dbscan
+
+    pts = _sql_points(spark, sf_dir).select(
+        F.col("url").cast("long").alias("id"),
+        "lat",
+        "lon",
+        (F.col("url").cast("long") * 7451 % 36000).alias("ts"),
+    )
+    out = st_dbscan(pts, _ST_EPS_M, _ST_EPS_T, _ST_MIN_PTS)
+    return out.select(F.col("id").alias("point_id"), "cluster", "role")
+
+
+def _st_dbscan_oracle() -> str:
+    """The dbscan oracle with the spatiotemporal neighborhood: same
+    haversine, plus |Δts| ≤ eps_t with ts = point_id·7451 mod 36000."""
+    eps = repr(float(_ST_EPS_M))
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT point_id, lat, lon, point_id * 7451 % 36000 AS ts
+            FROM ({_sql_points_oracle()})
+        ),
+        prs AS (
+            SELECT a.point_id AS a_id, b.point_id AS b_id
+            FROM pts a JOIN pts b ON a.point_id < b.point_id
+            WHERE abs(a.ts - b.ts) <= {_ST_EPS_T}
+              AND 2.0 * 6371000.0 * asin(sqrt(
+                      pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+                    + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * pow(sin(radians(b.lon - a.lon) / 2.0), 2))) <= {eps}
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a_id AS id FROM prs
+                UNION ALL SELECT b_id FROM prs
+            ) GROUP BY id
+        ),
+        core AS (
+            SELECT p.point_id AS id
+            FROM pts p LEFT JOIN deg ON deg.id = p.point_id
+            WHERE coalesce(deg.deg, 0) + 1 >= {_ST_MIN_PTS}
+        ),
+        ce AS (
+            SELECT a_id, b_id FROM prs
+            WHERE a_id IN (SELECT id FROM core)
+              AND b_id IN (SELECT id FROM core)
+        ),
+        sym AS (SELECT a_id AS u, b_id AS v FROM ce
+                UNION SELECT b_id, a_id FROM ce),
+        reach(id, r) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.id = s.v
+        ),
+        comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        border AS (
+            SELECT t.id, MIN(c.cluster) AS cluster FROM (
+                SELECT a_id AS id, b_id AS cid FROM prs
+                UNION ALL SELECT b_id, a_id FROM prs
+            ) t JOIN comp c ON c.id = t.cid
+            WHERE t.id NOT IN (SELECT id FROM comp)
+            GROUP BY t.id
+        )
+        SELECT id AS point_id, cluster, 'core' AS role FROM comp
+        UNION ALL
+        SELECT id AS point_id, cluster, 'border' AS role FROM border
+        UNION ALL
+        SELECT p.point_id, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role
+        FROM pts p
+        WHERE p.point_id NOT IN (SELECT id FROM comp)
+          AND p.point_id NOT IN (SELECT id FROM border)
+    """
+
+
 _SNAP_RADIUS_M = 3000.0
 
 
@@ -10026,6 +10110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": q_mips_topk,
         "ripley_k": q_ripley_k,
         "dbscan_clusters": q_dbscan_clusters,
+        "st_dbscan_clusters": q_st_dbscan_clusters,
         "snap_roads": q_snap_roads,
         "hmm_match": q_hmm_match,
         "containment_pairs": q_containment_pairs,
@@ -10219,6 +10304,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pairs": _knn_pairs_oracle(),
         "radius_pairs": _radius_pairs_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
+        "st_dbscan_clusters": _st_dbscan_oracle(),
         "snap_roads": _snap_oracle(),
         "hmm_match": _hmm_oracle(),
         # streaming twin: must equal the batch DP row for row

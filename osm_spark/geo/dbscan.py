@@ -148,7 +148,18 @@ def dbscan(
     pairs = eps_pairs(
         points, eps_m, res=res, max_abs_lat=max_abs_lat, salts=salts
     )
+    return labels_from_pairs(points, pairs, min_pts, max_iter=max_iter)
 
+
+def labels_from_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    min_pts: int,
+    max_iter: int = 50,
+) -> DataFrame:
+    """DBSCAN labeling given the (a_id, b_id) eps-pair set — the
+    neighborhood-metric-agnostic half of ``dbscan`` (ST-DBSCAN swaps in
+    a spatiotemporal pair generator and reuses this verbatim)."""
     # Degree = |neighborhood| - 1 (self excluded); one combiner-reduced
     # shuffle over 16-byte endpoint rows, never the coordinates.
     deg = (
@@ -211,3 +222,100 @@ def dbscan(
         )
     )
     return labeled.unionByName(noise)
+
+
+def st_eps_pairs(
+    points: DataFrame,
+    eps_m: float,
+    eps_t_s: int,
+    res: int | None = None,
+    max_abs_lat: float | None = None,
+) -> DataFrame:
+    """(a_id, b_id) with a_id < b_id — unordered pairs within ``eps_m``
+    meters AND ``eps_t_s`` seconds. ``points``: (id, lat, lon, ts) with
+    integer epoch-second ts.
+
+    Spatiotemporal blocking (Birant & Kut 2007, ST-DBSCAN): the join key
+    is (cell, time-bucket) with bucket width = eps_t_s, so a temporal
+    burst in a hot cell splits across buckets BEFORE any distance math —
+    the time axis is a free extra partition key, not a post-filter over
+    the spatial candidate set.  |Δt| ≤ eps_t ⟹ bucket indices differ by
+    ≤ 1, so the right side explodes over {tb−1, tb, tb+1} (×3 on top of
+    the K-disk's ≤19 — still a constant fanout) and each true pair
+    meets exactly once: the left row's single (cell, bucket) matches at
+    most one of the right row's replicas, and coverage guarantees one.
+    """
+    if eps_m <= 0:
+        raise ValueError(f"eps_m must be > 0, got {eps_m}")
+    if eps_t_s <= 0:
+        raise ValueError(f"eps_t_s must be > 0, got {eps_t_s}")
+    if max_abs_lat is None:
+        from osm_spark.pipeline.stats import memoized_first
+
+        row = memoized_first(points.agg(F.max(F.abs(F.col("lat")))))
+        if row[0] is None:
+            raise ValueError("st_eps_pairs: points is empty — no pairs can exist")
+        max_abs_lat = float(row[0])
+    if res is None:
+        res = plan_res(eps_m, max_abs_lat)
+    ring = plan_ring(eps_m, res, max_abs_lat)
+
+    tb = F.floor(F.col("ts") / F.lit(int(eps_t_s))).cast("long")
+    left = points.select(
+        F.col("id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.col("ts").alias("a_ts"),
+        hex_cell_expr("lat", "lon", res).alias("cell"),
+        tb.alias("tb"),
+    )
+    right = points.select(
+        F.col("id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("ts").alias("b_ts"),
+        F.explode(
+            hex_disk_expr(hex_cell_expr("lat", "lon", res), res, ring)
+        ).alias("cell"),
+        tb.alias("tb0"),
+    ).select(
+        "b_id", "b_lat", "b_lon", "b_ts", "cell",
+        F.explode(F.array(F.col("tb0") - 1, F.col("tb0"), F.col("tb0") + 1)).alias("tb"),
+    )
+    return (
+        left.join(right.hint("shuffle_hash"), ["cell", "tb"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.abs(F.col("a_ts") - F.col("b_ts")) <= F.lit(int(eps_t_s)))
+        .where(
+            haversine_m(
+                F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+            )
+            <= F.lit(float(eps_m))
+        )
+        .select("a_id", "b_id")
+    )
+
+
+def st_dbscan(
+    points: DataFrame,
+    eps_m: float,
+    eps_t_s: int,
+    min_pts: int,
+    res: int | None = None,
+    max_abs_lat: float | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster, role) — ST-DBSCAN labels over (id, lat, lon, ts).
+
+    Identical core/border/noise semantics to ``dbscan`` with the
+    neighborhood predicate tightened to the spatiotemporal ball
+    (within ``eps_m`` meters AND ``eps_t_s`` seconds) — the event-burst
+    clusterer ("same place, same time") of the trajectory family.
+    Labeling reuses ``labels_from_pairs`` verbatim.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    pairs = st_eps_pairs(
+        points, eps_m, eps_t_s, res=res, max_abs_lat=max_abs_lat
+    )
+    return labels_from_pairs(points, pairs, min_pts, max_iter=max_iter)
