@@ -6406,6 +6406,94 @@ def _kde_oracle() -> str:
     """
 
 
+_DIS_Z = 15
+
+
+def q_dissolve_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute dissolve over the tile raster (geo/dissolve.py): burn
+    each way polygon to z15 tiles by center-in-polygon in Mercator space
+    (exact half-integer centers, vertices transformed once), union per
+    landuse class, 4-neighbourhood boundary flags — vs a DuckDB full
+    replay of the identical transform + ray cast + neighbour join."""
+    _prep(spark)
+    from osm_spark.geo.dissolve import dissolve_raster
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    return dissolve_raster(
+        synth_polygons(spark), _DIS_Z, F.col("tags")["landuse"]
+    )
+
+
+def _dissolve_oracle() -> str:
+    """Replay: the landuse class is a closed-form function of way_id
+    (fixture k % 3 over k = (way_id−1000) % 8), vertices transform with
+    the ln-spelled Mercator, the even-odd cast mirrors the PIP oracle's
+    division-guarded crossing test against exact (x+0.5, y+0.5)."""
+    z = _DIS_Z
+    n, nmax = 1 << z, (1 << z) - 1
+    m = "85.05112878"
+    fy = (
+        f"(1.0 - ln(tan(radians(LEAST(GREATEST(v, -{m}), {m})))"
+        f" + sqrt(tan(radians(LEAST(GREATEST(v, -{m}), {m})))"
+        f" * tan(radians(LEAST(GREATEST(v, -{m}), {m}))) + 1.0))"
+        f" / pi()) / 2.0 * {float(n)!r}"
+    )
+    return f"""
+        WITH poly0(way_id, vlat, vlon) AS (VALUES
+                {_polygons_values_sql()}),
+        pc AS (
+            SELECT CAST(way_id AS BIGINT) AS way_id,
+                   (['residential', 'commercial', 'park'])
+                       [CAST((way_id - 1000) % 8 % 3 AS INT) + 1] AS cls,
+                   list_transform(CAST(vlon AS DOUBLE[]),
+                       v -> (v + 180.0) / 360.0 * {float(n)!r}) AS fx,
+                   list_transform(CAST(vlat AS DOUBLE[]), v -> {fy}) AS fy
+            FROM poly0
+        ),
+        bb AS (
+            SELECT way_id, cls, fx, fy, len(fx) AS nv,
+                   LEAST(GREATEST(CAST(floor(list_min(fx)) AS BIGINT), 0), {nmax}) AS x0,
+                   LEAST(GREATEST(CAST(floor(list_max(fx)) AS BIGINT), 0), {nmax}) AS x1,
+                   LEAST(GREATEST(CAST(floor(list_min(fy)) AS BIGINT), 0), {nmax}) AS y0,
+                   LEAST(GREATEST(CAST(floor(list_max(fy)) AS BIGINT), 0), {nmax}) AS y1
+            FROM pc
+        ),
+        t1 AS (SELECT way_id, cls, y0, y1,
+                      unnest(range(x0, x1 + 1)) AS x FROM bb),
+        t2 AS (SELECT way_id, cls, x,
+                      unnest(range(y0, y1 + 1)) AS y FROM t1),
+        e AS (
+            SELECT way_id,
+                   fx[CAST(i AS INT) + 1] AS ax, fy[CAST(i AS INT) + 1] AS ay,
+                   fx[CAST((i + 1) % nv AS INT) + 1] AS bx,
+                   fy[CAST((i + 1) % nv AS INT) + 1] AS by
+            FROM (SELECT way_id, fx, fy, nv,
+                         unnest(range(nv)) AS i FROM bb)
+        ),
+        cr AS (
+            SELECT t.cls, t.x, t.y, t.way_id,
+                   SUM(CASE WHEN ((e.ay > t.y + 0.5) <> (e.by > t.y + 0.5))
+                             AND t.x + 0.5 < (e.bx - e.ax) * (t.y + 0.5 - e.ay)
+                                 / (CASE WHEN e.by - e.ay = 0
+                                         THEN 1.0 ELSE e.by - e.ay END) + e.ax
+                            THEN 1 ELSE 0 END) AS c
+            FROM t2 t JOIN e ON e.way_id = t.way_id
+            GROUP BY t.cls, t.x, t.y, t.way_id
+        ),
+        surf AS (SELECT DISTINCT cls, x, y FROM cr WHERE c % 2 = 1),
+        nb AS (
+            SELECT s.cls, s.x, s.y,
+                   SUM(CASE WHEN p.x IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+            FROM (SELECT s0.*, o.dx, o.dy FROM surf s0
+                  CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) AS o(dx, dy)) s
+            LEFT JOIN surf p
+              ON p.cls = s.cls AND p.x = s.x + s.dx AND p.y = s.y + s.dy
+            GROUP BY s.cls, s.x, s.y
+        )
+        SELECT cls, x, y, (n_in < 4) AS boundary FROM nb
+    """
+
+
 _VOR_Z = 14
 
 
@@ -10118,6 +10206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_density": q_kde_density,
         "voronoi_regions": q_voronoi_regions,
         "trend_surface": q_trend_surface,
+        "dissolve_landuse": q_dissolve_landuse,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10313,6 +10402,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_density": _kde_oracle(),
         "voronoi_regions": _voronoi_oracle(),
         "trend_surface": _trend_oracle(),
+        "dissolve_landuse": _dissolve_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
