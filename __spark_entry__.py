@@ -5017,6 +5017,59 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCK_PATTERNS = [
+    ("slow scan", 3),
+    ("hash join", 1),
+    ("big table", 2),
+    ("merge batch", 2),
+    ("quantum leap", 3),  # never fires: exercises the clean path
+]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist screening (text/blocklist.py): curated
+    phrase dim folded into one codegen filter/contains pass — existence
+    semantics, sorted hit list, worst severity — vs a DuckDB pattern-join
+    replay."""
+    _prep(spark)
+    from osm_spark.text.blocklist import blocklist_filter
+
+    pats = spark.createDataFrame(
+        _BLOCK_PATTERNS, "pattern string, severity int"
+    )
+    return blocklist_filter(_t(spark, sf_dir, "documents"), pats).select(
+        "doc_id",
+        F.col("n_hits").cast("int").alias("n_hits"),
+        "hit_list",
+        "max_severity",
+        "keep",
+    )
+
+
+def _blocklist_oracle() -> str:
+    vals = ", ".join(f"('{p}', {s})" for p, s in _BLOCK_PATTERNS)
+    return f"""
+        WITH pats(pattern, severity) AS (VALUES {vals}),
+        d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        h AS (
+            SELECT d.doc_id, p.pattern, p.severity
+            FROM d JOIN pats p ON instr(d.t, p.pattern) > 0
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+                   array_to_string(list_sort(list(pattern)), ',') AS hit_list,
+                   CAST(max(severity) AS INT) AS max_severity
+            FROM h GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_hits, 0) AS n_hits,
+               coalesce(a.hit_list, '') AS hit_list,
+               coalesce(a.max_severity, 0) AS max_severity,
+               (a.doc_id IS NULL) AS keep
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
 _SEM_K, _SEM_THRESHOLD = 8, 0.3
 
 
@@ -10368,6 +10421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "quantize_embeddings": q_quantize_embeddings,
         "semantic_dedup": q_semantic_dedup,
+        "blocklist_filter": q_blocklist_filter,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -10476,6 +10530,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": _cosine_pairs_oracle(),
         "quantize_embeddings": _quantize_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "blocklist_filter": _blocklist_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
