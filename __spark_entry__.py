@@ -7875,6 +7875,58 @@ def _rollup_anomalies_oracle() -> str:
     """
 
 
+_EWMA_W, _EWMA_K = 8, 1
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed rollup → truncated dyadic EWMA (pipeline/tsanomaly.py
+    ewma_smooth): integer halving weights over the trailing 8
+    observations, renormalized over warm-up, one closing rounded
+    division — vs a DuckDB LAG replay over the identical rollup CTE."""
+    from osm_spark.pipeline.rollup import rollup_ohlc
+    from osm_spark.pipeline.tsanomaly import ewma_smooth
+
+    return ewma_smooth(
+        rollup_ohlc(_t(spark, sf_dir, "events"), width_s=3600),
+        window=_EWMA_W,
+        k=_EWMA_K,
+    )
+
+
+def _ewma_oracle() -> str:
+    wgt = [
+        (2**_EWMA_K - 1) ** j * (2**_EWMA_K) ** (_EWMA_W - 1 - j)
+        for j in range(_EWMA_W)
+    ]
+    lags = ", ".join(
+        f"LAG(sum_micro, {j}) OVER w AS l{j}" for j in range(1, _EWMA_W)
+    )
+    num = f"sum_micro * {wgt[0]}" + "".join(
+        f" + coalesce(l{j}, 0) * {wgt[j]}" for j in range(1, _EWMA_W)
+    )
+    den = f"{wgt[0]}" + "".join(
+        f" + (CASE WHEN l{j} IS NOT NULL THEN {wgt[j]} ELSE 0 END)"
+        for j in range(1, _EWMA_W)
+    )
+    used = "1" + "".join(
+        f" + (CASE WHEN l{j} IS NOT NULL THEN 1 ELSE 0 END)"
+        for j in range(1, _EWMA_W)
+    )
+    return f"""
+        WITH rolled AS ({_ohlc_rollup_oracle()}),
+        l AS (
+            SELECT key, bucket, sum_micro, {lags}
+            FROM rolled
+            WINDOW w AS (PARTITION BY key ORDER BY bucket)
+        )
+        SELECT key, bucket, sum_micro,
+               CAST({used} AS INT) AS n_used,
+               CAST(round(CAST({num} AS DOUBLE)
+                          / CAST({den} AS DOUBLE), 0) AS BIGINT) AS ewma_micro
+        FROM l
+    """
+
+
 def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM fluency score (text/lm.py bigram_score) over the
     documents corpus — the conditional-probability upgrade on lm_score
@@ -10245,6 +10297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "ohlc_refresh": q_ohlc_refresh,
         "rollup_anomalies": q_rollup_anomalies,
+        "ewma_smooth": q_ewma_smooth,
         "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
         "zipf_fit": q_zipf_fit,
@@ -11568,6 +11621,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_interpolate": _ohlc_interpolate_oracle(),
         "region_ohlc": _region_ohlc_oracle(),
         "rollup_anomalies": _rollup_anomalies_oracle(),
+        "ewma_smooth": _ewma_oracle(),
         "session_quantiles": _session_quantiles_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 Z_SCALE = 1_000  # milli-units carried by the z-score
 
-__all__ = ["rollup_anomalies"]
+__all__ = ["rollup_anomalies", "ewma_smooth"]
 
 
 def rollup_anomalies(
@@ -72,4 +72,63 @@ def rollup_anomalies(
         F.when(z_ok, F.abs(z) > F.lit(float(threshold)))
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
+    )
+
+
+def ewma_smooth(
+    rolled: DataFrame,
+    *,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    val_col: str = "sum_micro",
+    window: int = 8,
+    k: int = 1,
+) -> DataFrame:
+    """(key, bucket, <val>, n_used, ewma_micro) — truncated dyadic EWMA
+    over the trailing ``window`` observations (row-based, current row
+    included): α = 1/2^k via INTEGER weights w_j = (2^k−1)^j·2^(k·(W−1−j))
+    for lag j, renormalized over the lags that exist — so the smoother is
+    exact integer arithmetic up to ONE closing rounded division, the
+    engine's standard micro-quantization contract (no float-pow drift,
+    no recursive state).
+
+    The geometric kernel truncates at W steps (weight ratio beyond W is
+    ≤ (1−α)^W — pick W so that's below the micro quantum); truncation is
+    what makes the operator a BOUNDED window over the rollup rather than
+    an order-dependent running fold, so it parallelizes per key exactly
+    like ``rollup_anomalies`` and replays in any engine with LAG.
+    Row-based frames make warm-up explicit (``n_used``); run it over
+    ``gap_fill`` output when the time axis must be regular.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k * (window - 1) > 40:
+        raise ValueError(
+            f"k*(window-1) = {k * (window - 1)} > 40: integer weights "
+            "would overflow the bigint headroom — lower window or k"
+        )
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    base, decay = 2 ** k, 2 ** k - 1
+    x = F.col(val_col).cast("long")
+
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    n_used = F.lit(0)
+    for j in range(window):
+        wj = decay ** j * base ** (window - 1 - j)
+        lx = F.lag(x, j).over(w) if j else x
+        num = num + F.coalesce(lx * F.lit(wj), F.lit(0))
+        den = den + F.when(lx.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+        n_used = n_used + F.when(lx.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+
+    return rolled.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(val_col),
+        n_used.cast("int").alias("n_used"),
+        F.round(num.cast("double") / den.cast("double"), 0)
+        .cast("long")
+        .alias("ewma_micro"),
     )
