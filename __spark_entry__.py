@@ -6477,8 +6477,9 @@ def q_dissolve_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dissolve_oracle() -> str:
-    """Replay: the landuse class is a closed-form function of way_id
+def _dissolve_surface_cte() -> str:
+    """Shared CTE chain (poly0 → … → surf): the per-class dissolved tile
+    surface. The landuse class is a closed-form function of way_id
     (fixture k % 3 over k = (way_id−1000) % 8), vertices transform with
     the ln-spelled Mercator, the even-odd cast mirrors the PIP oracle's
     division-guarded crossing test against exact (x+0.5, y+0.5)."""
@@ -6491,8 +6492,7 @@ def _dissolve_oracle() -> str:
         f" * tan(radians(LEAST(GREATEST(v, -{m}), {m}))) + 1.0))"
         f" / pi()) / 2.0 * {float(n)!r}"
     )
-    return f"""
-        WITH poly0(way_id, vlat, vlon) AS (VALUES
+    return f"""poly0(way_id, vlat, vlon) AS (VALUES
                 {_polygons_values_sql()}),
         pc AS (
             SELECT CAST(way_id AS BIGINT) AS way_id,
@@ -6533,7 +6533,13 @@ def _dissolve_oracle() -> str:
             FROM t2 t JOIN e ON e.way_id = t.way_id
             GROUP BY t.cls, t.x, t.y, t.way_id
         ),
-        surf AS (SELECT DISTINCT cls, x, y FROM cr WHERE c % 2 = 1),
+        surf AS (SELECT DISTINCT cls, x, y FROM cr WHERE c % 2 = 1)
+    """
+
+
+def _dissolve_oracle() -> str:
+    return f"""
+        WITH {_dissolve_surface_cte()},
         nb AS (
             SELECT s.cls, s.x, s.y,
                    SUM(CASE WHEN p.x IS NOT NULL THEN 1 ELSE 0 END) AS n_in
@@ -6544,6 +6550,46 @@ def _dissolve_oracle() -> str:
             GROUP BY s.cls, s.x, s.y
         )
         SELECT cls, x, y, (n_in < 4) AS boundary FROM nb
+    """
+
+
+_BUF_R = 2
+
+
+def q_buffer_landuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS buffer as morphological dilation (geo/dissolve.py
+    buffer_raster): per-class dissolved surface dilated by an integer
+    Euclidean tile disk, core vs ring flagged — vs a DuckDB replay of
+    the burn + disk scatter + core join."""
+    _prep(spark)
+    from osm_spark.geo.dissolve import buffer_raster
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    return buffer_raster(
+        synth_polygons(spark), _DIS_Z, _BUF_R, F.col("tags")["landuse"]
+    )
+
+
+def _buffer_oracle() -> str:
+    z, r = _DIS_Z, _BUF_R
+    nmax = (1 << z) - 1
+    disk = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if dx * dx + dy * dy <= r * r
+    )
+    return f"""
+        WITH {_dissolve_surface_cte()},
+        dil AS (
+            SELECT DISTINCT s.cls, s.x + o.dx AS x, s.y + o.dy AS y
+            FROM surf s CROSS JOIN (VALUES {disk}) AS o(dx, dy)
+            WHERE s.x + o.dx BETWEEN 0 AND {nmax}
+              AND s.y + o.dy BETWEEN 0 AND {nmax}
+        )
+        SELECT d.cls, d.x, d.y, (c.x IS NOT NULL) AS in_core
+        FROM dil d LEFT JOIN surf c
+          ON c.cls = d.cls AND c.x = d.x AND c.y = d.y
     """
 
 
@@ -10313,6 +10359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_regions": q_voronoi_regions,
         "trend_surface": q_trend_surface,
         "dissolve_landuse": q_dissolve_landuse,
+        "buffer_landuse": q_buffer_landuse,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10510,6 +10557,7 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_regions": _voronoi_oracle(),
         "trend_surface": _trend_oracle(),
         "dissolve_landuse": _dissolve_oracle(),
+        "buffer_landuse": _buffer_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),

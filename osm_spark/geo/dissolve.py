@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.geo.tiles import MAX_MERCATOR_LAT
 
-__all__ = ["dissolve_raster", "burn_tiles"]
+__all__ = ["dissolve_raster", "burn_tiles", "buffer_raster"]
 
 
 def _fy(la: Column, n: float) -> Column:
@@ -158,3 +158,66 @@ def dissolve_raster(
         .agg(F.sum(F.when(F.col("cls2").isNotNull(), 1).otherwise(0)).alias("n_in"))
     )
     return nbr.select("cls", "x", "y", (F.col("n_in") < 4).alias("boundary"))
+
+
+def buffer_raster(
+    polygons: DataFrame,
+    z: int,
+    radius_tiles: int,
+    class_col: Column | str = "landuse",
+) -> DataFrame:
+    """(cls, x, y, in_core) — the GIS buffer: per-class dissolved surface
+    dilated by a Euclidean tile disk of ``radius_tiles`` (center-to-center
+    dx²+dy² ≤ r², integer arithmetic).  ``in_core`` marks cells of the
+    original surface; false rows are the buffer ring ("within r tiles of
+    any <class> area").
+
+    Morphological dilation over the sparse raster: scatter each surface
+    cell over its (2r+1)²-bounded disk footprint (closed-form offsets, no
+    UDF), ONE distinct on (class, x, y) — the same two-shuffle shape as
+    the dissolve's boundary pass, with work |surface| × |disk| and the
+    address-space clamp applied at the edges.  Erosion is the boundary
+    complement (``dissolve_raster``'s boundary=false cells); opening and
+    closing compose the two.
+    """
+    if radius_tiles < 1:
+        raise ValueError(f"radius_tiles must be >= 1, got {radius_tiles}")
+    cls = F.col(class_col) if isinstance(class_col, str) else class_col
+    surface = burn_tiles(polygons.withColumn("cls", cls), z, ["cls"]).distinct()
+    nmax = (1 << z) - 1
+
+    r2 = radius_tiles * radius_tiles
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius_tiles, radius_tiles + 1)
+            for dy in range(-radius_tiles, radius_tiles + 1)
+            if dx * dx + dy * dy <= r2
+        ]
+    )
+    dilated = (
+        surface.select("cls", "x", "y", F.explode(offs).alias("o"))
+        .select(
+            "cls",
+            (F.col("x") + F.col("o.dx")).alias("x"),
+            (F.col("y") + F.col("o.dy")).alias("y"),
+        )
+        .where(
+            (F.col("x") >= 0) & (F.col("x") <= nmax)
+            & (F.col("y") >= 0) & (F.col("y") <= nmax)
+        )
+        .distinct()
+    )
+    core = surface.select(
+        F.col("cls").alias("c2"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.lit(True).alias("in_core"),
+    )
+    return (
+        dilated.join(
+            core.hint("shuffle_hash"),
+            (F.col("cls") == F.col("c2"))
+            & (F.col("x") == F.col("x2")) & (F.col("y") == F.col("y2")),
+            "left",
+        )
+        .select("cls", "x", "y", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+    )

@@ -119,3 +119,41 @@ def test_dissolve_merges_overlap_once(spark, pdf, polys):
         pdf, Z, __import__("pyspark.sql.functions", fromlist=["col"]).col("tags")["landuse"]
     ).count()
     assert merged < per_way  # the park overlap collapsed
+
+
+def test_buffer_matches_replay(spark, pdf, polys):
+    from osm_spark.geo.dissolve import buffer_raster
+
+    import pyspark.sql.functions as F
+
+    R = 2
+    got = {
+        (r.cls, r.x, r.y): r.in_core
+        for r in buffer_raster(pdf, Z, R, F.col("tags")["landuse"]).collect()
+    }
+    # replay: dilate the replay surface with the integer disk
+    surf = {}
+    for cls, vlat, vlon in polys:
+        surf.setdefault(cls, set()).update(_burn(vlat, vlon))
+    want = {}
+    nmax = (1 << Z) - 1
+    for cls, cells in surf.items():
+        dil = set()
+        for x, y in cells:
+            for dx in range(-R, R + 1):
+                for dy in range(-R, R + 1):
+                    if dx * dx + dy * dy <= R * R and 0 <= x + dx <= nmax and 0 <= y + dy <= nmax:
+                        dil.add((x + dx, y + dy))
+        for x, y in dil:
+            want[(cls, x, y)] = (x, y) in cells
+    assert got == want
+    assert any(v for v in got.values()) and any(not v for v in got.values())
+
+
+def test_buffer_validation(spark, pdf):
+    from osm_spark.geo.dissolve import buffer_raster
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        buffer_raster(pdf, Z, 0)
