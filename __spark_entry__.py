@@ -7921,6 +7921,74 @@ def _rollup_anomalies_oracle() -> str:
     """
 
 
+_HLL_P = 8
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (functions/hll.py): md5 registers, string-arithmetic ρ, integer
+    harmonic mass Σ2^(53−ρ), one closing float with the linear-counting
+    branch — vs a DuckDB register-by-register replay."""
+    from osm_spark.functions.hll import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", p=_HLL_P
+    )
+
+
+def _hll_oracle() -> str:
+    p = _HLL_P
+    m = 1 << p
+    nib = p // 4
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two53 = 1 << 53
+    return f"""
+        WITH h AS (
+            SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r0 AS (
+            SELECT event_type,
+                   CAST(CAST('0x' || substr(d, 1, {nib}) AS BIGINT) AS INT) AS reg,
+                   regexp_replace(substr(d, {nib + 1}, 13), '^0+', '') AS s
+            FROM h
+        ),
+        rr AS (
+            SELECT event_type, reg,
+                   CASE WHEN len(s) = 0 THEN 53
+                        ELSE (13 - len(s)) * 4
+                           + (CASE WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 8 THEN 0
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 4 THEN 1
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 2 THEN 2
+                                   ELSE 3 END) + 1
+                   END AS rho
+            FROM r0
+        ),
+        regs AS (SELECT event_type, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS INT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS s_present
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, m_used,
+                   CAST({m} - m_used AS INT) AS v_zero,
+                   {float(alpha * m * m * two53)!r}
+                   / CAST(s_present
+                          + CAST({m} - m_used AS BIGINT) * CAST({two53} AS BIGINT)
+                          AS DOUBLE) AS e_raw
+            FROM agg
+        )
+        SELECT event_type, m_used, v_zero,
+               CAST(round(
+                   (CASE WHEN v_zero > 0 AND e_raw <= {2.5 * m!r}
+                         THEN {float(m)!r} * ln({float(m)!r} / CAST(v_zero AS DOUBLE))
+                         ELSE e_raw END) * 1000.0, 0) AS BIGINT) AS est_milli
+        FROM est
+    """
+
+
 _EWMA_W, _EWMA_K = 8, 1
 
 
@@ -10344,6 +10412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_refresh": q_ohlc_refresh,
         "rollup_anomalies": q_rollup_anomalies,
         "ewma_smooth": q_ewma_smooth,
+        "hll_users": q_hll_users,
         "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
         "zipf_fit": q_zipf_fit,
@@ -11670,6 +11739,7 @@ def oracle_sql() -> dict[str, str]:
         "region_ohlc": _region_ohlc_oracle(),
         "rollup_anomalies": _rollup_anomalies_oracle(),
         "ewma_smooth": _ewma_oracle(),
+        "hll_users": _hll_oracle(),
         "session_quantiles": _session_quantiles_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),
