@@ -7989,6 +7989,24 @@ def _hll_oracle() -> str:
     """
 
 
+def q_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL refresh (functions/hll.py hll_registers/merge/
+    estimate): events split 3 ways by event_id mod, each register state
+    built independently, merged by register-wise max WITHOUT rescanning
+    history, estimated.  The oracle is the FULL recompute — merge ≡
+    full holds exactly because max is idempotent/commutative/associative
+    (the ohlc_refresh algebraic-state discipline applied to sketches)."""
+    from osm_spark.functions.hll import hll_estimate, hll_merge, hll_registers
+
+    e = _t(spark, sf_dir, "events")
+    parts = [e.where(F.col("event_id") % 3 == r) for r in range(3)]
+    merged = hll_merge(
+        ["event_type"],
+        *[hll_registers(p_, ["event_type"], "user_id", p=_HLL_P) for p_ in parts],
+    )
+    return hll_estimate(merged, ["event_type"], p=_HLL_P)
+
+
 _EWMA_W, _EWMA_K = 8, 1
 
 
@@ -10413,6 +10431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomalies": q_rollup_anomalies,
         "ewma_smooth": q_ewma_smooth,
         "hll_users": q_hll_users,
+        "hll_refresh": q_hll_refresh,
         "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
         "zipf_fit": q_zipf_fit,
@@ -11740,6 +11759,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_anomalies": _rollup_anomalies_oracle(),
         "ewma_smooth": _ewma_oracle(),
         "hll_users": _hll_oracle(),
+        "hll_refresh": _hll_oracle(),
         "session_quantiles": _session_quantiles_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),

@@ -16,6 +16,13 @@ ONE closing float expression (bias-corrected raw form + the standard
 linear-counting small-range branch) — the engine's micro-quantization
 contract, hash-gateable.
 
+The sketch is ALGEBRAIC (the rollup_state/merge_rollup_states
+discipline): a register table is the mergeable state, ``hll_merge`` is
+register-wise max, and merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
+EXACTLY — max is idempotent/commutative/associative — so incremental
+refresh over landing batches never rescans history and the equivalence
+is value-hash gateable, not approximately true.
+
 Scale design: two map-side-combined shuffles — (key, register) max-ρ,
 then key-level sums of ≤ 2^p rows per key.  State per key is CONSTANT
 (2^p registers), the whole point of the sketch: distinct-user counts
@@ -27,56 +34,71 @@ deterministic sketch.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "HLL_RHO_MAX"]
+__all__ = ["hll_distinct", "hll_registers", "hll_estimate", "hll_merge", "HLL_RHO_MAX"]
 
 HLL_RHO_MAX = 53  # 52 tail bits all zero → rho = 53
 
 
-def hll_distinct(
+def _check_p(p: int) -> None:
+    if p % 4 != 0 or not 4 <= p <= 12:
+        raise ValueError(f"p must be 4, 8 or 12 (nibble-aligned), got {p}")
+
+
+def hll_registers(
     df: DataFrame,
     keys: list[str],
     value_col: str,
     p: int = 8,
 ) -> DataFrame:
-    """(keys…, m_used, v_zero, est_milli) — deterministic HLL distinct
-    estimate of ``value_col`` per key group; ``est_milli`` =
-    round(1000·E)."""
-    if p % 4 != 0 or not 4 <= p <= 12:
-        raise ValueError(f"p must be 4, 8 or 12 (nibble-aligned), got {p}")
-    m = 1 << p
+    """(keys…, reg, rho) — the mergeable sketch state: per (key,
+    register) max rank.  ≤ 2^p rows per key."""
+    _check_p(p)
     nib = p // 4
-    alpha = 0.7213 / (1.0 + 1.079 / m)
 
     h = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(h, 1, nib), 16, 10).cast("int")
     tail = F.substring(h, nib + 1, 13)
     stripped = F.regexp_replace(tail, "^0+", "")
     d = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
-    nzl = (
-        F.when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
-    )
+    nzl = F.when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
     rho = F.when(F.length(stripped) == 0, F.lit(HLL_RHO_MAX)).otherwise(
         (F.lit(13) - F.length(stripped)) * 4 + nzl + 1
     )
 
-    regs = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*keys, reg.alias("reg"))
         .agg(F.max(rho).alias("rho"))
     )
+
+
+def hll_merge(keys: list[str], *states: DataFrame) -> DataFrame:
+    """Union register states and re-max — sketch(A) ⊔ sketch(B) ≡
+    sketch(A ∪ B) exactly (max is idempotent/commutative/associative)."""
+    if not states:
+        raise ValueError("hll_merge needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, keys: list[str], p: int = 8) -> DataFrame:
+    """(keys…, m_used, v_zero, est_milli) from a register state."""
+    _check_p(p)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two53 = 1 << HLL_RHO_MAX
+
     per_key = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("int").alias("m_used"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - rho)"))
         .cast("long")
         .alias("s_present"),
     )
-
-    two53 = 1 << HLL_RHO_MAX
     v_zero = (F.lit(m) - F.col("m_used")).cast("int")
     s_total = F.col("s_present") + v_zero.cast("long") * F.lit(two53).cast("long")
     e_raw = F.lit(float(alpha * m * m * two53)) / s_total.cast("double")
@@ -90,3 +112,15 @@ def hll_distinct(
         v_zero.alias("v_zero"),
         F.round(e * 1000.0, 0).cast("bigint").alias("est_milli"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """(keys…, m_used, v_zero, est_milli) — deterministic HLL distinct
+    estimate of ``value_col`` per key group; ``est_milli`` =
+    round(1000·E)."""
+    return hll_estimate(hll_registers(df, keys, value_col, p), keys, p)

@@ -81,3 +81,28 @@ def test_hll_small_range_is_linear_counting(spark):
 def test_hll_validation(spark, df):
     with pytest.raises(ValueError):
         hll_distinct(df, ["grp"], "uid", p=7)
+
+
+def test_hll_merge_equals_full_sketch(spark, df):
+    from osm_spark.functions.hll import hll_estimate, hll_merge, hll_registers
+    from pyspark.sql import functions as F
+
+    parts = [df.where(F.col("uid") % 3 == r) for r in range(3)]
+    merged = hll_merge(
+        ["grp"], *[hll_registers(p_, ["grp"], "uid", p=P) for p_ in parts]
+    )
+    got = {r.grp: (r.m_used, r.v_zero, r.est_milli)
+           for r in hll_estimate(merged, ["grp"], p=P).collect()}
+    want = {r.grp: (r.m_used, r.v_zero, r.est_milli)
+            for r in hll_distinct(df, ["grp"], "uid", p=P).collect()}
+    assert got == want
+
+
+def test_hll_merge_idempotent(spark, df):
+    from osm_spark.functions.hll import hll_estimate, hll_merge, hll_registers
+
+    s = hll_registers(df, ["grp"], "uid", p=P)
+    twice = hll_merge(["grp"], s, s)
+    got = {r.grp: r.est_milli for r in hll_estimate(twice, ["grp"], p=P).collect()}
+    want = {r.grp: r.est_milli for r in hll_estimate(s, ["grp"], p=P).collect()}
+    assert got == want
