@@ -8629,6 +8629,87 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 1 << 16, 3
+
+
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination pre-screen (text/bloom.py): the same
+    benchmark fixture as ``decontaminate`` compressed to a 64-Kbit
+    bitmap (k=3 md5-slice hashes), corpus grams probed against the
+    broadcast word table — perfect recall, false positives by design,
+    both replayed bit-for-bit in DuckDB."""
+    from osm_spark.text.bloom import bloom_build, bloom_probe_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 41 == 0).select(
+        F.substring("text", 1, 240).alias("text")
+    )
+    bloom = bloom_build(bench, _BLOOM_M, _BLOOM_K, n=5)
+    return bloom_probe_docs(d, bloom, _BLOOM_M, _BLOOM_K, n=5)
+
+
+def _bloom_oracle() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    slices = ", ".join(f"({i})" for i in range(k))
+    return f"""
+        WITH bench AS (
+            SELECT substr(text, 1, 240) AS btext
+            FROM documents WHERE doc_id % 41 = 0
+        ), bw AS (
+            SELECT string_split(lower(btext), ' ') AS ws FROM bench
+        ), bg AS (
+            SELECT DISTINCT g
+            FROM bw, unnest(list_distinct(list_transform(
+                     range(1, len(ws) - 3),
+                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                    ws[i+3], ws[i+4])))) AS t(g)
+            WHERE len(ws) >= 5
+        ), pos AS (
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5(g), 1 + 8 * s.i, 8) AS BIGINT) % {m} AS p
+            FROM bg, (VALUES {slices}) AS s(i)
+        ), bits AS (
+            SELECT CAST(p // 32 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+            FROM pos GROUP BY 1
+        ), dw AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ), dg AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                        ELSE list_distinct(list_transform(
+                            range(1, len(ws) - 3),
+                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                           ws[i+3], ws[i+4])))
+                   END AS grams
+            FROM dw
+        ), probe AS (
+            SELECT e.doc_id, e.g,
+                   CAST('0x' || substr(md5(e.g), 1 + 8 * s.i, 8) AS BIGINT) % {m} AS p
+            FROM (SELECT doc_id, unnest(grams) AS g FROM dg) e,
+                 (VALUES {slices}) AS s(i)
+        ), hit AS (
+            SELECT doc_id, g,
+                   CASE WHEN SUM(CASE WHEN (coalesce(b.bits, 0)
+                                 & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0
+                                 THEN 1 ELSE 0 END) = {k}
+                        THEN 1 ELSE 0 END AS cand
+            FROM probe LEFT JOIN bits b ON b.word_idx = CAST(p // 32 AS INT)
+            GROUP BY doc_id, g
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                   CAST(sum(cand) AS INT) AS n_candidates
+            FROM hit GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_candidates, 0) AS n_candidates,
+               COALESCE(p.n_candidates, 0) > 0 AS flagged
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+
+
 def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL canonicalization (osm_spark/functions/urls.py):
     lowercase scheme/host, strip default ports / fragments / tracking
@@ -10550,6 +10631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "decontaminate": q_decontaminate,
+        "bloom_screen": q_bloom_screen,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
@@ -11573,6 +11655,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS repetition_ratio
             FROM g
         """,
+        "bloom_screen": _bloom_oracle(),
         "decontaminate": """
             WITH bench AS (
                 SELECT substr(text, 1, 240) AS btext
