@@ -6553,6 +6553,38 @@ def _dissolve_oracle() -> str:
     """
 
 
+def q_landuse_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-pair surface-overlap matrix (geo/dissolve.py class_overlap):
+    tile-keyed self equi-join of the dissolved surfaces + exact integer
+    counts, Jaccard as one rounded division — vs a DuckDB replay over
+    the shared dissolve-surface CTE."""
+    _prep(spark)
+    from osm_spark.geo.dissolve import class_overlap
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    return class_overlap(synth_polygons(spark), _DIS_Z, F.col("tags")["landuse"])
+
+
+def _landuse_overlap_oracle() -> str:
+    return f"""
+        WITH {_dissolve_surface_cte()},
+        tot AS (SELECT cls, count(*) AS n FROM surf GROUP BY cls),
+        sh AS (
+            SELECT a.cls AS cls_a, b.cls AS cls_b, count(*) AS n_shared
+            FROM surf a JOIN surf b
+              ON a.x = b.x AND a.y = b.y AND a.cls < b.cls
+            GROUP BY 1, 2
+        )
+        SELECT cls_a, cls_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+               CAST(round(CAST(n_shared AS DOUBLE)
+                          / CAST(ta.n + tb.n - n_shared AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS jaccard_micro
+        FROM sh
+        JOIN tot ta ON ta.cls = sh.cls_a
+        JOIN tot tb ON tb.cls = sh.cls_b
+    """
+
+
 _BUF_R = 2
 
 
@@ -10529,6 +10561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_surface": q_trend_surface,
         "dissolve_landuse": q_dissolve_landuse,
         "buffer_landuse": q_buffer_landuse,
+        "landuse_overlap": q_landuse_overlap,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
@@ -10728,6 +10761,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_surface": _trend_oracle(),
         "dissolve_landuse": _dissolve_oracle(),
         "buffer_landuse": _buffer_oracle(),
+        "landuse_overlap": _landuse_overlap_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),

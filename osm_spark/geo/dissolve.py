@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from osm_spark.geo.tiles import MAX_MERCATOR_LAT
 
-__all__ = ["dissolve_raster", "burn_tiles", "buffer_raster"]
+__all__ = ["dissolve_raster", "burn_tiles", "buffer_raster", "class_overlap"]
 
 
 def _fy(la: Column, n: float) -> Column:
@@ -220,4 +220,48 @@ def buffer_raster(
             "left",
         )
         .select("cls", "x", "y", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+    )
+
+
+def class_overlap(
+    polygons: DataFrame, z: int, class_col: Column | str = "landuse"
+) -> DataFrame:
+    """(cls_a, cls_b, n_a, n_b, n_shared, jaccard_micro) — the pairwise
+    surface-overlap matrix between dissolve classes (cls_a < cls_b):
+    how much of the residential raster is also commercial, etc. — the
+    class-level companion of `geo/overlay.py`'s polygon-pair overlay.
+
+    Shape: the per-class surface (one distinct), a self equi-join ON THE
+    TILE KEY ONLY (work = Σ per-tile class-count², bounded by the class
+    cardinality, not the raster), and per-class totals re-attached by a
+    broadcast of the class-count dim.  Jaccard closes as one rounded
+    division over exact integer counts.
+    """
+    cls = F.col(class_col) if isinstance(class_col, str) else class_col
+    surface = burn_tiles(polygons.withColumn("cls", cls), z, ["cls"]).distinct()
+
+    totals = surface.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+    a = surface.select(F.col("cls").alias("cls_a"), "x", "y")
+    b = surface.select(F.col("cls").alias("cls_b"), "x", "y")
+    shared = (
+        a.join(b.hint("shuffle_hash"), ["x", "y"])
+        .where(F.col("cls_a") < F.col("cls_b"))
+        .groupBy("cls_a", "cls_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("cls").alias("cls_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("cls").alias("cls_b"), F.col("n").alias("n_b"))
+    j = (
+        shared.join(F.broadcast(ta), "cls_a").join(F.broadcast(tb), "cls_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return j.select(
+        "cls_a",
+        "cls_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / union.cast("double") * 1e6, 0)
+        .cast("long")
+        .alias("jaccard_micro"),
     )

@@ -74,7 +74,11 @@ def polys():
     b = _rect(10.7, 12.1, 20.7, 22.1)
     c = _rect(-5.0, -4.3, 50.0, 50.7)
     d = _rect(10.0, 10.1, 30.0, 32.0)
-    return [("park", *a), ("park", *b), ("park", *c), ("commercial", *d)]
+    e = _rect(10.3, 11.0, 20.3, 21.0)  # industrial inside park a: overlap
+    return [
+        ("park", *a), ("park", *b), ("park", *c),
+        ("commercial", *d), ("industrial", *e),
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +161,28 @@ def test_buffer_validation(spark, pdf):
 
     with _pytest.raises(ValueError):
         buffer_raster(pdf, Z, 0)
+
+
+def test_class_overlap_matches_replay(spark, pdf, polys):
+    import pyspark.sql.functions as F
+
+    from osm_spark.geo.dissolve import class_overlap
+
+    got = {
+        (r.cls_a, r.cls_b): (r.n_a, r.n_b, r.n_shared, r.jaccard_micro)
+        for r in class_overlap(pdf, Z, F.col("tags")["landuse"]).collect()
+    }
+    surf = {}
+    for cls, vlat, vlon in polys:
+        surf.setdefault(cls, set()).update(_burn(vlat, vlon))
+    want = {}
+    names = sorted(surf)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sh = len(surf[a] & surf[b])
+            if sh:
+                j = sh / (len(surf[a]) + len(surf[b]) - sh) * 1e6
+                want[(a, b)] = (len(surf[a]), len(surf[b]),
+                                sh, int(math.floor(j + 0.5)))
+    assert got == want
+    assert ("industrial", "park") in got  # a real overlap exists
