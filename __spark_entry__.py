@@ -7242,6 +7242,77 @@ def _idw_oracle() -> str:
     """
 
 
+def q_idw_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out cross-validation of the IDW field (geo/idw.py
+    idw_loocv): nodes predict themselves from their neighbours through
+    one self radius-join, err = est − 10⁶·v — vs the brute-force DWithin
+    replay with the self-pair excluded."""
+    _prep(spark)
+    from osm_spark.geo.idw import idw_loocv
+    from osm_spark.pipeline.geometry import synth_nodes
+
+    nodes = synth_nodes(spark).withColumn("val", F.col("id") % 97)
+    return idw_loocv(nodes, _IDW_RADIUS_M, strategy="shuffle")
+
+
+def _idw_loocv_oracle() -> str:
+    """The idw oracle's weight chain with nodes on both sides and the
+    self-pair dropped; the exact d=0 branch still fires for coincident
+    twins (none in the fixture, but the branch is replayed anyway)."""
+    from osm_spark.geo.idw import MIN_D_MM, idw_scale
+
+    scale_lit = repr(float(idw_scale(_IDW_RADIUS_M)))
+    hav = ("2.0 * 6371000.0 * asin(sqrt("
+           " pow(sin(radians(n.nlat - p.nlat) / 2.0), 2)"
+           " + cos(radians(p.nlat)) * cos(radians(n.nlat))"
+           " * pow(sin(radians(n.nlon - p.nlon) / 2.0), 2)))")
+    return f"""
+        WITH nodes0(node_id, nlat, nlon) AS (VALUES
+                {_nodes_values_sql()}),
+        nodes AS (
+            SELECT CAST(node_id AS BIGINT) AS node_id,
+                   CAST(nlat AS DOUBLE) AS nlat,
+                   CAST(nlon AS DOUBLE) AS nlon,
+                   CAST(node_id AS BIGINT) % 97 AS v
+            FROM nodes0
+        ),
+        cand AS (
+            SELECT p.node_id AS qid, p.v AS qv, n.v,
+                   CAST(round({hav} * 1000.0) AS BIGINT) AS d_mm
+            FROM nodes p CROSS JOIN nodes n
+            WHERE p.node_id <> n.node_id AND {hav} <= {_IDW_RADIUS_M!r}
+        ),
+        terms AS (
+            SELECT qid, qv, v, d_mm,
+                   CASE WHEN d_mm = 0 THEN NULL
+                        ELSE CAST(floor({scale_lit}
+                             / CAST(GREATEST(d_mm, {MIN_D_MM})
+                                    * GREATEST(d_mm, {MIN_D_MM}) AS DOUBLE))
+                             AS BIGINT)
+                   END AS w
+            FROM cand
+        ),
+        agg AS (
+            SELECT qid, MIN(qv) AS qv,
+                   count(*) AS n_nbrs,
+                   CAST(sum(w * v) AS BIGINT) AS num,
+                   CAST(sum(w) AS BIGINT) AS den,
+                   MIN(CASE WHEN d_mm = 0 THEN v END) AS exact_v
+            FROM terms GROUP BY qid
+        )
+        SELECT qid AS node_id, n_nbrs,
+               CASE WHEN exact_v IS NOT NULL THEN exact_v * 1000000
+                    ELSE CAST(round(1e6 * CAST(num AS DOUBLE)
+                                    / CAST(den AS DOUBLE), 0) AS BIGINT)
+               END AS est_micro,
+               CASE WHEN exact_v IS NOT NULL THEN exact_v * 1000000
+                    ELSE CAST(round(1e6 * CAST(num AS DOUBLE)
+                                    / CAST(den AS DOUBLE), 0) AS BIGINT)
+               END - qv * 1000000 AS err_micro
+        FROM agg
+    """
+
+
 def q_idw_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 family: IDW spatial interpolation (geo/idw.py) — radius
     candidates, integer-quantized Shepard weights (order-independent
@@ -10712,6 +10783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_lines_stream": q_c4_lines_stream,
         "focal_smooth": q_focal_smooth,
         "idw_field": q_idw_field,
+        "idw_loocv": q_idw_loocv,
         "trip_stats": q_trip_stats,
         "od_matrix": q_od_matrix,
         "cohort_retention": q_cohort_retention,
@@ -10771,6 +10843,7 @@ def oracle_sql() -> dict[str, str]:
         "gearys_c": _gearys_oracle(),
         "focal_smooth": _focal_oracle(),
         "idw_field": _idw_oracle(),
+        "idw_loocv": _idw_loocv_oracle(),
         "sssp_waygraph": _sssp_oracle(),
         "reachability": _sssp_oracle(
             f"""SELECT dist // {_REACH_BAND_MM} AS band,

@@ -69,6 +69,17 @@ def idw_interpolate(
     pairs = radius_join(
         points, nodes, radius_m, strategy=strategy, n_nodes=n_nodes
     )
+    return idw_estimate_from_pairs(pairs, nodes, radius_m, value)
+
+
+def idw_estimate_from_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    radius_m: float,
+    value: str = "val",
+) -> DataFrame:
+    """The weight/estimate chain given (url, node_id, dist_m) candidate
+    pairs — factored so LOOCV can drop self-pairs before estimating."""
     vals = nodes.select(F.col("id").alias("node_id"), F.col(value).alias("v"))
     cand = pairs.join(vals.hint("shuffle_hash"), "node_id")
 
@@ -102,3 +113,39 @@ def idw_interpolate(
         ).cast("long")
     )
     return agg.select("url", "n_nbrs", est.alias("est_micro"))
+
+
+def idw_loocv(
+    nodes: DataFrame,
+    radius_m: float,
+    value: str = "val",
+    strategy: str = "auto",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """(node_id, n_nbrs, est_micro, err_micro) — leave-one-out
+    cross-validation of the IDW field: every node is predicted from its
+    OTHER in-radius neighbours and scored against its own value
+    (err = est − 10⁶·v) — the standard interpolation-quality audit
+    (pick the radius/power whose LOOCV error is lowest) run as ONE
+    self radius-join, not n refits.
+
+    Same scale shape as the interpolation (the nodes table plays both
+    sides of ``radius_join``); the self-pair is dropped by id equality,
+    so coincident twin nodes still predict each other through the exact
+    d=0 branch — the correct LOOCV limit.  Nodes with no neighbour emit
+    no row (no prediction exists).
+    """
+    pts = nodes.select(F.col("id").alias("url"), "lat", "lon")
+    pairs = radius_join(
+        pts, nodes, radius_m, strategy=strategy, n_nodes=n_nodes
+    ).where(F.col("url") != F.col("node_id"))
+    est = idw_estimate_from_pairs(pairs, nodes, radius_m, value)
+    truth = nodes.select(
+        F.col("id").alias("url"), (F.col(value) * F.lit(1_000_000)).alias("tv")
+    )
+    return est.join(truth.hint("shuffle_hash"), "url").select(
+        F.col("url").alias("node_id"),
+        "n_nbrs",
+        "est_micro",
+        (F.col("est_micro") - F.col("tv")).cast("long").alias("err_micro"),
+    )

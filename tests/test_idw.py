@@ -105,3 +105,35 @@ def test_idw_min_weight_resolution():
         scale = idw_scale(radius_m)
         d_eff = max(int(round(radius_m * 1000.0)), MIN_D_MM)
         assert math.floor(scale / float(d_eff * d_eff)) >= W_RES - 1
+
+
+def test_idw_loocv_matches_brute_force(spark):
+    from osm_spark.geo.idw import idw_loocv
+
+    _, nodes, _, ndf = _fixture(spark)
+    radius = 1500.0
+    got = {r.node_id: (r.n_nbrs, r.est_micro, r.err_micro)
+           for r in idw_loocv(ndf, radius).collect()}
+    # replay: each node predicted from the OTHERS
+    want = {}
+    for nid, nlat, nlon, v in nodes:
+        others = [o for o in nodes if o[0] != nid]
+        res = _brute([(nid, nlat, nlon)], others, radius)
+        if nid in res:
+            n_nbrs, est = res[nid]
+            want[nid] = (n_nbrs, est, est - v * 1_000_000)
+    assert got == want
+    assert got  # predictions exist
+    assert any(e[2] != 0 for e in got.values())  # real errors measured
+
+
+def test_idw_loocv_twin_nodes_predict_exactly(spark):
+    from osm_spark.geo.idw import idw_loocv
+
+    ndf = spark.createDataFrame(
+        [(1, 51.5, -0.13, 42), (2, 51.5, -0.13, 42), (3, 51.51, -0.13, 7)],
+        "id long, lat double, lon double, val long",
+    )
+    rows = {r.node_id: r for r in idw_loocv(ndf, 5000.0).collect()}
+    # the coincident twins hit each other's d=0 branch -> err 0
+    assert rows[1].err_micro == 0 and rows[2].err_micro == 0
