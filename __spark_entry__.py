@@ -5070,6 +5070,62 @@ def _blocklist_oracle() -> str:
     """
 
 
+_TR_K, _TR_DIMS = 10, 16
+
+
+def q_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (vector/eval.py truncation_recall):
+    exact full-dim top-10 vs first-16-dims top-10, per-query overlap —
+    vs a DuckDB double replay of both rankings (rounded cosine,
+    (cos DESC, vec_id) tie-break) and their intersection."""
+    from osm_spark.vector.eval import truncation_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return truncation_recall(q, emb, k=_TR_K, dims_kept=_TR_DIMS)
+
+
+def _trunc_topk_sql(dims: int, name: str) -> str:
+    cos = (
+        f"round(list_sum(list_transform(range({dims}), "
+        f"i -> q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)) "
+        f"/ (sqrt(list_sum(list_transform(range({dims}), "
+        f"i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))) "
+        f"* sqrt(list_sum(list_transform(range({dims}), "
+        f"i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)))), 6)"
+    )
+    return f"""{name} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {cos} DESC, c.vec_id ASC) AS rn
+                FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+                CROSS JOIN embeddings c
+            ) WHERE rn <= {_TR_K}
+        )"""
+
+
+def _truncation_recall_oracle() -> str:
+    return f"""
+        WITH {_trunc_topk_sql(64, "full_k")},
+        {_trunc_topk_sql(_TR_DIMS, "trunc_k")},
+        hit AS (
+            SELECT f.query_id, CAST(count(*) AS INT) AS n_overlap
+            FROM full_k f JOIN trunc_k t
+              ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+            GROUP BY f.query_id
+        )
+        SELECT q.query_id,
+               COALESCE(h.n_overlap, 0) AS n_overlap,
+               CAST(round(COALESCE(h.n_overlap, 0)::DOUBLE / {_TR_K} * 1e6, 0)
+                    AS BIGINT) AS recall_micro
+        FROM (SELECT DISTINCT query_id FROM full_k) q
+        LEFT JOIN hit h ON h.query_id = q.query_id
+    """
+
+
 _SEM_K, _SEM_THRESHOLD = 8, 0.3
 
 
@@ -10797,6 +10853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "blocklist_filter": q_blocklist_filter,
+        "truncation_recall": q_truncation_recall,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -10909,6 +10966,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _quantize_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "blocklist_filter": _blocklist_oracle(),
+        "truncation_recall": _truncation_recall_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
