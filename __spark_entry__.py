@@ -5070,6 +5070,62 @@ def _blocklist_oracle() -> str:
     """
 
 
+_TRIM_NUM, _TRIM_DEN = 1, 10
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language document-length stats (text/quantiles.py
+    trimmed_stats): 10%-per-tail trimmed + winsorized means off the
+    cumulative histogram, integer tail arithmetic, two closing rounded
+    divisions — vs a DuckDB histogram-window replay."""
+    from osm_spark.text.quantiles import trimmed_stats
+
+    return trimmed_stats(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", _TRIM_NUM, _TRIM_DEN
+    )
+
+
+def _trimmed_stats_oracle() -> str:
+    return f"""
+        WITH hist AS (
+            SELECT lang AS grp, n_chars AS value, count(*) AS c
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT grp, value, c,
+                   CAST(sum(c) OVER (PARTITION BY grp ORDER BY value) AS BIGINT) AS cm,
+                   CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM hist
+        ),
+        k AS (
+            SELECT grp, value, c, cm, n,
+                   CAST(floor(n * {_TRIM_NUM} / {_TRIM_DEN}) AS BIGINT) AS t
+            FROM cum
+        ),
+        agg AS (
+            SELECT grp, MIN(n) AS n, MIN(t) AS n_trim,
+                   CAST(SUM(value * GREATEST(0,
+                       LEAST(cm, n - t) - GREATEST(cm - c + 1, t + 1) + 1))
+                       AS BIGINT) AS tsum,
+                   MIN(CASE WHEN cm >= t + 1 THEN value END) AS lo_cut,
+                   MIN(CASE WHEN cm >= n - t THEN value END) AS hi_cut
+            FROM k GROUP BY grp
+        )
+        SELECT grp AS lang, n, n_trim, lo_cut, hi_cut,
+               CASE WHEN n - 2 * n_trim > 0 THEN
+                   CAST(round(CAST(tsum AS DOUBLE)
+                              / CAST(n - 2 * n_trim AS DOUBLE) * 1e6, 0) AS BIGINT)
+               END AS trimmed_mean_micro,
+               CASE WHEN n - 2 * n_trim > 0 THEN
+                   CAST(round(CAST(tsum + n_trim * lo_cut + n_trim * hi_cut
+                                   AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT)
+               END AS winsor_mean_micro
+        FROM agg
+    """
+
+
 _TR_K, _TR_DIMS = 10, 16
 
 
@@ -10854,6 +10910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "blocklist_filter": q_blocklist_filter,
         "truncation_recall": q_truncation_recall,
+        "trimmed_stats": q_trimmed_stats,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -10967,6 +11024,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "blocklist_filter": _blocklist_oracle(),
         "truncation_recall": _truncation_recall_oracle(),
+        "trimmed_stats": _trimmed_stats_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
