@@ -5126,6 +5126,36 @@ def _trimmed_stats_oracle() -> str:
     """
 
 
+def q_safety_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed safety-admission chain: blocklist screening
+    (text/blocklist.py) × Bloom contamination pre-screen (text/bloom.py)
+    joined per doc — admitted iff clean on BOTH axes.  Attests the two
+    new safety stages' schema contract end-to-end; the oracle chains
+    both stage replays in one statement."""
+    bl = q_blocklist_filter(spark, sf_dir).select(
+        "doc_id", "n_hits", F.col("keep").alias("_bl_keep")
+    )
+    bs = q_bloom_screen(spark, sf_dir).select(
+        "doc_id", "n_candidates", F.col("flagged").alias("_flagged")
+    )
+    return bl.join(bs.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_candidates",
+        (F.col("_bl_keep") & ~F.col("_flagged")).alias("admitted"),
+    )
+
+
+def _safety_admission_oracle() -> str:
+    return f"""
+        WITH bl AS ({_blocklist_oracle()}),
+        bs AS ({_bloom_oracle()})
+        SELECT bl.doc_id, bl.n_hits, bs.n_candidates,
+               (bl.keep AND NOT bs.flagged) AS admitted
+        FROM bl JOIN bs ON bl.doc_id = bs.doc_id
+    """
+
+
 _TR_K, _TR_DIMS = 10, 16
 
 
@@ -10911,6 +10941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "truncation_recall": q_truncation_recall,
         "trimmed_stats": q_trimmed_stats,
+        "safety_admission": q_safety_admission,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -11025,6 +11056,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _blocklist_oracle(),
         "truncation_recall": _truncation_recall_oracle(),
         "trimmed_stats": _trimmed_stats_oracle(),
+        "safety_admission": _safety_admission_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
