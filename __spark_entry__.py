@@ -10907,6 +10907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orientation_entropy": q_orientation_entropy,
         "pq_ann": q_pq_ann,
         "zonal_counts": q_zonal_counts,
+        "zonal_centroid": q_zonal_centroid,
         "geofence_counts": q_geofence_counts,
         "reverse_geocode": q_reverse_geocode,
         "overlay_clusters": q_overlay_clusters,
@@ -12342,6 +12343,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _anchor_text_oracle(),
         "host_graph": _host_graph_oracle(),
         "zonal_counts": _zonal_counts_oracle(),
+        "zonal_centroid": _zonal_centroid_oracle(),
         "geofence_counts": _geofence_oracle(),
         # dHash stand-in = 72 evenly-spaced payload bytes (the payload
         # is the document text as UTF-8; the corpus is pure ASCII —
@@ -12590,6 +12592,60 @@ def q_zonal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "way_id",
         F.coalesce(F.col("n_points"), F.lit(0).cast("long")).alias("n_points"),
     )
+
+
+def q_zonal_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal centroid + member bbox (geo/zonal.py): salted PIP pairs →
+    e7-quantized integer position sums per region, two closing mean
+    divisions; zero-hit zones survive — vs the brute-force PIP replay
+    with identical quantized aggregation."""
+    _prep(spark)
+    from osm_spark.geo.hexgrid import hex_cell_expr
+    from osm_spark.geo.zonal import zonal_centroid
+    from osm_spark.pipeline.geometry import build_way_cells, synth_polygons
+    from osm_spark.pipeline.spatial_join import pip_join_salted, salt_plan
+
+    pts = _sql_points(spark, sf_dir).withColumn(
+        "h3_9", hex_cell_expr("lat", "lon", 9)
+    )
+    polygons = synth_polygons(spark)
+    pairs = pip_join_salted(
+        pts, polygons, build_way_cells(polygons), salt_plan(pts, target=20)
+    )
+    return zonal_centroid(pairs, pts, polygons)
+
+
+def _zonal_centroid_oracle() -> str:
+    return f"""
+        WITH pts AS ({_sql_points_oracle()}),
+        pos AS (
+            SELECT point_id,
+                   CAST(round(lat * 1e7, 0) AS BIGINT) AS lat_e7,
+                   CAST(round(lon * 1e7, 0) AS BIGINT) AS lon_e7
+            FROM pts
+        ),
+        hits AS ({_pip_pairs_oracle()}),
+        agg AS (
+            SELECT h.way_id, count(*) AS n_points,
+                   CAST(sum(p.lat_e7) AS BIGINT) AS sla,
+                   CAST(sum(p.lon_e7) AS BIGINT) AS slo,
+                   MIN(p.lat_e7) AS min_lat_e7, MAX(p.lat_e7) AS max_lat_e7,
+                   MIN(p.lon_e7) AS min_lon_e7, MAX(p.lon_e7) AS max_lon_e7
+            FROM hits h JOIN pos p ON p.point_id = h.point_id
+            GROUP BY h.way_id
+        )
+        SELECT w.way_id,
+               COALESCE(a.n_points, 0) AS n_points,
+               CAST(round(CAST(a.sla AS DOUBLE)
+                          / CAST(a.n_points AS DOUBLE), 0) AS BIGINT) AS clat_e7,
+               CAST(round(CAST(a.slo AS DOUBLE)
+                          / CAST(a.n_points AS DOUBLE), 0) AS BIGINT) AS clon_e7,
+               a.min_lat_e7, a.max_lat_e7, a.min_lon_e7, a.max_lon_e7
+        FROM (SELECT DISTINCT CAST(way_id AS BIGINT) AS way_id
+              FROM (VALUES {_polygons_values_sql()})
+              poly0(way_id, vlat, vlon)) w
+        LEFT JOIN agg a USING (way_id)
+    """
 
 
 def _zonal_counts_oracle() -> str:
