@@ -10259,6 +10259,59 @@ def q_c4_lines_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_blocklist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist screening: the documents table arrives as a
+    two-drop availableNow STREAM and each doc's verdict (text/blocklist.py
+    — a stateless codegen projection, so append-mode safe) is emitted on
+    ingest. Oracle = the batch pattern-join replay: stream ≡ batch, the
+    engine's streaming contract applied to the safety stage."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from osm_spark.text.blocklist import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _tempfile.mkdtemp(prefix="osm_spark_bls_")
+    drops = _os.path.join(base, "drops")
+    _os.makedirs(drops)
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = _os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(drops, f"d{i}.parquet")
+        _shutil.move(f, dst)
+        _os.utime(dst, (1_000_000 + 100 * i,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    pats = spark.createDataFrame(_BLOCK_PATTERNS, "pattern string, severity int")
+    out = blocklist_filter(stream, pats).select(
+        "doc_id",
+        F.col("n_hits").cast("int").alias("n_hits"),
+        "hit_list",
+        "max_severity",
+        "keep",
+    )
+    sink = f"bls_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet per-language perplexity terciles (text/lm.py ccnet_buckets)
     — every document labeled head/middle/tail within ITS language's LM
@@ -10943,6 +10996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_recall": q_truncation_recall,
         "trimmed_stats": q_trimmed_stats,
         "safety_admission": q_safety_admission,
+        "blocklist_stream": q_blocklist_stream,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
         "dsir_sample": q_dsir_sample,
@@ -11058,6 +11112,7 @@ def oracle_sql() -> dict[str, str]:
         "truncation_recall": _truncation_recall_oracle(),
         "trimmed_stats": _trimmed_stats_oracle(),
         "safety_admission": _safety_admission_oracle(),
+        "blocklist_stream": _blocklist_oracle(),
         "convex_hull": _hull_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_vocab": _bpe_vocab_oracle(),
