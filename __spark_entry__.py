@@ -8234,6 +8234,95 @@ def _hll_oracle() -> str:
     """
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap by HLL inclusion–exclusion
+    (functions/hll.py hll_pairwise_overlap): union sketches from the
+    mergeable register states (no data rescan), |A∩B| ≈ E(A)+E(B)−E(A⊔B)
+    — vs a DuckDB replay of all three estimates per pair."""
+    from osm_spark.functions.hll import hll_pairwise_overlap
+
+    return hll_pairwise_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", p=_HLL_P
+    )
+
+
+def _hll_est_sql(m_used: str, s_present: str) -> str:
+    """The closing HLL estimator as a SQL expression (milli bigint)."""
+    p = _HLL_P
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two53 = 1 << 53
+    vz = f"({m} - {m_used})"
+    e_raw = (
+        f"({float(alpha * m * m * two53)!r} / CAST({s_present} "
+        f"+ CAST({vz} AS BIGINT) * CAST({two53} AS BIGINT) AS DOUBLE))"
+    )
+    lin = f"({float(m)!r} * ln({float(m)!r} / CAST({vz} AS DOUBLE)))"
+    return (
+        f"CAST(round((CASE WHEN {vz} > 0 AND {e_raw} <= {2.5 * m!r} "
+        f"THEN {lin} ELSE {e_raw} END) * 1000.0, 0) AS BIGINT)"
+    )
+
+
+def _hll_overlap_oracle() -> str:
+    nib = _HLL_P // 4
+    return f"""
+        WITH h AS (
+            SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r0 AS (
+            SELECT event_type,
+                   CAST(CAST('0x' || substr(d, 1, {nib}) AS BIGINT) AS INT) AS reg,
+                   regexp_replace(substr(d, {nib + 1}, 13), '^0+', '') AS s
+            FROM h
+        ),
+        rr AS (
+            SELECT event_type, reg,
+                   CASE WHEN len(s) = 0 THEN 53
+                        ELSE (13 - len(s)) * 4
+                           + (CASE WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 8 THEN 0
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 4 THEN 1
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 2 THEN 2
+                                   ELSE 3 END) + 1
+                   END AS rho
+            FROM r0
+        ),
+        regs AS (SELECT event_type, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+        singles AS (
+            SELECT event_type,
+                   CAST(count(*) AS INT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS sp
+            FROM regs GROUP BY event_type
+        ),
+        se AS (SELECT event_type, {_hll_est_sql("m_used", "sp")} AS e FROM singles),
+        ks AS (SELECT DISTINCT event_type AS k FROM regs),
+        prs AS (SELECT a.k AS key_a, b.k AS key_b
+                FROM ks a JOIN ks b ON a.k < b.k),
+        uregs AS (
+            SELECT p.key_a, p.key_b, r.reg, MAX(r.rho) AS rho
+            FROM prs p JOIN regs r
+              ON r.event_type = p.key_a OR r.event_type = p.key_b
+            GROUP BY 1, 2, 3
+        ),
+        uagg AS (
+            SELECT key_a, key_b,
+                   CAST(count(*) AS INT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS sp
+            FROM uregs GROUP BY 1, 2
+        ),
+        ue AS (SELECT key_a, key_b,
+                      {_hll_est_sql("m_used", "sp")} AS eu FROM uagg)
+        SELECT u.key_a, u.key_b,
+               ea.e AS est_a_milli, eb.e AS est_b_milli,
+               u.eu AS est_union_milli,
+               ea.e + eb.e - u.eu AS est_inter_milli
+        FROM ue u
+        JOIN se ea ON ea.event_type = u.key_a
+        JOIN se eb ON eb.event_type = u.key_b
+    """
+
+
 def q_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental HLL refresh (functions/hll.py hll_registers/merge/
     estimate): events split 3 ways by event_id mod, each register state
@@ -10811,6 +10900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "hll_users": q_hll_users,
         "hll_refresh": q_hll_refresh,
+        "hll_overlap": q_hll_overlap,
         "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
         "zipf_fit": q_zipf_fit,
@@ -12154,6 +12244,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_smooth": _ewma_oracle(),
         "hll_users": _hll_oracle(),
         "hll_refresh": _hll_oracle(),
+        "hll_overlap": _hll_overlap_oracle(),
         "session_quantiles": _session_quantiles_oracle(),
         "zipf_ranks": f"WITH {_zipf_ranked_sql()} SELECT word, freq, rank FROM ranked",
         "zipf_fit": _zipf_fit_oracle(),

@@ -106,3 +106,29 @@ def test_hll_merge_idempotent(spark, df):
     got = {r.grp: r.est_milli for r in hll_estimate(twice, ["grp"], p=P).collect()}
     want = {r.grp: r.est_milli for r in hll_estimate(s, ["grp"], p=P).collect()}
     assert got == want
+
+
+def test_hll_pairwise_overlap_matches_replay(spark):
+    from osm_spark.functions.hll import hll_pairwise_overlap
+
+    # three groups with controlled overlap: a∩b large, a∩c empty
+    rows = (
+        [("a", u) for u in range(0, 400)]
+        + [("b", u) for u in range(200, 600)]
+        + [("c", u) for u in range(10_000, 10_300)]
+    )
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    got = {(r.key_a, r.key_b): (r.est_a_milli, r.est_b_milli,
+                                r.est_union_milli, r.est_inter_milli)
+           for r in hll_pairwise_overlap(df, "grp", "uid", p=P).collect()}
+    vals = {"a": set(range(400)), "b": set(range(200, 600)),
+            "c": set(range(10_000, 10_300))}
+    want = {}
+    for a, b in (("a", "b"), ("a", "c"), ("b", "c")):
+        ea = _estimate(_sketch(vals[a]))[2]
+        eb = _estimate(_sketch(vals[b]))[2]
+        eu = _estimate(_sketch(vals[a] | vals[b]))[2]
+        want[(a, b)] = (ea, eb, eu, ea + eb - eu)
+    assert got == want
+    # overlap ordering is recovered: a∩b >> a∩c
+    assert got[("a", "b")][3] > got[("a", "c")][3]
