@@ -10889,18 +10889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "way_resample": q_way_resample,
         "region_ohlc": q_region_ohlc,
-        "media_features": q_media_features,
         "ohlc_stream": q_ohlc_stream,
         "isochrone_hull": q_isochrone_hull,
         "link_prediction": q_link_prediction,
         "lpa_modularity": q_lpa_modularity,
-        "token_quantiles": q_token_quantiles,
         "ohlc_refresh": q_ohlc_refresh,
         "rollup_anomalies": q_rollup_anomalies,
-        "ewma_smooth": q_ewma_smooth,
-        "hll_users": q_hll_users,
         "hll_refresh": q_hll_refresh,
-        "hll_overlap": q_hll_overlap,
         "session_quantiles": q_session_quantiles,
         "lm_score": q_lm_score,
         "zipf_fit": q_zipf_fit,
@@ -10916,17 +10911,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_regions": q_voronoi_regions,
         "trend_surface": q_trend_surface,
         "dissolve_landuse": q_dissolve_landuse,
-        "buffer_landuse": q_buffer_landuse,
-        "landuse_overlap": q_landuse_overlap,
-        "sssp_waygraph": q_sssp_waygraph,
-        "landmark_distances": q_landmark_distances,
         "ring_validity": q_ring_validity,
         "corpus_pipeline": q_corpus_pipeline,
         "clean_then_gopher": q_clean_then_gopher,
         "scc": q_scc,
-        "fuzzy_pairs": q_fuzzy_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "bloom_screen": q_bloom_screen,
+        "safety_admission": q_safety_admission,
         "cosine_pairs": q_cosine_pairs,
         "bpe_merges": q_bpe_merges,
+        # --- tail (51+): every entry below remains oracle-backed and is
+        # verified by tools/check_oracle.py. SEVENTH (this-session)
+        # rotation: the new-family flagships came IN (st_dbscan_clusters,
+        # kde_density, voronoi_regions, trend_surface, dissolve_landuse,
+        # hll_refresh, semantic_dedup, bloom_screen, safety_admission —
+        # the SemDeDup/safety/sketch/raster additions), displacing
+        # same-family cousins whose sibling stays gated: ewma_smooth
+        # (rollup_anomalies holds the rollup-window slot), hll_users +
+        # hll_overlap (hll_refresh runs the identical register oracle
+        # AND attests merge ≡ full), buffer_landuse + landuse_overlap
+        # (dissolve_landuse gates the shared burn/surface math),
+        # sssp_waygraph (r4-gated green; isochrone_hull composes the
+        # same walk machinery in-window via landmark distances),
+        # landmark_distances (isochrone_hull composes it),
+        # media_features (r4-gated green; media_near_dups stays oracled),
+        # token_quantiles (session_quantiles gates the identical
+        # histogram-quantile machinery), and fuzzy_pairs (tail head —
+        # its oracle IS the brute force, pytest-pinned; containment_pairs
+        # holds the set-similarity-join slot). ---
+        "ewma_smooth": q_ewma_smooth,
+        "hll_users": q_hll_users,
+        "hll_overlap": q_hll_overlap,
+        "buffer_landuse": q_buffer_landuse,
+        "landuse_overlap": q_landuse_overlap,
+        "sssp_waygraph": q_sssp_waygraph,
+        "landmark_distances": q_landmark_distances,
+        "media_features": q_media_features,
+        "token_quantiles": q_token_quantiles,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "neighborhood": q_neighborhood,
         "cms_counts": q_cms_counts,
         "convex_hull": q_convex_hull,
@@ -11020,7 +11042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "decontaminate": q_decontaminate,
-        "bloom_screen": q_bloom_screen,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
@@ -11081,11 +11102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "phrase_search": q_phrase_search,
         "quantize_embeddings": q_quantize_embeddings,
-        "semantic_dedup": q_semantic_dedup,
         "blocklist_filter": q_blocklist_filter,
         "truncation_recall": q_truncation_recall,
         "trimmed_stats": q_trimmed_stats,
-        "safety_admission": q_safety_admission,
         "blocklist_stream": q_blocklist_stream,
         "bpe_vocab": q_bpe_vocab,
         "weighted_sample": q_weighted_sample,
