@@ -49,7 +49,11 @@ def trend_surface(points: DataFrame, z: int) -> DataFrame:
     ``resid_micro`` = round(1e6 · (cnt − fitted)) as bigint; NULL when
     the occupied tiles are collinear (singular normal equations).
     """
-    counts = tile_count_grid(points, z)
+    # Pin the rasterization: counts feeds BOTH the nine-sum stat row and
+    # the per-tile residual output — without the checkpoint Spark plans
+    # two full point-table scans (plan-pinned in tests/test_plans_r5.py;
+    # the simjoin weights-table precedent).
+    counts = tile_count_grid(points, z).localCheckpoint()
 
     u = F.col("x").cast(_DEC)
     v = F.col("y").cast(_DEC)

@@ -118,7 +118,7 @@ def bloom_probe_docs(
     )
     ids = docs.select(id_col).distinct()
     return (
-        ids.join(per_doc, id_col, "left")
+        ids.join(per_doc.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
