@@ -9343,6 +9343,63 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_link_graph(spark, sf_dir))
 
 
+_RC_KS = [0, 1, 2, 3, 4, 5, 6]
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient ladder (graph/richclub.py) over the
+    synthetic link graph: hub-core density φ(k) for k = 0..6, two passes
+    for the whole ladder — vs a DuckDB replay on the shared canonical
+    edge/degree CTEs."""
+    from osm_spark.graph.richclub import rich_club
+
+    return rich_club(_link_graph(spark, sf_dir), _RC_KS)
+
+
+def _rich_club_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _RC_KS)
+    return f"""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n_docs AS dst
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n_docs FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 11) % n_docs FROM documents, n
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        ks(k) AS (VALUES {ks}),
+        nk AS (
+            SELECT k, count(*) AS n_k FROM ks, deg WHERE deg > k GROUP BY k
+        ),
+        ed AS (
+            SELECT least(du.deg, dv.deg) AS min_deg
+            FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+        ),
+        ek AS (
+            SELECT k, count(*) AS e_k FROM ks, ed WHERE min_deg > k GROUP BY k
+        )
+        SELECT ks.k,
+               COALESCE(nk.n_k, 0) AS n_k,
+               COALESCE(ek.e_k, 0) AS e_k,
+               CASE WHEN COALESCE(nk.n_k, 0) >= 2 THEN
+                   CAST(round(2e6 * COALESCE(ek.e_k, 0)::DOUBLE
+                              / (nk.n_k::DOUBLE * (nk.n_k::DOUBLE - 1.0)), 0)
+                        AS BIGINT)
+               END AS phi_micro
+        FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+    """
+
+
 def _triangle_counts_oracle() -> str:
     return """
         WITH n AS (SELECT count(*) AS n_docs FROM documents),
@@ -10949,6 +11006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "token_quantiles": q_token_quantiles,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "rich_club": q_rich_club,
         "neighborhood": q_neighborhood,
         "cms_counts": q_cms_counts,
         "convex_hull": q_convex_hull,
@@ -12245,6 +12303,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_oracle(),
         "label_propagation": _lpa_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
+        "rich_club": _rich_club_oracle(),
         "link_prediction": _link_prediction_oracle(),
         "assortativity": _assortativity_oracle(),
         "modularity": _modularity_oracle(),
