@@ -6727,6 +6727,75 @@ def _landuse_overlap_oracle() -> str:
     """
 
 
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count spatial autocorrelation for the categorical raster
+    (geo/joincount.py, Cliff & Ord): rook BB/BW/WW joins per landuse
+    class over the occupied-tile universe, free-sampling BB z-score —
+    vs a DuckDB replay over the shared dissolve-surface CTE."""
+    _prep(spark)
+    from osm_spark.geo.joincount import join_counts
+    from osm_spark.pipeline.geometry import synth_polygons
+
+    return join_counts(synth_polygons(spark), _DIS_Z, F.col("tags")["landuse"])
+
+
+def _join_counts_oracle() -> str:
+    return f"""
+        WITH {_dissolve_surface_cte()},
+        univ AS (SELECT DISTINCT x, y FROM surf),
+        nbr AS (
+            SELECT u.x, u.y, u.x + o.dx AS nx, u.y + o.dy AS ny
+            FROM univ u CROSS JOIN (VALUES (1, 0), (0, 1)) AS o(dx, dy)
+            JOIN univ v ON v.x = u.x + o.dx AND v.y = u.y + o.dy
+        ),
+        deg AS (
+            SELECT dx_, dy_, count(*) AS deg FROM (
+                SELECT x AS dx_, y AS dy_ FROM nbr
+                UNION ALL SELECT nx, ny FROM nbr
+            ) GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS kk,
+                   (SELECT count(*) FROM nbr) AS jj,
+                   (SELECT count(*) FROM univ) AS n_total
+        ),
+        classes AS (SELECT DISTINCT cls FROM surf),
+        jc AS (
+            SELECT c.cls,
+                   CASE WHEN sa.x IS NOT NULL THEN 1 ELSE 0 END AS a,
+                   CASE WHEN sb.x IS NOT NULL THEN 1 ELSE 0 END AS b
+            FROM classes c CROSS JOIN nbr p
+            LEFT JOIN surf sa ON sa.cls = c.cls AND sa.x = p.x AND sa.y = p.y
+            LEFT JOIN surf sb ON sb.cls = c.cls AND sb.x = p.nx AND sb.y = p.ny
+        ),
+        counts AS (
+            SELECT cls,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+                   CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+                   CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ww
+            FROM jc GROUP BY cls
+        ),
+        nb AS (SELECT cls, count(*) AS n_b FROM surf GROUP BY cls)
+        SELECT c.cls, nb.n_b, s.n_total, c.bb, c.bw, c.ww,
+               CASE WHEN (CAST(s.jj AS DOUBLE) * pb * pb
+                          + 2.0 * CAST(s.kk AS DOUBLE) * pb * pb * pb
+                          - (CAST(s.jj AS DOUBLE) + 2.0 * CAST(s.kk AS DOUBLE))
+                            * (pb * pb * pb * pb)) > 0
+                    THEN CAST(round(
+                        (CAST(c.bb AS DOUBLE) - CAST(s.jj AS DOUBLE) * pb * pb)
+                        / sqrt(CAST(s.jj AS DOUBLE) * pb * pb
+                               + 2.0 * CAST(s.kk AS DOUBLE) * pb * pb * pb
+                               - (CAST(s.jj AS DOUBLE) + 2.0 * CAST(s.kk AS DOUBLE))
+                                 * (pb * pb * pb * pb)) * 1000.0, 0) AS BIGINT)
+               END AS z_bb_milli
+        FROM counts c
+        JOIN nb ON nb.cls = c.cls
+        CROSS JOIN stats s
+        CROSS JOIN LATERAL (SELECT CAST(nb.n_b AS DOUBLE)
+                                   / CAST(s.n_total AS DOUBLE) AS pb) t
+    """
+
+
 _BUF_R = 2
 
 
@@ -11001,6 +11070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "buffer_landuse": q_buffer_landuse,
         "landuse_overlap": q_landuse_overlap,
+        "join_counts": q_join_counts,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "media_features": q_media_features,
@@ -11201,6 +11271,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_landuse": _dissolve_oracle(),
         "buffer_landuse": _buffer_oracle(),
         "landuse_overlap": _landuse_overlap_oracle(),
+        "join_counts": _join_counts_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
