@@ -5705,6 +5705,74 @@ def _od_matrix_oracle() -> str:
     """
 
 
+def q_tile_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed geo×sketch: unique-visitor estimate PER TILE — the
+    web-analytics heatmap that exact distinct cannot serve at 10^12
+    events (per-tile visitor sets never materialize; state is 2^p
+    registers per occupied tile). Chains the tile raster onto the
+    deterministic HLL; the oracle replays tile floors + registers."""
+    from osm_spark.functions.hll import hll_distinct
+    from osm_spark.geo.tiles import tile_xy
+
+    pts = _od_pts(spark, sf_dir)
+    t = tile_xy("lat", "lon", _OD_Z)
+    df = pts.select(
+        t.getField("x").alias("x"), t.getField("y").alias("y"), "user_id"
+    )
+    return hll_distinct(df, ["x", "y"], "user_id", p=_HLL_P)
+
+
+def _tile_visitors_oracle() -> str:
+    p = _HLL_P
+    m, nib = 1 << p, p // 4
+    n = 1 << _OD_Z
+    mlat = "85.05112878"
+    return f"""
+        WITH pts AS ({_od_pts_sql()}),
+        cells AS (
+            SELECT user_id,
+                   LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(n)!r})
+                       AS BIGINT), 0), {n - 1}) AS x,
+                   LEAST(GREATEST(CAST(floor((1.0
+                            - ln(tan(radians(LEAST(GREATEST(lat, -{mlat}), {mlat})))
+                                 + sqrt(tan(radians(LEAST(GREATEST(lat, -{mlat}), {mlat})))
+                                        * tan(radians(LEAST(GREATEST(lat, -{mlat}), {mlat})))
+                                        + 1.0)) / pi())
+                            / 2.0 * {float(n)!r}) AS BIGINT),
+                                  0), {n - 1}) AS y
+            FROM pts WHERE user_id IS NOT NULL
+        ),
+        h AS (SELECT x, y, md5(CAST(user_id AS VARCHAR)) AS d FROM cells),
+        r0 AS (
+            SELECT x, y,
+                   CAST(CAST('0x' || substr(d, 1, {nib}) AS BIGINT) AS INT) AS reg,
+                   regexp_replace(substr(d, {nib + 1}, 13), '^0+', '') AS s
+            FROM h
+        ),
+        rr AS (
+            SELECT x, y, reg,
+                   CASE WHEN len(s) = 0 THEN 53
+                        ELSE (13 - len(s)) * 4
+                           + (CASE WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 8 THEN 0
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 4 THEN 1
+                                   WHEN CAST('0x' || substr(s, 1, 1) AS INT) >= 2 THEN 2
+                                   ELSE 3 END) + 1
+                   END AS rho
+            FROM r0
+        ),
+        regs AS (SELECT x, y, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2, 3),
+        agg AS (
+            SELECT x, y,
+                   CAST(count(*) AS INT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS sp
+            FROM regs GROUP BY x, y
+        )
+        SELECT x, y, m_used, CAST({m} - m_used AS INT) AS v_zero,
+               {_hll_est_sql("m_used", "sp")} AS est_milli
+        FROM agg
+    """
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 window × §2.10 raster composition: origin–destination flow
     matrix between z12 tiles (geo/odmatrix.py) — one user-keyed LAG
@@ -11071,6 +11139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_landuse": q_buffer_landuse,
         "landuse_overlap": q_landuse_overlap,
         "join_counts": q_join_counts,
+        "tile_visitors": q_tile_visitors,
         "sssp_waygraph": q_sssp_waygraph,
         "landmark_distances": q_landmark_distances,
         "media_features": q_media_features,
@@ -11272,6 +11341,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_landuse": _buffer_oracle(),
         "landuse_overlap": _landuse_overlap_oracle(),
         "join_counts": _join_counts_oracle(),
+        "tile_visitors": _tile_visitors_oracle(),
         "morans_i": _morans_oracle(),
         "local_morans": _local_morans_oracle(),
         "emerging_hotspots": _emerging_oracle(),
